@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Headline analytics queries (SURVEY.md §2.G) — the bench workload.
+  *
+  * Scale design: every aggregate is a plain declarative groupBy so Catalyst
+  * plans map-side partial aggregation; dimension tables are explicitly
+  * `broadcast()`; money sums go through DECIMAL so results are
+  * order-independent (SURVEY.md §5.2) — a 100 TB shuffle reorders rows
+  * freely without changing the answer.
+  */
+object Queries {
+
+  /** sum(x) as exact decimal, emitted as double for oracle parity. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** q1: pricing summary report (TPC-H Q1 shape). Single scan, partial agg,
+    * whole-stage codegen end to end. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q3: shipping priority (TPC-H Q3 shape). customer is small relative to
+    * the facts → broadcast; orders⋈lineitem shuffles on o_orderkey (AQE
+    * handles skew at scale). */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q5: local supplier volume (TPC-H Q5 shape) — 6-table join. The whole
+    * dimension chain region⋈nation⋈customer/supplier is broadcast; only the
+    * fact-fact orders⋈lineitem edge shuffles. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+
+    val dims = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cn_nationkey"), col("n_name"))
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q7: window functions — per-customer order rank + running spend.
+    * Window partitioned by customer: shuffle once on o_custkey, sort within
+    * partition only (no global sort). */
+  def q7Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("order_rank", row_number().over(w))
+      .withColumn(
+        "running_spend",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .filter(col("order_rank") <= 3)
+      .select("o_custkey", "o_orderkey", "order_rank", "running_spend")
+      .orderBy("o_custkey", "order_rank")
+  }
+
+  /** q8: events rollup per type per day — the batch shape of the streaming
+    * windowed count (SURVEY.md §2.H1). */
+  def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "day")
+  }
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's correctness gate.
+
+Runs DuckDB oracle SQL from outDir/oracle_sql.json against the sf parquet
+tables, compares with the Spark parquet dumps in outDir/<name>/.
+Columns sorted by name; rows sorted by all columns; values hashed.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(df):
+    # df: pandas DataFrame -> sorted-by-name columns, sorted rows, stringified
+    df = df.reindex(sorted(df.columns), axis=1)
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NULL"
+            return f"{v:.10g}"
+        return str(v)
+    rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            fail += 1
+            continue
+        try:
+            got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            fail += 1
+            continue
+        if expected == got:
+            print(f"OK   {name}: {len(got)} rows")
+            ok += 1
+        else:
+            print(f"FAIL {name}: expected {len(expected)} rows got {len(got)}")
+            eset, gset = set(expected), set(got)
+            for r in list(eset - gset)[:3]:
+                print(f"  - oracle only: {r}")
+            for r in list(gset - eset)[:3]:
+                print(f"  - spark  only: {r}")
+            fail += 1
+    print(f"\n{ok} OK, {fail} FAIL")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
