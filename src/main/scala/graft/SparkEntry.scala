@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
+import graft.memory.MemoryOps
+import graft.rag.{Embed, RagOps, Search}
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -17,7 +20,9 @@ object SparkEntry {
     Queries.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++
+    TextOps.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
@@ -26,7 +31,8 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ TextOps.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

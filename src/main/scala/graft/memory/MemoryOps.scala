@@ -1,0 +1,229 @@
+package graft.memory
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Memory engine (SURVEY.md §2.A) — key-value store with TTL expiration,
+  * rebuilt as Spark batch analytics over the `events` write-ahead log.
+  *
+  * Semantics mirror the reference:
+  *  - latest-wins upsert by key: /root/reference/mcp_synaptic/memory/storage/sqlite.py:store
+  *    (INSERT OR REPLACE) — here `max_by(props, event_id)` per key.
+  *  - TTL defaults by type: .../memory/manager/operations.py:_get_default_ttl
+  *    (ephemeral=300, short_term=3600, long_term=604800, permanent=never).
+  *  - expiry: .../models/memory.py:is_expired (now >= expires_at unless policy
+  *    NEVER/expires_at null); touch(): access_count+1, last_accessed=now,
+  *    SLIDING => expires_at = last_accessed + ttl.
+  *  - update_expiration: ABSOLUTE => created_at+ttl, SLIDING => last_accessed+ttl.
+  *
+  * Event->memory mapping (deterministic, SURVEY.md §3): key = 'u<user_id>:<event_type>';
+  * error->ephemeral, click/view->short_term, signup->long_term, purchase->permanent;
+  * policy: purchase->never, click->sliding (exercises the sliding path), else absolute.
+  * NOW is fixed at 2024-01-31 00:00:00 UTC for determinism.
+  *
+  * Scale notes (§6): the upsert is ONE hash-shuffle on memory_key with map-side
+  * partial aggregation (`max_by`/`min`/`max`/`count` all combine) — no window
+  * sort over 100 TB of events. Hot keys are handled by AQE skew split; the
+  * resulting memory table would be written bucketed by memory_key so the
+  * downstream get/list/cleanup paths are shuffle-free.
+  */
+object MemoryOps {
+
+  /** Fixed expiry reference instant (SURVEY.md §3). */
+  val NowLit = "2024-01-31 00:00:00"
+  private def now: Column = lit(NowLit).cast("timestamp")
+
+  /** Live memory table: latest-wins upsert by key over the events WAL. */
+  def memoryTable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("memory_key", concat(lit("u"), col("user_id"), lit(":"), col("event_type")))
+      .groupBy("memory_key", "user_id", "event_type")
+      .agg(
+        min("ts").as("created_at"),
+        max("ts").as("updated_at"),
+        max("ts").as("last_accessed_at"),
+        count(lit(1)).as("access_count"),
+        max_by(col("props"), col("event_id")).as("data"))
+      .withColumn("memory_type",
+        when(col("event_type") === "error", "ephemeral")
+          .when(col("event_type").isin("click", "view"), "short_term")
+          .when(col("event_type") === "signup", "long_term")
+          .otherwise("permanent"))
+      .withColumn("expiration_policy",
+        when(col("event_type") === "purchase", "never")
+          .when(col("event_type") === "click", "sliding")
+          .otherwise("absolute"))
+      .withColumn("ttl_seconds",
+        when(col("memory_type") === "ephemeral", 300)
+          .when(col("memory_type") === "short_term", 3600)
+          .when(col("memory_type") === "long_term", 604800)
+          .otherwise(lit(null).cast("int")))
+      .withColumn("expires_at",
+        when(col("expiration_policy") === "never", lit(null).cast("timestamp"))
+          .when(col("expiration_policy") === "absolute",
+            expr("created_at + make_interval(0,0,0,0,0,0,ttl_seconds)"))
+          .otherwise(expr("last_accessed_at + make_interval(0,0,0,0,0,0,ttl_seconds)")))
+      .withColumn("is_expired", col("expires_at").isNotNull && now >= col("expires_at"))
+  }
+
+  /** A1: the full upserted memory table. */
+  def m1UpsertLatest(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .select("memory_key", "memory_type", "expiration_policy", "ttl_seconds",
+        "created_at", "updated_at", "access_count", "data", "expires_at", "is_expired")
+      .orderBy("memory_key")
+
+  /** A2: get + touch for a deterministic probe set (user_id % 10 == 0):
+    * non-expired only; access_count+1, last_accessed=NOW, SLIDING recomputes
+    * expires_at = NOW + ttl (models/memory.py:touch).
+    */
+  def m2Get(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("user_id") % 10 === 0 && !col("is_expired"))
+      .withColumn("access_count", col("access_count") + 1)
+      .withColumn("last_accessed_at", now)
+      .withColumn("expires_at",
+        when(col("expiration_policy") === "sliding",
+          expr(s"TIMESTAMP '$NowLit' + make_interval(0,0,0,0,0,0,ttl_seconds)"))
+          .otherwise(col("expires_at")))
+      .select("memory_key", "memory_type", "expiration_policy", "data",
+        "access_count", "last_accessed_at", "expires_at")
+      .orderBy("memory_key")
+
+  /** A3: MemoryQuery list — type filter, tag (props.k even), created_after,
+    * include_expired=true, ordered paging (offset 10, limit 100). */
+  def m3ListFiltered(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("memory_type").isin("short_term", "long_term") &&
+        col("created_at") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        regexp_extract(col("data"), "\"k\": (\\d+)", 1).cast("int") % 2 === 0)
+      .select("memory_key", "memory_type", "created_at", "expires_at", "data")
+      .orderBy("memory_key")
+      .offset(10)
+      .limit(100)
+
+  /** A4: MemoryStats — single-row aggregate (models/memory.py:MemoryStats). */
+  def m4Stats(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir).agg(
+      count(lit(1)).as("total_memories"),
+      count(when(col("memory_type") === "ephemeral", 1)).as("n_ephemeral"),
+      count(when(col("memory_type") === "short_term", 1)).as("n_short_term"),
+      count(when(col("memory_type") === "long_term", 1)).as("n_long_term"),
+      count(when(col("memory_type") === "permanent", 1)).as("n_permanent"),
+      count(when(col("is_expired"), 1)).as("n_expired"),
+      sum(length(col("data"))).as("total_size_bytes"),
+      round(avg(col("ttl_seconds")), 6).as("avg_ttl_seconds"),
+      min(col("created_at")).as("oldest_created_at"),
+      max(col("created_at")).as("newest_created_at"),
+      max(col("access_count")).as("max_access_count"))
+
+  /** A5: cleanup — the expired rows a cleanup pass would delete. */
+  def m5CleanupExpired(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("is_expired"))
+      .select("memory_key", "memory_type", "ttl_seconds", "expires_at")
+      .orderBy("memory_key")
+
+  /** A6: expirations per day bucket — batch analog of the expiry event feed. */
+  def m6ExpiryBuckets(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("expires_at").isNotNull)
+      .groupBy(date_trunc("day", col("expires_at")).as("day"))
+      .agg(count(lit(1)).as("n_expiring"))
+      .orderBy("day")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_upsert_latest"   -> ((s, d) => m1UpsertLatest(s, d)),
+    "m2_get"             -> ((s, d) => m2Get(s, d)),
+    "m3_list_filtered"   -> ((s, d) => m3ListFiltered(s, d)),
+    "m4_stats"           -> ((s, d) => m4Stats(s, d)),
+    "m5_cleanup_expired" -> ((s, d) => m5CleanupExpired(s, d)),
+    "m6_expiry_buckets"  -> ((s, d) => m6ExpiryBuckets(s, d)),
+  )
+
+  /** Shared DuckDB CTE replicating the memory build (oracle side). */
+  private val Cte: String =
+    """WITH mem AS (
+      |  SELECT *,
+      |    CASE expiration_policy
+      |      WHEN 'never' THEN NULL
+      |      WHEN 'absolute' THEN created_at + to_seconds(ttl_seconds)
+      |      ELSE last_accessed_at + to_seconds(ttl_seconds) END AS expires_at
+      |  FROM (
+      |    SELECT
+      |      'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS memory_key,
+      |      user_id,
+      |      CASE event_type WHEN 'error' THEN 'ephemeral'
+      |        WHEN 'click' THEN 'short_term' WHEN 'view' THEN 'short_term'
+      |        WHEN 'signup' THEN 'long_term' ELSE 'permanent' END AS memory_type,
+      |      CASE event_type WHEN 'purchase' THEN 'never'
+      |        WHEN 'click' THEN 'sliding' ELSE 'absolute' END AS expiration_policy,
+      |      CASE event_type WHEN 'error' THEN 300
+      |        WHEN 'click' THEN 3600 WHEN 'view' THEN 3600
+      |        WHEN 'signup' THEN 604800 ELSE NULL END AS ttl_seconds,
+      |      min(ts) AS created_at,
+      |      max(ts) AS updated_at,
+      |      max(ts) AS last_accessed_at,
+      |      count(*) AS access_count,
+      |      arg_max(props, event_id) AS data
+      |    FROM events GROUP BY 1,2,3,4,5
+      |  )
+      |), mem2 AS (
+      |  SELECT *,
+      |    (expires_at IS NOT NULL AND TIMESTAMP '2024-01-31 00:00:00' >= expires_at) AS is_expired
+      |  FROM mem
+      |)
+      |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "m1_upsert_latest" -> (Cte +
+      """SELECT memory_key, memory_type, expiration_policy, ttl_seconds,
+        |  created_at, updated_at, access_count, data, expires_at, is_expired
+        |FROM mem2 ORDER BY memory_key""".stripMargin),
+
+    "m2_get" -> (Cte +
+      """SELECT memory_key, memory_type, expiration_policy, data,
+        |  access_count + 1 AS access_count,
+        |  TIMESTAMP '2024-01-31 00:00:00' AS last_accessed_at,
+        |  CASE WHEN expiration_policy = 'sliding'
+        |    THEN TIMESTAMP '2024-01-31 00:00:00' + to_seconds(ttl_seconds)
+        |    ELSE expires_at END AS expires_at
+        |FROM mem2
+        |WHERE user_id % 10 = 0 AND NOT is_expired
+        |ORDER BY memory_key""".stripMargin),
+
+    "m3_list_filtered" -> (Cte +
+      """SELECT memory_key, memory_type, created_at, expires_at, data
+        |FROM mem2
+        |WHERE memory_type IN ('short_term', 'long_term')
+        |  AND created_at >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND CAST(regexp_extract(data, '"k": (\d+)', 1) AS INT) % 2 = 0
+        |ORDER BY memory_key
+        |LIMIT 100 OFFSET 10""".stripMargin),
+
+    "m4_stats" -> (Cte +
+      """SELECT count(*) AS total_memories,
+        |  count(*) FILTER (memory_type = 'ephemeral') AS n_ephemeral,
+        |  count(*) FILTER (memory_type = 'short_term') AS n_short_term,
+        |  count(*) FILTER (memory_type = 'long_term') AS n_long_term,
+        |  count(*) FILTER (memory_type = 'permanent') AS n_permanent,
+        |  count(*) FILTER (is_expired) AS n_expired,
+        |  sum(length(data)) AS total_size_bytes,
+        |  round(avg(ttl_seconds), 6) AS avg_ttl_seconds,
+        |  min(created_at) AS oldest_created_at,
+        |  max(created_at) AS newest_created_at,
+        |  max(access_count) AS max_access_count
+        |FROM mem2""".stripMargin),
+
+    "m5_cleanup_expired" -> (Cte +
+      """SELECT memory_key, memory_type, ttl_seconds, expires_at
+        |FROM mem2 WHERE is_expired ORDER BY memory_key""".stripMargin),
+
+    "m6_expiry_buckets" -> (Cte +
+      """SELECT date_trunc('day', expires_at) AS day, count(*) AS n_expiring
+        |FROM mem2 WHERE expires_at IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+  )
+}

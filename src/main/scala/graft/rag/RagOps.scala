@@ -1,0 +1,175 @@
+package graft.rag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** RAG document-store operators (SURVEY.md §2.B1/B2/B6/B7).
+  *
+  * Reference semantics:
+  *  - Document ingest derives content_hash (dedup key), content_length,
+  *    word_count: /root/reference/mcp_synaptic/models/rag.py:Document.
+  *  - Collection stats: /root/reference/mcp_synaptic/rag/database/stats.py.
+  *  - get_relevant_context: /root/reference/mcp_synaptic/rag/retrieval.py
+  *    :get_relevant_context — concat top hits in rank order; a hit that would
+  *    overflow max_context_length is truncated to the remaining space with
+  *    '...' ONLY if more than 100 chars remain, then assembly stops; parts
+  *    joined with "\n\n".
+  *  - search_by_metadata: filter-only retrieval (threshold 0).
+  *
+  * Scale notes (§6): ingest and stats are single-pass scans with map-side
+  * partial aggregation; the dup-group window shuffles once on content_hash
+  * (same layout a bucketed warehouse write would reuse). Context assembly
+  * is a window + groupBy over the (tiny) top-k hit set, not the corpus.
+  */
+object RagOps {
+
+  /** B1: document ingest — hash, length, word count, exact-dup grouping. */
+  def r1DocIngest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        length(col("text")).as("content_length"),
+        size(split(col("text"), " ")).cast("long").as("word_count"))
+      .withColumn("dup_group_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** B2: collection stats — one row over documents × embeddings. */
+  def r2CollectionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("total_content_length"),
+      round(avg(length(col("text"))), 6).as("avg_content_length"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_word_count"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val e = Tables.embeddings(spark, dir).agg(
+      count(lit(1)).as("n_vectors"),
+      max(size(col("embedding"))).as("embedding_dim"))
+    d.crossJoin(e)
+  }
+
+  /** B6: get_relevant_context over the r3 search hits (max_context_length=600,
+    * max_documents=5, threshold=0.2). The overflow/truncate/break fold is
+    * expressed as a prefix-sum window — valid because assembly is strictly
+    * rank-ordered and stops at the first overflowing document. */
+  def r6ContextAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val MaxLen = 600
+    val hits = Search.knn(spark, dir, col("vec_id") % 100 === 0, k = 5,
+      threshold = 0.2, clampZero = true, sameLabel = false)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = hits.join(docs, hits("vec_id") === docs("doc_id"))
+      .withColumn("len", length(col("text")))
+      .withColumn("cum_before", coalesce(sum(col("len")).over(w), lit(0L)))
+    // first overflowing rank per query (NULL when everything fits)
+    val wq = Window.partitionBy(col("query_id"))
+    val withOv = scored.withColumn("overflow_rnk",
+      min(when(col("cum_before") + col("len") > MaxLen, col("rnk"))).over(wq))
+    val parts = withOv
+      .withColumn("part",
+        when(col("overflow_rnk").isNull || col("rnk") < col("overflow_rnk"), col("text"))
+          .when(col("rnk") === col("overflow_rnk") && lit(MaxLen) - col("cum_before") > 100,
+            concat(col("text").substr(lit(1), (lit(MaxLen) - col("cum_before") - lit(3)).cast("int")), lit("...")))
+          .otherwise(lit(null)))
+      .filter(col("part").isNotNull)
+    parts.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rnk"), col("part")))).as("ps"))
+      .select(col("query_id"),
+        array_join(transform(col("ps"), p => p.getField("part")), "\n\n").as("context"),
+        size(col("ps")).as("docs_used"))
+      .withColumn("context_length", length(col("context")))
+      .select("query_id", "context", "context_length", "docs_used")
+      .orderBy("query_id")
+  }
+
+  /** B7: metadata-only retrieval: lang IN ('de','fr'), ordered page of 20. */
+  def r7SearchByMetadata(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang").isin("de", "fr"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_doc_ingest"        -> ((s, d) => r1DocIngest(s, d)),
+    "r2_collection_stats"  -> ((s, d) => r2CollectionStats(s, d)),
+    "r6_context_assembly"  -> ((s, d) => r6ContextAssembly(s, d)),
+    "r7_search_by_metadata" -> ((s, d) => r7SearchByMetadata(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r1_doc_ingest" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  length(text) AS content_length,
+        |  len(string_split(text, ' ')) AS word_count,
+        |  count(*) OVER (PARTITION BY md5(text)) AS dup_group_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "r2_collection_stats" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS n_docs,
+        |  sum(length(text)) AS total_content_length,
+        |  round(avg(length(text)), 6) AS avg_content_length,
+        |  sum(len(string_split(text, ' '))) AS total_word_count,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources
+        | FROM documents)
+        |CROSS JOIN
+        |(SELECT count(*) AS n_vectors, max(len(embedding)) AS embedding_dim
+        | FROM embeddings)""".stripMargin,
+
+    "r6_context_assembly" -> {
+      val hitsSql = Search.CorpusCte +
+        """, q AS (
+          |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id % 100 = 0
+          |), scored0 AS (
+          |  SELECT q.query_id, en.vec_id,
+          |    round(greatest(CASE WHEN q.qnrm*en.nrm = 0 THEN 0.0
+          |      ELSE (list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*en.v[i]), (acc,x) -> acc+x))/(q.qnrm*en.nrm) END, 0.0), 6) AS similarity
+          |  FROM q JOIN en ON en.vec_id <> q.query_id
+          |), ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+          |  FROM scored0
+          |), hits AS (
+          |  SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5 AND similarity >= 0.2
+          |)""".stripMargin
+      hitsSql +
+        """, joined AS (
+          |  SELECT h.query_id, h.rnk, d.text, length(d.text) AS len
+          |  FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+          |), cums AS (
+          |  SELECT *, coalesce(sum(len) OVER (PARTITION BY query_id ORDER BY rnk
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM joined
+          |), ov AS (
+          |  SELECT *, min(CASE WHEN cum_before + len > 600 THEN rnk END)
+          |      OVER (PARTITION BY query_id) AS overflow_rnk
+          |  FROM cums
+          |), parts AS (
+          |  SELECT query_id, rnk,
+          |    CASE WHEN overflow_rnk IS NULL OR rnk < overflow_rnk THEN text
+          |         WHEN rnk = overflow_rnk AND 600 - cum_before > 100
+          |           THEN substr(text, 1, CAST(600 - cum_before - 3 AS INT)) || '...'
+          |    END AS part
+          |  FROM ov
+          |)
+          |SELECT query_id,
+          |  string_agg(part, e'\n\n' ORDER BY rnk) AS context,
+          |  length(string_agg(part, e'\n\n' ORDER BY rnk)) AS context_length,
+          |  count(part) AS docs_used
+          |FROM parts WHERE part IS NOT NULL
+          |GROUP BY query_id ORDER BY query_id""".stripMargin
+    },
+
+    "r7_search_by_metadata" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('de', 'fr') ORDER BY doc_id LIMIT 20""".stripMargin,
+  )
+}

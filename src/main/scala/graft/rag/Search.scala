@@ -1,0 +1,188 @@
+package graft.rag
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vec
+
+/** Vector search (SURVEY.md §2.B3-B5, B8, §2.D1) — the reference's
+  * `rag_search` / `find_similar_documents` / `compute_similarity` re-expressed
+  * as broadcast-join cosine top-k.
+  *
+  * Reference semantics: /root/reference/mcp_synaptic/rag/database/search.py
+  * (embed query -> kNN -> similarity = max(0, 1-distance) -> threshold ->
+  * limit, ranked), rag/retrieval.py:find_similar_documents (search by a doc's
+  * own vector, exclude self), rag/embeddings/manager.py:compute_similarity
+  * (cosine). Thresholds are settings in the reference (default 0.7); here
+  * they're fixed per query at values matched to the synthetic data's cosine
+  * distribution (max pairwise ~0.5) so results are non-trivial.
+  *
+  * Scale design (§6): the query side is always small — it is `broadcast()`,
+  * the 100 TB corpus side streams through a single narrow scan stage; cosine
+  * is computed with codegen'd higher-order functions (no UDF); per-query
+  * top-k is a window over (query_id) — at scale the partial top-k per
+  * partition is handled by AQE + the rank filter pushing down the sort
+  * (for very large k use a partial-aggregate top-k; k here is ~10).
+  */
+object Search {
+
+  /** Corpus with pre-cast double vectors and precomputed norms (norm is
+    * computed once per row, not once per pair). */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vec.norm2(col("v")))
+
+  private def cosineOf(qn: Column, n: Column, d: Column): Column =
+    when(qn * n === 0.0, 0.0).otherwise(d / (qn * n))
+
+  /** Generic broadcast cosine search.
+    * @param clampZero  reference similarity = max(0, cosine)
+    * @param sameLabel  metadata equality filter (reference metadata_filter)
+    */
+  def knn(spark: SparkSession, dir: String, queryPred: Column, k: Int,
+          threshold: Double, clampZero: Boolean, sameLabel: Boolean): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val cond = if (sameLabel)
+      col("vec_id") =!= col("query_id") && col("label") === col("qlabel")
+    else col("vec_id") =!= col("query_id")
+    val raw = cosineOf(col("qnrm"), col("nrm"), Vec.dot(col("qv"), col("v")))
+    val sim = round(if (clampZero) greatest(raw, lit(0.0)) else raw, 6)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    e.join(broadcast(q), cond)
+      .withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k && col("similarity") >= threshold)
+      .select("query_id", "vec_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** B3: rag_search — queries are vectors with vec_id % 100 == 0. */
+  def r3SearchTopK(spark: SparkSession, dir: String): DataFrame =
+    knn(spark, dir, col("vec_id") % 100 === 0, k = 10, threshold = 0.2,
+      clampZero = true, sameLabel = false)
+
+  /** B4: rag_search with metadata equality filter (label = query's label). */
+  def r4SearchFiltered(spark: SparkSession, dir: String): DataFrame =
+    knn(spark, dir, col("vec_id") % 100 === 0, k = 10, threshold = 0.1,
+      clampZero = true, sameLabel = true)
+
+  /** B5: find_similar_documents — query docs are source='src0'; search by the
+    * doc's own vector (doc_id joins vec_id 1:1), exclude self, top-5. */
+  def r5FindSimilar(spark: SparkSession, dir: String): DataFrame = {
+    val srcDocs = Tables.documents(spark, dir)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    val e = corpus(spark, dir)
+    val q = e.join(broadcast(srcDocs), col("vec_id") === col("doc_id"))
+      .select(col("doc_id").as("query_doc_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val sim = round(greatest(
+      cosineOf(col("qnrm"), col("nrm"), Vec.dot(col("qv"), col("v"))), lit(0.0)), 6)
+    val w = Window.partitionBy(col("query_doc_id")).orderBy(col("similarity").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_doc_id"))
+      .withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5 && col("similarity") >= 0.3)
+      .select(col("query_doc_id"), col("vec_id").as("doc_id"), col("similarity"), col("rnk"))
+      .orderBy("query_doc_id", "rnk")
+  }
+
+  /** B8: compute_similarity — pairwise cosine over a fixed probe set. */
+  def r8PairwiseSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).filter(col("vec_id") < 20)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("similarity",
+        round(cosineOf(col("na"), col("nb"), Vec.dot(col("va"), col("vb"))), 6))
+      .select("vec_a", "vec_b", "similarity")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** D1: brute-force ANN baseline — raw cosine (no clamp/threshold), top-10,
+    * queries vec_id % 97 == 0. */
+  def a1KnnBruteforce(spark: SparkSession, dir: String): DataFrame =
+    knn(spark, dir, col("vec_id") % 97 === 0, k = 10, threshold = -1.0,
+      clampZero = false, sameLabel = false)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r3_search_topk"         -> ((s, d) => r3SearchTopK(s, d)),
+    "r4_search_filtered"     -> ((s, d) => r4SearchFiltered(s, d)),
+    "r5_find_similar"        -> ((s, d) => r5FindSimilar(s, d)),
+    "r8_pairwise_similarity" -> ((s, d) => r8PairwiseSimilarity(s, d)),
+    "a1_knn_bruteforce"      -> ((s, d) => a1KnnBruteforce(s, d)),
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** In-order left-fold dot product in DuckDB — matches Spark's sequential
+    * `aggregate(zip_with(...))` (SURVEY.md §5.3). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc,x) -> acc+x)"
+
+  /** Shared corpus CTE: double-cast vectors + per-row norms. */
+  val CorpusCte: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), en AS (
+       |  SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0
+       |)""".stripMargin
+
+  private def cosSql(d: String, qn: String, n: String, clamp: Boolean): String = {
+    val c = s"CASE WHEN $qn*$n = 0 THEN 0.0 ELSE ($d)/($qn*$n) END"
+    if (clamp) s"round(greatest($c, 0.0), 6)" else s"round($c, 6)"
+  }
+
+  private def knnSql(queryPred: String, k: Int, threshold: Double,
+                     clamp: Boolean, sameLabel: Boolean): String = {
+    val joinCond = if (sameLabel) "en.vec_id <> q.query_id AND en.label = q.qlabel"
+    else "en.vec_id <> q.query_id"
+    s"""$CorpusCte, q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qnrm
+       |  FROM en WHERE $queryPred
+       |), scored AS (
+       |  SELECT q.query_id, en.vec_id,
+       |    ${cosSql(dotSql("q.qv", "en.v"), "q.qnrm", "en.nrm", clamp)} AS similarity
+       |  FROM q JOIN en ON $joinCond
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, similarity, rnk FROM ranked
+       |WHERE rnk <= $k AND similarity >= $threshold
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "r3_search_topk" -> knnSql("vec_id % 100 = 0", 10, 0.2, clamp = true, sameLabel = false),
+    "r4_search_filtered" -> knnSql("vec_id % 100 = 0", 10, 0.1, clamp = true, sameLabel = true),
+    "r5_find_similar" ->
+      s"""$CorpusCte, q AS (
+         |  SELECT d.doc_id AS query_doc_id, en.v AS qv, en.nrm AS qnrm
+         |  FROM documents d JOIN en ON en.vec_id = d.doc_id
+         |  WHERE d.source = 'src0'
+         |), scored AS (
+         |  SELECT q.query_doc_id, en.vec_id AS doc_id,
+         |    ${cosSql(dotSql("q.qv", "en.v"), "q.qnrm", "en.nrm", clamp = true)} AS similarity
+         |  FROM q JOIN en ON en.vec_id <> q.query_doc_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc_id ORDER BY similarity DESC, doc_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_doc_id, doc_id, similarity, rnk FROM ranked
+         |WHERE rnk <= 5 AND similarity >= 0.3
+         |ORDER BY query_doc_id, rnk""".stripMargin,
+    "r8_pairwise_similarity" ->
+      s"""$CorpusCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql(dotSql("a.v", "b.v"), "a.nrm", "b.nrm", clamp = false)} AS similarity
+         |FROM en a JOIN en b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 20 AND b.vec_id < 20
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "a1_knn_bruteforce" -> knnSql("vec_id % 97 = 0", 10, -1.0, clamp = false, sameLabel = false),
+  )
+}
