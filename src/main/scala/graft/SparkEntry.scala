@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
+import graft.ann.Ann
+import graft.dedup.Dedup
 import graft.memory.MemoryOps
 import graft.rag.{Embed, RagOps, Search}
 import graft.text.TextOps
@@ -22,7 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++
-    TextOps.queries ++ Map(
+    TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
@@ -32,7 +34,8 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
-    MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ TextOps.oracle ++ Map(
+    MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ TextOps.oracle ++
+    Dedup.oracle ++ Ann.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,315 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DetHash, Vec}
+
+/** Deduplication suite (SURVEY.md §2.C) — the LLM-training-data pipeline
+  * operators, each expressed as blocked (never all-pairs) Spark plans.
+  *
+  * Scale design (§6): every pairwise operator first maps each document/vector
+  * to a small set of blocking keys (LSH band hashes, SimHash chunks,
+  * hyperplane sign bands, metadata+length buckets), then self-joins ONLY on
+  * key equality — the shuffle is keyed by block, candidate sets stay bounded
+  * per block, and exact verification (Jaccard / hamming / cosine) runs only
+  * on candidates. There is no crossJoin anywhere; at 100 TB each join is a
+  * standard hash-shuffle with AQE skew handling, and signature computation is
+  * a narrow codegen'd map (higher-order functions over md5 — no UDFs).
+  */
+object Dedup {
+
+  /** Exploded DISTINCT word n-gram shingles: one row per (doc_id, shingle),
+    * plus carried metadata columns.
+    *
+    * Built with posexplode + window lead() instead of array higher-order
+    * functions: HOF lambdas are interpreted (outside whole-stage codegen)
+    * and re-evaluate the split per element — quadratic per document. This
+    * formulation is fully codegen'd and shuffles once on doc_id, which at
+    * 100 TB is a narrow, linear pass. */
+  private def shingleRows(df: DataFrame, n: Int, carry: Seq[String]): DataFrame = {
+    val keyCols = col("doc_id") +: carry.map(col)
+    val w = df.select(keyCols :+ posexplode(split(col("text"), " ")).as(Seq("pos", "w")): _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val led = (1 until n).foldLeft(w) { (acc, o) =>
+      acc.withColumn(s"w$o", lead(col("w"), o).over(win))
+    }
+    led.filter(col(s"w${n - 1}").isNotNull)
+      .select(keyCols :+ concat_ws(" ",
+        col("w") +: (1 until n).map(o => col(s"w$o")): _*).as("s"): _*)
+      .distinct()
+  }
+
+  /** C1: exact dedup — md5 hash groups with canonical (min) doc id. */
+  def d1ExactDup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .withColumn("is_dup_group", col("n_docs") > 1)
+      .orderBy("content_hash")
+
+  /** MinHash universal-hash permutation coefficients over the Mersenne prime
+    * 2^31-1: h_p(x) = (a_p * x + b_p) mod M with md5-derived a_p, b_p.
+    * One md5 per shingle total; the 16 permutations are integer arithmetic
+    * (codegen'd, no per-permutation hashing). Values are inlined as literals
+    * in both the Spark plan and the DuckDB oracle. */
+  private[graft] val MersenneM = 2147483647L
+  private[graft] val MinhashCoef: Seq[(Long, Long)] =
+    (0 until 16).map { p =>
+      (DetHash.h60Local(s"ma$p") % (MersenneM - 1) + 1, DetHash.h60Local(s"mb$p") % MersenneM)
+    }
+
+  /** C2: MinHash + LSH banding. 16 permutations over word 3-gram shingles,
+    * 4 bands x 4 rows; candidates = band-hash collisions; exact
+    * Jaccard >= 0.5 verification on candidates only, computed by an
+    * inverted-index intersection count (|I| / (|A|+|B|-|I|)) — no all-pairs
+    * array ops anywhere.
+    *
+    * Plan shape at scale: explode shingles (narrow) -> one md5 each ->
+    * groupBy(doc) with 16 min() partial aggs (one shuffle) -> band explode
+    * (x4) -> equality self-join on (band, band_hash) -> count-join verify.
+    */
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
+    val hashed = ex.withColumn("h31", DetHash.h60(col("s")) % MersenneM)
+    val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
+      min((lit(a) * col("h31") + lit(b)) % MersenneM).as(s"sig$p")
+    }
+    val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("b"),
+            md5(concat_ws(",", (0 until 4).map(o => col(s"sig${4 * b + o}").cast("string")): _*)).as("bh"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** C3: SimHash near-dup. 60-bit signature (md5-derived word hashes,
+    * count-weighted sign sums per bit); blocking by the pigeonhole principle —
+    * hamming <= 3 implies equality on one of 4 15-bit chunks — so the join is
+    * an equality join on (chunk, value), then exact hamming verification. */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", DetHash.h60(col("w")))
+    val bits = wc.select(col("doc_id"), col("h"), col("cnt"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("contrib", expr("cnt * (2 * ((h >> b) & 1) - 1)"))
+      .groupBy("doc_id", "b").agg(sum(col("contrib")).as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+    val sig = bits.groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, b)")).cast("long").as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("cv", expr("(sig >> (15 * c)) & 32767"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** C4: word 4-gram Jaccard within (lang, length-bucket) blocks — the
+    * metadata-blocked pairwise path (cross-block dups are C2's job).
+    * Pairs come from an inverted shingle index joined within the block, so
+    * only documents sharing at least one shingle are ever paired — the
+    * shuffle is keyed by (shingle, block), never an all-pairs block product. */
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(
+      Tables.documents(spark, dir)
+        .withColumn("len_bucket", (col("n_chars") / 200).cast("long")),
+      4, Seq("lang", "len_bucket"))
+    val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.lang") === col("y.lang") &&
+          col("x.len_bucket") === col("y.len_bucket") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deterministic random-hyperplane coordinates (md5-derived; identical
+    * formula evaluates in the DuckDB oracle). 16 planes x 64 dims in
+    * [-1, 1.0005] steps of 1e-3. */
+  private[graft] val Hyperplanes: Seq[Seq[Double]] =
+    (0 until 16).map { j =>
+      (0 until 64).map { d =>
+        ((DetHash.h60Local(s"hp${j}d$d") % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** C5: embedding near-dup via random-hyperplane LSH: 16 sign bits in
+    * 4 bands of 4; candidates collide on a full band; cosine >= 0.4 verify. */
+  def d5EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vec.norm2(col("v")))
+    val withBits = Hyperplanes.zipWithIndex.foldLeft(e) { case (df, (r, j)) =>
+      df.withColumn(s"bit$j",
+        when(Vec.dot(col("v"), typedlit(r)) > 0.0, 1L).otherwise(0L))
+    }
+    val bands = withBits.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            (0 until 4).map(o => col(s"bit${4 * b + o}") * (1L << o)).reduce(_ + _).as("bv"))
+        }: _*)).as("s"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("s.band").as("band"), col("s.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("va"), col("x.nrm").as("na"),
+        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .distinct()
+    cand.withColumn("similarity",
+        round(when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+      .filter(col("similarity") >= 0.4)
+      .select("vec_a", "vec_b", "similarity")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dup"         -> ((s, d) => d1ExactDup(s, d)),
+    "d2_minhash_lsh"       -> ((s, d) => d2MinhashLsh(s, d)),
+    "d3_simhash"           -> ((s, d) => d3Simhash(s, d)),
+    "d4_ngram_jaccard"     -> ((s, d) => d4NgramJaccard(s, d)),
+    "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val Sh3Cte =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        |  min(doc_id) AS canonical_doc_id, count(*) > 1 AS is_dup_group
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "d2_minhash_lsh" -> {
+      val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
+        s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
+      }.mkString(",\n        ")
+      val bandCases = (0 until 4).map { b =>
+        val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
+        s"WHEN $b THEN md5($cat)"
+      }.mkString(" ")
+      Sh3Cte +
+        s""", shx AS (
+           |  SELECT doc_id, unnest(sh) AS s FROM sh
+           |), hh AS (
+           |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MersenneM AS h31 FROM shx
+           |), sig AS (
+           |  SELECT doc_id,
+           |        $sigCols
+           |  FROM hh GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, b, CASE b $bandCases END AS bh
+           |  FROM sig, range(0, 4) t(b)
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+           |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)), 6) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "d3_simhash" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1,2
+        |), wh AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h, cnt FROM wc
+        |), bits AS (
+        |  SELECT doc_id, b, sum(cnt * (2 * ((h >> b) & 1) - 1)) AS s
+        |  FROM wh, range(0, 60) t(b) GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY 1
+        |), chunks AS (
+        |  SELECT doc_id, sig, c, (sig >> (15 * c)) & 32767 AS cv FROM sig, range(0, 4) t(c)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+        |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand
+        |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars // 200 AS len_bucket,
+        |    list_distinct(list_transform(range(1, len(ws)-2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |en AS (SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (acc,x) -> acc+x)) AS nrm FROM e0),
+        |hp AS (SELECT j, list_transform(range(0, 64), d ->
+        |    (CAST('0x' || substr(md5('hp' || CAST(j AS VARCHAR) || 'd' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)/1000.0) AS r
+        |  FROM range(0, 16) t(j)),
+        |bits AS (SELECT en.vec_id, hp.j,
+        |    CASE WHEN list_reduce(list_transform(range(1, len(en.v)+1), i -> en.v[i]*hp.r[i]), (acc,x) -> acc+x) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM en, hp),
+        |bands AS (SELECT vec_id, j // 4 AS band, CAST(sum(bit << (j % 4)) AS BIGINT) AS bv FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |  round(CASE WHEN a.nrm*b.nrm = 0 THEN 0.0 ELSE
+        |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (acc,x) -> acc+x)/(a.nrm*b.nrm) END, 6) AS similarity
+        |FROM cand JOIN en a ON a.vec_id = cand.vec_a JOIN en b ON b.vec_id = cand.vec_b
+        |WHERE round(CASE WHEN a.nrm*b.nrm = 0 THEN 0.0 ELSE
+        |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (acc,x) -> acc+x)/(a.nrm*b.nrm) END, 6) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}
