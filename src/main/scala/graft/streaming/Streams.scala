@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.H) — the streaming analog of
+  * the reference's SSE event feeds (/root/reference/mcp_synaptic/sse/ —
+  * document/memory change + expiration events).
+  *
+  * Both transforms take the input DataFrame/Dataset as a parameter so they
+  * run identically over `readStream` sources in production and MemoryStream
+  * in specs; they contain no source/sink specifics.
+  *
+  * Scale notes: the windowed rollup is a streaming state-store aggregation
+  * keyed by (window, event_type) — watermarking bounds state; the TTL state
+  * machine keys state by memory_key (same partitioning as the batch memory
+  * table) and uses event-time timeouts, so state size is O(live keys) and
+  * expiry emission needs no separate scan.
+  */
+object Streams {
+
+  /** H1: watermarked tumbling-window counts per event_type — the streaming
+    * form of q8_rollup. Works on a streaming or batch DataFrame with
+    * (ts: timestamp, event_type: string, value: double). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 day",
+                     watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  case class MemEvent(memory_key: String, ts: Timestamp, props: String)
+  case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)
+  /** status: "active" on each update, "expired" when the TTL timeout fires. */
+  case class MemUpdate(memory_key: String, status: String, access_count: Long,
+                       last_ts: Timestamp, data: String)
+
+  /** H2: TTL expiry state machine — the streaming analog of the reference's
+    * sliding-expiration memory store (models/memory.py:touch + the expiry
+    * event feed). Each key's state holds the latest record; every event
+    * re-arms an event-time timeout at last_ts + ttl; when the watermark
+    * passes it, an "expired" record is emitted and state is dropped. */
+  def ttlStateMachine(events: Dataset[MemEvent], ttlSeconds: Long,
+                      watermark: String = "10 minutes"): Dataset[MemUpdate] = {
+    import events.sparkSession.implicits._
+    def update(key: String, rows: Iterator[MemEvent],
+               state: GroupState[MemState]): Iterator[MemUpdate] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(MemUpdate(key, "expired", s.accessCount, new Timestamp(s.lastTs), s.data))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        val prev = state.getOption
+        val created = prev.map(_.createdAt).getOrElse(sorted.head.ts.getTime)
+        val last = sorted.last
+        val next = MemState(created, last.ts.getTime,
+          prev.map(_.accessCount).getOrElse(0L) + sorted.size, last.props)
+        state.update(next)
+        state.setTimeoutTimestamp(next.lastTs + ttlSeconds * 1000L)
+        Iterator(MemUpdate(key, "active", next.accessCount, last.ts, last.props))
+      }
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.memory_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

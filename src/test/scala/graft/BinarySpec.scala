@@ -1,0 +1,32 @@
+package graft
+
+import graft.multimodal.Binary
+
+class BinarySpec extends SparkSpec {
+
+  test("F1: media pipeline keeps schema, batch shape, and determinism") {
+    val recs = Binary.mediaRecords(spark, Sf)
+    val feats = Binary.extractFeatures(recs)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "feature"))
+    val rows = feats.collect()
+    assert(rows.length == recs.count())
+    rows.foreach { f =>
+      assert(f.feature.length == Binary.FeatureDim)
+      // normalized histogram sums to ~1 for non-empty payloads
+      assert(math.abs(f.feature.sum - 1.0) < 1e-9 || f.n_bytes == 0)
+    }
+    // deterministic across runs
+    val again = Binary.extractFeatures(recs).collect()
+    assert(rows.map(_.doc_id).sorted.sameElements(again.map(_.doc_id).sorted))
+  }
+
+  test("decodeBatch is pure and batch-size independent") {
+    val recs = Seq(
+      Binary.MediaRecord(1L, "text/plain", "hello world".getBytes, "en", 11L),
+      Binary.MediaRecord(2L, "text/plain", "abc".getBytes, "en", 3L))
+    val one = Binary.decodeBatch(recs)
+    val split = Binary.decodeBatch(recs.take(1)) ++ Binary.decodeBatch(recs.drop(1))
+    assert(one.map(_.feature.toSeq) == split.map(_.feature.toSeq))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash-lsh emits verified pairs only (jaccard >= 0.5, a < b)") {
+    val out = Dedup.d2MinhashLsh(spark, Sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("simhash near-dups are within hamming 3 and agree with minhash dups") {
+    val sim = Dedup.d3Simhash(spark, Sf)
+    assert(sim.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("exact dedup partitions the corpus") {
+    val d1 = Dedup.d1ExactDup(spark, Sf)
+    val total = d1.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, Sf).count())
+  }
+
+  test("embedding near-dup pairs pass the cosine threshold") {
+    val out = Dedup.d5EmbeddingNeardup(spark, Sf).collect()
+    out.foreach(r => assert(r.getAs[Double]("similarity") >= 0.4))
+  }
+}

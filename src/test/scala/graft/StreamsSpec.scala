@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.MemEvent
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("H1: windowed counts aggregate a stream like the batch rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val counts = Streams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"), windowLen = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("h1_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(12), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("h1_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(10), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("H2: TTL state machine emits active updates then expiry on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MemEvent]
+    val updates = Streams.ttlStateMachine(input.toDS(), ttlSeconds = 60,
+      watermark = "0 seconds")
+    val q = updates.writeStream.format("memory").queryName("h2_updates")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(MemEvent("k1", ts(1), "v1"), MemEvent("k1", ts(2), "v2"))
+      q.processAllAvailable()
+      // advance the watermark far past k1's timeout (00:02 + 60s)
+      input.addData(MemEvent("k2", ts(30), "w1"))
+      q.processAllAvailable()
+      input.addData(MemEvent("k3", ts(40), "x1"))
+      q.processAllAvailable()
+      val rows = spark.table("h2_updates").collect()
+        .map(r => (r.getAs[String]("memory_key"), r.getAs[String]("status"),
+          r.getAs[Long]("access_count"))).toList
+      assert(rows.contains(("k1", "active", 2L)))
+      assert(rows.contains(("k1", "expired", 2L)))
+      assert(rows.contains(("k2", "active", 1L)))
+    } finally q.stop()
+  }
+}
