@@ -177,25 +177,33 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vec.norm2(col("v")))
-    val withBits = Hyperplanes.zipWithIndex.foldLeft(e) { case (df, (r, j)) =>
-      df.withColumn(s"bit$j",
-        when(Vec.dot(col("v"), typedlit(r)) > 0.0, 1L).otherwise(0L))
-    }
-    val bands = withBits.select(col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            (0 until 4).map(o => col(s"bit${4 * b + o}") * (1L << o)).reduce(_ + _).as("bv"))
-        }: _*)).as("s"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("s.band").as("band"), col("s.bv").as("bv"))
+    // Each band value is computed in ONE expression (transform over the
+    // literal 4x4x64 hyperplane tensor + posexplode), so every hyperplane
+    // dot is folded exactly once per row — expressing the bits as a separate
+    // projected column lets CollapseProject inline the whole fold into every
+    // downstream use. The in-order fold matches the oracle's list_reduce.
+    val bandTensor = Hyperplanes.grouped(4).toSeq // 4 bands x 4 planes x 64 dims
+    val bands = e.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(transform(typedlit(bandTensor), band =>
+          (0 until 4).map { o =>
+            when(aggregate(
+              zip_with(col("v"), element_at(band, o + 1), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << o)).otherwise(0L)
+          }.reduce(_ + _))))
+      .toDF("vec_id", "v", "nrm", "band", "bv")
+    // Dedup candidates on the id pair ONLY (ints), then re-attach vectors:
+    // shuffling the float arrays through the distinct would move ~100x the
+    // bytes. Locally the side tables broadcast; at warehouse scale both
+    // joins are bucket joins on vec_id against the bucketed corpus.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("va"), col("x.nrm").as("na"),
-        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cand.withColumn("similarity",
+    cand
+      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))), "vec_a")
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))), "vec_b")
+      .withColumn("similarity",
         round(when(col("na") * col("nb") === 0.0, 0.0)
           .otherwise(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
       .filter(col("similarity") >= 0.4)

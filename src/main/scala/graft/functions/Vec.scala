@@ -43,4 +43,29 @@ object Vec {
   /** Squared L2 distance (no sqrt — ranking-equivalent, cheaper). */
   def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  // ------------------------------------------------------------------
+  // Fixed-dimension fast path. Array higher-order functions (aggregate/
+  // zip_with) run interpreted — outside whole-stage codegen — which
+  // dominates scan-side cosine cost. When the dimension is statically
+  // known we unroll the dot product into a left-associated sum of
+  // element_at terms: identical addition order (and therefore identical
+  // doubles) to the sequential fold, but fully codegen'd.
+  // element_at(_, i).cast(double) on the raw float array avoids a
+  // per-row `transform` cast that the optimizer would otherwise inline
+  // into every term.
+
+  /** In-order unrolled dot product over float/double arrays of known dim. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map { i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")
+    }.reduce(_ + _)
+
+  def norm2N(a: Column, dim: Int): Column = sqrt(dotN(a, a, dim))
+
+  /** Unrolled dot of a float-array column with a literal vector. */
+  def dotLit(a: Column, r: Seq[Double]): Column =
+    r.indices.map { i =>
+      element_at(a, i + 1).cast("double") * lit(r(i))
+    }.reduce(_ + _)
 }

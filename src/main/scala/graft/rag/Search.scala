@@ -28,8 +28,17 @@ import graft.functions.Vec
   */
 object Search {
 
+  /** Embedding dimension of the corpus (TESTDATA.md: float[64]). */
+  val Dim = 64
+
   /** Corpus with pre-cast double vectors and precomputed norms (norm is
-    * computed once per row, not once per pair). */
+    * computed once per row, not once per pair).
+    *
+    * The dot product is the interpreted higher-order fold ([[Vec.dot]]):
+    * a statically unrolled 64-term sum ([[Vec.dotN]]) was measured SLOWER —
+    * whole-stage codegen refuses the giant expression (method-size limits),
+    * and the Volcano-interpreted unrolled tree loses to the HOF's tight
+    * fold loop. Revisit only with a custom codegen Expression. */
   def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))
