@@ -88,6 +88,41 @@ object RagOps {
       .orderBy("query_id")
   }
 
+  /** B10: get_document_summary (reference rag/retrieval.py:get_document_summary)
+    * — extractive summary per source: sentences in doc order, each appended
+    * only if it fits max_summary_length=500, overflowing sentences SKIPPED
+    * (not a prefix cut — the reference breaks the inner sentence loop but
+    * keeps scanning docs until the running total passes the cap), parts
+    * joined with ' '. Texts carry no '. ' so each doc is one sentence with
+    * '.' appended (the reference's sentence-termination rule).
+    *
+    * The guarded skip-continue fold is inherently sequential per group — an
+    * ordered `aggregate` over the collected group, identical in the DuckDB
+    * oracle via a seeded list_reduce (string accumulator: DuckDB 1.0 drops
+    * nested-list accumulation inside list_reduce). Groups are bounded
+    * (docs per source), so the collect_list stays small at any corpus size. */
+  def r10DocSummary(spark: SparkSession, dir: String): DataFrame = {
+    val MaxLen = 500
+    val sent = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), concat(col("text"), lit(".")).as("s"),
+        (length(col("text")) + 1).cast("long").as("slen"))
+    val zero = struct(lit("").as("summary"), lit(0L).as("total"), lit(0L).as("n"))
+    sent.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("s"), col("slen")))).as("xs"))
+      .withColumn("f",
+        aggregate(col("xs"), zero, (acc, x) =>
+          when(acc.getField("total") + x.getField("slen") > MaxLen, acc)
+            .otherwise(struct(
+              when(acc.getField("n") === 0, x.getField("s"))
+                .otherwise(concat(acc.getField("summary"), lit(" "), x.getField("s")))
+                .as("summary"),
+              (acc.getField("total") + x.getField("slen") + 1).as("total"),
+              (acc.getField("n") + 1).as("n")))))
+      .select(col("source"), col("f.summary").as("summary"),
+        length(col("f.summary")).as("summary_length"), col("f.n").as("docs_used"))
+      .orderBy("source")
+  }
+
   /** B7: metadata-only retrieval: lang IN ('de','fr'), ordered page of 20. */
   def r7SearchByMetadata(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -101,6 +136,7 @@ object RagOps {
     "r2_collection_stats"  -> ((s, d) => r2CollectionStats(s, d)),
     "r6_context_assembly"  -> ((s, d) => r6ContextAssembly(s, d)),
     "r7_search_by_metadata" -> ((s, d) => r7SearchByMetadata(s, d)),
+    "r10_doc_summary"      -> ((s, d) => r10DocSummary(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +207,26 @@ object RagOps {
     "r7_search_by_metadata" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('de', 'fr') ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    "r10_doc_summary" ->
+      """WITH sent AS (
+        |  SELECT source, doc_id, text || '.' AS s, length(text) + 1 AS slen FROM documents
+        |), folded AS (
+        |  SELECT source,
+        |    list_reduce(
+        |      [struct_pack(summary := '', total := CAST(0 AS BIGINT), n := CAST(0 AS BIGINT))] ||
+        |      list_transform(list(struct_pack(s := s, slen := slen) ORDER BY doc_id),
+        |        e -> struct_pack(summary := e.s, total := CAST(e.slen AS BIGINT), n := CAST(1 AS BIGINT))),
+        |      (acc, e) -> CASE WHEN acc.total + e.total > 500 THEN acc
+        |        ELSE struct_pack(
+        |          summary := CASE WHEN acc.n = 0 THEN e.summary ELSE acc.summary || ' ' || e.summary END,
+        |          total := acc.total + e.total + 1,
+        |          n := acc.n + 1) END
+        |    ) AS f
+        |  FROM sent GROUP BY source
+        |)
+        |SELECT source, f.summary AS summary, length(f.summary) AS summary_length,
+        |  f.n AS docs_used
+        |FROM folded ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Warehouse layout helpers (SURVEY.md §6) — the materialization side of the
+  * scale story. Correct physical layout is what turns the logical plans in
+  * this library into shuffle-free pipelines at 100 TB:
+  *
+  *  - The memory table is written BUCKETED by memory_key: get/list/cleanup
+  *    and any key-equality join against it become exchange-free (bucketed
+  *    sort-merge join / local hash lookup).
+  *  - The IVF index is written PARTITIONED by list_id: an nprobe search
+  *    reads nprobe/nlists of the data via partition pruning — the physical
+  *    realization of the inverted lists.
+  *
+  * Both are spec-verified: the bucketed self-join plans with no Exchange,
+  * and the pruned read scans only the probed partitions.
+  */
+object Warehouse {
+
+  /** Write bucketed+sorted by `keyCol` into the session warehouse. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
+
+  /** Write partitioned by a low-cardinality column (e.g. IVF list_id). */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.memory.MemoryOps
+import graft.sources.{Formats, Warehouse}
+
+class SourcesSpec extends SparkSpec {
+
+  test("bucketed memory table self-joins without an exchange") {
+    val mem = MemoryOps.memoryTable(spark, Sf)
+      .select("memory_key", "memory_type", "access_count")
+    spark.sql("DROP TABLE IF EXISTS mem_bucketed")
+    val loc = new java.io.File("/tmp/graft_warehouse/mem_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    Warehouse.writeBucketed(mem, "mem_bucketed", "memory_key", buckets = 8)
+    // force a non-broadcast join so the bucketed layout is what avoids the
+    // shuffle (at 100 TB neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Warehouse.readTable(spark, "mem_bucketed")
+      val joined = t.as("a").join(t.as("b"), "memory_key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan should be bucketed:\n$plan")
+      assert(joined.count() == mem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned IVF layout prunes to probed lists") {
+    val asg = graft.rag.Search.corpus(spark, Sf)
+      .withColumn("list_id", (col("vec_id") % 4).cast("int"))
+      .select("vec_id", "list_id")
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    Warehouse.writePartitioned(asg, dir, "list_id")
+    val pruned = Formats.readParquet(spark, dir).filter(col("list_id") === 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("list_id") && pruned.count() > 0)
+    // only one of four partition directories is read
+    val files = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!files.contains("list_id=1") || files.contains("PartitionFilters"))
+  }
+
+  test("documents survive a JSON and CSV round-trip") {
+    val docs = Tables.documents(spark, Sf)
+    val jdir = Files.createTempDirectory("graft_json").toString + "/docs"
+    Formats.writeJson(docs, jdir)
+    val back = Formats.readJson(spark, jdir, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum(length(col("text")))).collect()(0).getLong(0) ==
+      docs.agg(sum(length(col("text")))).collect()(0).getLong(0))
+
+    val cdir = Files.createTempDirectory("graft_csv").toString + "/docs"
+    Formats.writeCsv(docs, cdir)
+    val backCsv = Formats.readCsv(spark, cdir, docs.schema)
+    assert(backCsv.count() == docs.count())
+  }
+}
