@@ -32,7 +32,7 @@ object Ann {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
-        .otherwise(Vec.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
+        .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
     val asg0 = e.join(broadcast(cent), lit(true)).withColumn("cs", cs)
     val wv = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
     val asg = asg0.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
@@ -43,7 +43,7 @@ object Ann {
         col("v").as("qv"), col("nrm").as("qnrm"))
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
-        .otherwise(Vec.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
+        .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     asg.join(broadcast(probes),
         asg("list_id") === probes("list_id") && col("vec_id") =!= col("query_id"))

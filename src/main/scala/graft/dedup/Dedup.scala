@@ -175,8 +175,8 @@ object Dedup {
     * 4 bands of 4; candidates collide on a full band; cosine >= 0.4 verify. */
   def d5EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Vec.norm2(col("v")))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Vec.norm2Native(col("v")))
     // Each band value is computed in ONE expression (transform over the
     // literal 4x4x64 hyperplane tensor + posexplode), so every hyperplane
     // dot is folded exactly once per row — expressing the bits as a separate
@@ -186,9 +186,8 @@ object Dedup {
     val bands = e.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(transform(typedlit(bandTensor), band =>
           (0 until 4).map { o =>
-            when(aggregate(
-              zip_with(col("v"), element_at(band, o + 1), (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << o)).otherwise(0L)
+            when(Vec.dotNative(col("v"), element_at(band, o + 1)) > 0.0,
+              lit(1L << o)).otherwise(0L)
           }.reduce(_ + _))))
       .toDF("vec_id", "v", "nrm", "band", "bv")
     // Dedup candidates on the id pair ONLY (ints), then re-attach vectors:
@@ -205,7 +204,7 @@ object Dedup {
       .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))), "vec_b")
       .withColumn("similarity",
         round(when(col("na") * col("nb") === 0.0, 0.0)
-          .otherwise(Vec.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+          .otherwise(Vec.dotNative(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
       .filter(col("similarity") >= 0.4)
       .select("vec_a", "vec_b", "similarity")
       .orderBy("vec_a", "vec_b")

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>`/`array<double>` columns using Spark's
@@ -68,4 +69,23 @@ object Vec {
     r.indices.map { i =>
       element_at(a, i + 1).cast("double") * lit(r(i))
     }.reduce(_ + _)
+
+  // ------------------------------------------------------------------
+  // Native path: the custom Catalyst expression [[DotProduct]] — a
+  // codegen'd primitive loop, the fastest of the three strategies (see
+  // DotProductExpr.scala). Accepts float or double arrays directly
+  // (per-element exact widening), so no array-cast projection is needed.
+
+  def dotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def norm2Native(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** Cosine via the native dot (null-safe on zero norms). */
+  def cosineNative(a: Column, b: Column): Column = {
+    val d  = dotNative(a, b)
+    val nn = norm2Native(a) * norm2Native(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
 }

@@ -31,18 +31,19 @@ object Search {
   /** Embedding dimension of the corpus (TESTDATA.md: float[64]). */
   val Dim = 64
 
-  /** Corpus with pre-cast double vectors and precomputed norms (norm is
-    * computed once per row, not once per pair).
+  /** Corpus with raw float vectors and precomputed norms (norm is computed
+    * once per row, not once per pair).
     *
-    * The dot product is the interpreted higher-order fold ([[Vec.dot]]):
-    * a statically unrolled 64-term sum ([[Vec.dotN]]) was measured SLOWER —
-    * whole-stage codegen refuses the giant expression (method-size limits),
-    * and the Volcano-interpreted unrolled tree loses to the HOF's tight
-    * fold loop. Revisit only with a custom codegen Expression. */
+    * Dot products use the native codegen expression [[Vec.dotNative]]
+    * (graft.functions.DotProduct): measured against the interpreted HOF
+    * fold and a statically unrolled 64-term sum, the custom Expression's
+    * tight primitive loop wins — the HOF runs outside whole-stage codegen
+    * and the unrolled tree trips codegen method-size limits. Identical
+    * left-to-right double accumulation keeps oracle parity. */
   def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Vec.norm2(col("v")))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", Vec.norm2Native(col("v")))
 
   private def cosineOf(qn: Column, n: Column, d: Column): Column =
     when(qn * n === 0.0, 0.0).otherwise(d / (qn * n))
@@ -60,7 +61,7 @@ object Search {
     val cond = if (sameLabel)
       col("vec_id") =!= col("query_id") && col("label") === col("qlabel")
     else col("vec_id") =!= col("query_id")
-    val raw = cosineOf(col("qnrm"), col("nrm"), Vec.dot(col("qv"), col("v")))
+    val raw = cosineOf(col("qnrm"), col("nrm"), Vec.dotNative(col("qv"), col("v")))
     val sim = round(if (clampZero) greatest(raw, lit(0.0)) else raw, 6)
     val w = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     e.join(broadcast(q), cond)
@@ -90,7 +91,7 @@ object Search {
     val q = e.join(broadcast(srcDocs), col("vec_id") === col("doc_id"))
       .select(col("doc_id").as("query_doc_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val sim = round(greatest(
-      cosineOf(col("qnrm"), col("nrm"), Vec.dot(col("qv"), col("v"))), lit(0.0)), 6)
+      cosineOf(col("qnrm"), col("nrm"), Vec.dotNative(col("qv"), col("v"))), lit(0.0)), 6)
     val w = Window.partitionBy(col("query_doc_id")).orderBy(col("similarity").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_doc_id"))
       .withColumn("similarity", sim)
@@ -107,7 +108,7 @@ object Search {
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("similarity",
-        round(cosineOf(col("na"), col("nb"), Vec.dot(col("va"), col("vb"))), 6))
+        round(cosineOf(col("na"), col("nb"), Vec.dotNative(col("va"), col("vb"))), 6))
       .select("vec_a", "vec_b", "similarity")
       .orderBy("vec_a", "vec_b")
   }
