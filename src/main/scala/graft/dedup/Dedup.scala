@@ -109,17 +109,21 @@ object Dedup {
     * hamming <= 3 implies equality on one of 4 15-bit chunks — so the join is
     * an equality join on (chunk, value), then exact hamming verification. */
   def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val wc = Tables.documents(spark, dir)
+    // Per-token hash once, then ALL 60 bit-sums as map-side partial
+    // aggregates in ONE groupBy — summing +-1 per occurrence equals the
+    // count-weighted per-distinct-word sum, so no (doc, word) pre-count
+    // and, crucially, no 60x bit-explode shuffle (that shape moves 60x
+    // the token count through the exchange at 100 TB).
+    val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", DetHash.h60(col("w")))
-    val bits = wc.select(col("doc_id"), col("h"), col("cnt"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("contrib", expr("cnt * (2 * ((h >> b) & 1) - 1)"))
-      .groupBy("doc_id", "b").agg(sum(col("contrib")).as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-    val sig = bits.groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, b)")).cast("long").as("sig"))
+    val bitAggs = (0 until 60).map { b =>
+      sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
+    }
+    val sig = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("cv", expr("(sig >> (15 * c)) & 32767"))
