@@ -126,6 +126,18 @@ object MemoryOps {
       .select("memory_key", "memory_type", "ttl_seconds", "expires_at")
       .orderBy("memory_key")
 
+  /** A7: delete-by-key — the reference's memory_delete as a left-anti join
+    * against the probe key set (user_id % 7 == 3). At scale the anti-join
+    * broadcasts the (small) delete set; the surviving table keeps the
+    * bucketed-by-key layout. */
+  def m7DeleteKeys(spark: SparkSession, dir: String): DataFrame = {
+    val mem = memoryTable(spark, dir)
+    val toDelete = mem.filter(col("user_id") % 7 === 3).select("memory_key")
+    mem.join(broadcast(toDelete), Seq("memory_key"), "left_anti")
+      .select("memory_key", "memory_type", "access_count")
+      .orderBy("memory_key")
+  }
+
   /** A6: expirations per day bucket — batch analog of the expiry event feed. */
   def m6ExpiryBuckets(spark: SparkSession, dir: String): DataFrame =
     memoryTable(spark, dir)
@@ -141,6 +153,7 @@ object MemoryOps {
     "m4_stats"           -> ((s, d) => m4Stats(s, d)),
     "m5_cleanup_expired" -> ((s, d) => m5CleanupExpired(s, d)),
     "m6_expiry_buckets"  -> ((s, d) => m6ExpiryBuckets(s, d)),
+    "m7_delete_keys"     -> ((s, d) => m7DeleteKeys(s, d)),
   )
 
   /** Shared DuckDB CTE replicating the memory build (oracle side). */
@@ -225,5 +238,10 @@ object MemoryOps {
       """SELECT date_trunc('day', expires_at) AS day, count(*) AS n_expiring
         |FROM mem2 WHERE expires_at IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "m7_delete_keys" -> (Cte +
+      """SELECT memory_key, memory_type, access_count
+        |FROM mem2 WHERE user_id % 7 <> 3
+        |ORDER BY memory_key""".stripMargin),
   )
 }
