@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Queries
-import graft.ann.Ann
+import graft.ann.{Ann, KmeansIvf}
 import graft.dedup.Dedup
 import graft.memory.MemoryOps
 import graft.multimodal.Binary
@@ -25,7 +25,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++
-    TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Binary.queries ++ Map(
+    TextOps.queries ++ Dedup.queries ++ Ann.queries ++ KmeansIvf.queries ++ Binary.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),

@@ -54,15 +54,36 @@ object Ann {
       .orderBy("query_id", "rnk")
   }
 
+  /** D3: IVF quality — recall@10 of the IVF search against the brute-force
+    * ground truth for the same query set. Both sides are deterministic
+    * (rounded similarity, id tie-break), so recall itself is oracle-checked:
+    * the accuracy/speed trade of the index is a first-class, graded number
+    * rather than a claim. */
+  def a3IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
+      threshold = -1.0, clampZero = false, sameLabel = false)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = a2KnnIvf(spark, dir).select(col("query_id"), col("vec_id"))
+    val common = bf.join(ivf, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(common, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("recall", round(col("n_common").cast("double") / col("n_true"), 6))
+      .select("query_id", "n_true", "n_common", "recall")
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_knn_ivf" -> ((s, d) => a2KnnIvf(s, d)),
+    "a3_ivf_recall" -> ((s, d) => a3IvfRecall(s, d)),
   )
 
   private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
 
-  val oracle: Map[String, String] = Map(
-    "a2_knn_ivf" ->
-      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared CTE chain producing the IVF ranked results (used by a2 + a3). */
+  private val IvfCte: String =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
          |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
          |asg0 AS (
@@ -85,8 +106,37 @@ object Ann {
          |  FROM probes p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
          |), ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
-         |  FROM scored)
+         |  FROM scored)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "a2_knn_ivf" -> (IvfCte +
+      """
          |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
-         |ORDER BY query_id, rnk""".stripMargin,
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    "a3_ivf_recall" -> (IvfCte +
+      s"""
+         |, ivf AS (
+         |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
+         |), bfs AS (
+         |  SELECT q.vec_id AS query_id, en2.vec_id,
+         |    round(CASE WHEN q.nrm*en2.nrm = 0 THEN 0.0
+         |      ELSE ${dotSql("q.v", "en2.v")}/(q.nrm*en2.nrm) END, 6) AS similarity
+         |  FROM en q JOIN en en2 ON en2.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 101 = 0
+         |), bf AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+         |    FROM bfs) WHERE rnk <= 10
+         |), common AS (
+         |  SELECT bf.query_id, count(*) AS n_common
+         |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+         |  GROUP BY bf.query_id
+         |)
+         |SELECT t.query_id, t.n_true, coalesce(c.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_true, 6) AS recall
+         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+         |LEFT JOIN common c ON c.query_id = t.query_id
+         |ORDER BY t.query_id""".stripMargin),
   )
 }
