@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** H3: streaming exact-dedup — the online form of d1_exact_dup. Documents
+  * arrive as a stream; `dropDuplicates` on content_hash with a watermark
+  * bounds state while suppressing re-ingests (the reference's content_hash
+  * dedup on rag_add_document, done online). */
+class StreamDedupSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("re-ingested documents are suppressed by hash within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("content_hash")
+    val q = docs.writeStream.format("memory").queryName("h3_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 1L, "alpha beta"), (ts(2), 2L, "gamma"))
+      q.processAllAvailable()
+      // duplicate content, different doc id — must be suppressed
+      input.addData((ts(3), 3L, "alpha beta"), (ts(4), 4L, "delta"))
+      q.processAllAvailable()
+      val kept = spark.table("h3_dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+}
