@@ -72,6 +72,12 @@ object Dedup {
     * (x4) -> equality self-join on (band, band_hash) -> count-join verify.
     */
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle index feeds signature build, per-doc counts, and both
+    // sides of the verification join. Recomputing the (codegen'd, narrow)
+    // index per branch measured FASTER locally than .persist() — caching
+    // pays materialization cost and blocks pushdown through the
+    // InMemoryRelation. At warehouse scale the index is written to storage
+    // once instead (sources/Warehouse).
     val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
     val hashed = ex.withColumn("h31", DetHash.h60(col("s")) % MersenneM)
     val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
