@@ -138,6 +138,30 @@ object MemoryOps {
       .orderBy("memory_key")
   }
 
+  /** A8: batch update — the reference's update_memory + update_expiration
+    * (memory/manager/operations.py): for a probe set (user_id % 5 == 1) a
+    * new TTL is derived from the stored tag (props.k): even k means
+    * ttl = k*60 seconds, odd k means ttl = 0. update_expiration rules:
+    * ttl <= 0 -> policy NEVER / expires_at NULL; else ABSOLUTE ->
+    * created_at + ttl, SLIDING -> last_accessed_at + ttl. updated_at = NOW.
+    */
+  def m8UpdateTtl(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("user_id") % 5 === 1)
+      .withColumn("k", regexp_extract(col("data"), "\"k\": (\\d+)", 1).cast("int"))
+      .withColumn("new_ttl", when(col("k") % 2 === 0, col("k") * 60).otherwise(0))
+      .withColumn("new_policy",
+        when(col("new_ttl") <= 0, "never").otherwise(col("expiration_policy")))
+      .withColumn("new_expires_at",
+        when(col("new_ttl") <= 0, lit(null).cast("timestamp"))
+          .when(col("new_policy") === "sliding",
+            expr("last_accessed_at + make_interval(0,0,0,0,0,0,new_ttl)"))
+          .otherwise(expr("created_at + make_interval(0,0,0,0,0,0,new_ttl)")))
+      .select(col("memory_key"), col("new_ttl").as("ttl_seconds"),
+        col("new_policy").as("expiration_policy"),
+        col("new_expires_at").as("expires_at"), now.as("updated_at"))
+      .orderBy("memory_key")
+
   /** A6: expirations per day bucket — batch analog of the expiry event feed. */
   def m6ExpiryBuckets(spark: SparkSession, dir: String): DataFrame =
     memoryTable(spark, dir)
@@ -154,6 +178,7 @@ object MemoryOps {
     "m5_cleanup_expired" -> ((s, d) => m5CleanupExpired(s, d)),
     "m6_expiry_buckets"  -> ((s, d) => m6ExpiryBuckets(s, d)),
     "m7_delete_keys"     -> ((s, d) => m7DeleteKeys(s, d)),
+    "m8_update_ttl"      -> ((s, d) => m8UpdateTtl(s, d)),
   )
 
   /** Shared DuckDB CTE replicating the memory build (oracle side). */
@@ -243,5 +268,23 @@ object MemoryOps {
       """SELECT memory_key, memory_type, access_count
         |FROM mem2 WHERE user_id % 7 <> 3
         |ORDER BY memory_key""".stripMargin),
+
+    "m8_update_ttl" -> (Cte +
+      """, upd AS (
+        |  SELECT *, CAST(regexp_extract(data, '"k": (\d+)', 1) AS INT) AS k
+        |  FROM mem2 WHERE user_id % 5 = 1
+        |), upd2 AS (
+        |  SELECT *, CASE WHEN k % 2 = 0 THEN k * 60 ELSE 0 END AS new_ttl FROM upd
+        |), upd3 AS (
+        |  SELECT *,
+        |    CASE WHEN new_ttl <= 0 THEN 'never' ELSE expiration_policy END AS new_policy
+        |  FROM upd2
+        |)
+        |SELECT memory_key, new_ttl AS ttl_seconds, new_policy AS expiration_policy,
+        |  CASE WHEN new_ttl <= 0 THEN NULL
+        |       WHEN new_policy = 'sliding' THEN last_accessed_at + to_seconds(new_ttl)
+        |       ELSE created_at + to_seconds(new_ttl) END AS expires_at,
+        |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
+        |FROM upd3 ORDER BY memory_key""".stripMargin),
   )
 }
