@@ -123,6 +123,30 @@ object RagOps {
       .orderBy("source")
   }
 
+  /** B11: rag_get_document — id lookup returning the document with its
+    * derived fields (mcp/rag_tools.py:rag_get_document). */
+  def r11GetDocument(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 83 === 0)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        length(col("text")).as("content_length"),
+        size(split(col("text"), " ")).cast("long").as("word_count"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** B12: rag_update_document — content replacement re-derives hash,
+    * length, and word count, stamps updated_at (rag_tools.py:
+    * rag_update_document; re-embedding is the r9 pipeline's job). */
+  def r12UpdateDocument(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 91 === 0)
+      .withColumn("new_text", concat(lit("updated: "), col("text")))
+      .select(col("doc_id"), md5(col("new_text")).as("content_hash"),
+        length(col("new_text")).as("content_length"),
+        size(split(col("new_text"), " ")).cast("long").as("word_count"),
+        lit("2024-01-31 00:00:00").cast("timestamp").as("updated_at"))
+      .orderBy("doc_id")
+
   /** B7: metadata-only retrieval: lang IN ('de','fr'), ordered page of 20. */
   def r7SearchByMetadata(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -137,6 +161,8 @@ object RagOps {
     "r6_context_assembly"  -> ((s, d) => r6ContextAssembly(s, d)),
     "r7_search_by_metadata" -> ((s, d) => r7SearchByMetadata(s, d)),
     "r10_doc_summary"      -> ((s, d) => r10DocSummary(s, d)),
+    "r11_get_document"     -> ((s, d) => r11GetDocument(s, d)),
+    "r12_update_document"  -> ((s, d) => r12UpdateDocument(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -207,6 +233,18 @@ object RagOps {
     "r7_search_by_metadata" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('de', 'fr') ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    "r11_get_document" ->
+      """SELECT doc_id, md5(text) AS content_hash, length(text) AS content_length,
+        |  len(string_split(text, ' ')) AS word_count, lang, source
+        |FROM documents WHERE doc_id % 83 = 0 ORDER BY doc_id""".stripMargin,
+
+    "r12_update_document" ->
+      """SELECT doc_id, md5('updated: ' || text) AS content_hash,
+        |  length('updated: ' || text) AS content_length,
+        |  len(string_split('updated: ' || text, ' ')) AS word_count,
+        |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
+        |FROM documents WHERE doc_id % 91 = 0 ORDER BY doc_id""".stripMargin,
 
     "r10_doc_summary" ->
       """WITH sent AS (
