@@ -80,9 +80,11 @@ object Dedup {
     // once instead (sources/Warehouse).
     val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
     val hashed = ex.withColumn("h31", DetHash.h60(col("s")) % MersenneM)
+    // signature minima AND the per-doc shingle count in ONE groupBy — the
+    // count rides the same shuffle instead of re-evaluating the index
     val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
       min((lit(a) * col("h31") + lit(b)) % MersenneM).as(s"sig$p")
-    }
+    } :+ count(lit(1)).as("n")
     val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bands = sig.select(col("doc_id"),
         explode(array((0 until 4).map { b =>
@@ -95,7 +97,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nsh = sig.select(col("doc_id"), col("n"))
     val inter = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
