@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{DetHash, Vec}
+import graft.functions.{DetHash, Exact, Vec}
 
 /** Deduplication suite (SURVEY.md §2.C) — the LLM-training-data pipeline
   * operators, each expressed as blocked (never all-pairs) Spark plans.
@@ -105,8 +105,7 @@ object Dedup {
     inter
       .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .withColumn("jaccard", Exact.ratio6(col("i"), col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -166,8 +165,7 @@ object Dedup {
     inter
       .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .withColumn("jaccard", Exact.ratio6(col("i"), col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -270,9 +268,9 @@ object Dedup {
            |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
            |)
            |SELECT doc_a, doc_b,
-           |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+           |  ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) / 1000000.0 AS jaccard
            |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-           |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)), 6) >= 0.5
+           |WHERE ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) >= 500000
            |ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -305,9 +303,9 @@ object Dedup {
         |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents)
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  ((2000000*(len(list_intersect(a.sh, b.sh))) + (len(list_distinct(a.sh || b.sh)))) // (2*(len(list_distinct(a.sh || b.sh))))) / 1000000.0 AS jaccard
         |FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) >= 0.3
+        |WHERE ((2000000*(len(list_intersect(a.sh, b.sh))) + (len(list_distinct(a.sh || b.sh)))) // (2*(len(list_distinct(a.sh || b.sh))))) >= 300000
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d5_embedding_neardup" ->

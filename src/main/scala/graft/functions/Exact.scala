@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact integer-space rounding for ratios of integers (SURVEY.md §5).
+  *
+  * `round(num/den, 6)` on doubles is NOT portable across engines: Spark
+  * rounds the shortest decimal representation (BigDecimal of
+  * Double.toString) while DuckDB rounds the binary value — they disagree
+  * whenever the true rational lands near an exact half at the target scale
+  * (observed: quality scores built from small-integer ratios at sf0.1).
+  *
+  * For integer num/den the fix is exact: round-half-up(num/den * 1e6) =
+  * (2_000_000*num + den) intdiv (2*den), all in BIGINT, identical in any
+  * engine. The final /1e6 is a single IEEE division producing the same
+  * double everywhere. Non-integer sources (cosines) keep plain round —
+  * their 17-significant-digit doubles cannot collide with a 7-digit half.
+  */
+object Exact {
+
+  /** FP-safe floor division for non-negative longs: (a - a%b)/b — the
+    * numerator is exactly divisible, so the double division is exact. */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** round-half-up(num/den, 6) as an e6-scaled BIGINT (num, den >= 0). */
+  def ratio6e(num: Column, den: Column): Column =
+    intDiv(num.cast("long") * 2000000L + den.cast("long"), den.cast("long") * 2L)
+
+  /** round-half-up(num/den, 6) as DOUBLE — cross-engine identical. */
+  def ratio6(num: Column, den: Column): Column =
+    ratio6e(num, den).cast("double") / 1000000.0
+
+  /** DuckDB SQL for ratio6e / ratio6. */
+  def ratio6eSql(num: String, den: String): String =
+    s"((2000000*($num) + ($den)) // (2*($den)))"
+
+  def ratio6Sql(num: String, den: String): String =
+    s"(${ratio6eSql(num, den)} / 1000000.0)"
+}

@@ -114,7 +114,8 @@ object MemoryOps {
       count(when(col("memory_type") === "permanent", 1)).as("n_permanent"),
       count(when(col("is_expired"), 1)).as("n_expired"),
       sum(length(col("data"))).as("total_size_bytes"),
-      round(avg(col("ttl_seconds")), 6).as("avg_ttl_seconds"),
+      graft.functions.Exact.ratio6(
+        sum(col("ttl_seconds")), count(col("ttl_seconds"))).as("avg_ttl_seconds"),
       min(col("created_at")).as("oldest_created_at"),
       max(col("created_at")).as("newest_created_at"),
       max(col("access_count")).as("max_access_count"))
@@ -249,7 +250,7 @@ object MemoryOps {
         |  count(*) FILTER (memory_type = 'permanent') AS n_permanent,
         |  count(*) FILTER (is_expired) AS n_expired,
         |  sum(length(data)) AS total_size_bytes,
-        |  round(avg(ttl_seconds), 6) AS avg_ttl_seconds,
+        |  ((2000000*(sum(ttl_seconds)) + (count(ttl_seconds))) // (2*(count(ttl_seconds)))) / 1000000.0 AS avg_ttl_seconds,
         |  min(created_at) AS oldest_created_at,
         |  max(created_at) AS newest_created_at,
         |  max(access_count) AS max_access_count

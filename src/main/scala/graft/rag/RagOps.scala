@@ -43,7 +43,8 @@ object RagOps {
     val d = Tables.documents(spark, dir).agg(
       count(lit(1)).as("n_docs"),
       sum(length(col("text"))).as("total_content_length"),
-      round(avg(length(col("text"))), 6).as("avg_content_length"),
+      graft.functions.Exact.ratio6(
+        sum(length(col("text"))), count(lit(1))).as("avg_content_length"),
       sum(size(split(col("text"), " ")).cast("long")).as("total_word_count"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"))
@@ -178,7 +179,7 @@ object RagOps {
       """SELECT * FROM
         |(SELECT count(*) AS n_docs,
         |  sum(length(text)) AS total_content_length,
-        |  round(avg(length(text)), 6) AS avg_content_length,
+        |  ((2000000*(sum(length(text))) + (count(*))) // (2*(count(*)))) / 1000000.0 AS avg_content_length,
         |  sum(len(string_split(text, ' '))) AS total_word_count,
         |  count(DISTINCT lang) AS n_langs,
         |  count(DISTINCT source) AS n_sources

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.DetHash
+import graft.functions.{DetHash, Exact}
 
 /** Text-analysis pipeline operators (SURVEY.md §2.E) over `documents`.
   *
@@ -42,29 +42,33 @@ object TextOps {
           .when(col("fr_hits") > 0, "fr")
           .otherwise("und"))
       .withColumn("is_correct", col("pred_lang") === col("lang"))
-      .withColumn("stop_ratio", round(col("en_hits").cast("double") / size(ws), 6))
+      .withColumn("stop_ratio", Exact.ratio6(col("en_hits"), size(ws)))
       .select("doc_id", "lang", "pred_lang", "is_correct", "stop_ratio")
       .orderBy("doc_id")
   }
 
   /** E2: quality scoring — lexical-diversity / length / stopword ratios.
-    * Components are rounded BEFORE combining so both engines fold identical
-    * doubles (SURVEY.md §5.3). */
+    * ALL arithmetic stays in e6-scaled integer space until the final /1e6
+    * (graft.functions.Exact): ratio rounding on doubles diverges between
+    * engines at exact-half boundaries, which small-integer ratios hit in
+    * practice (found at sf0.1). The low-quality flag is an integer compare
+    * — no FP at all on the decision path. */
   def t2Quality(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     Tables.documents(spark, dir)
       .withColumn("n_words", size(ws).cast("long"))
-      .withColumn("distinct_ratio",
-        round(size(array_distinct(ws)).cast("double") / col("n_words"), 6))
-      .withColumn("stop_ratio",
-        round(hits(ws, Seq("the", "a")).cast("double") / col("n_words"), 6))
-      .withColumn("len_score", least(round(col("n_words") / 100.0, 6), lit(1.0)))
-      .withColumn("quality_score",
-        round(lit(0.4) * col("distinct_ratio") + lit(0.3) * col("len_score") +
-          lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
-      .withColumn("is_low_quality", col("quality_score") < 0.5)
-      .select("doc_id", "n_words", "distinct_ratio", "stop_ratio", "len_score",
-        "quality_score", "is_low_quality")
+      .withColumn("dr_e6", Exact.ratio6e(size(array_distinct(ws)), col("n_words")))
+      .withColumn("sr_e6", Exact.ratio6e(hits(ws, Seq("the", "a")), col("n_words")))
+      .withColumn("ls_e6", least(Exact.ratio6e(col("n_words"), lit(100)), lit(1000000L)))
+      // score = 0.4*dr + 0.3*ls + 0.3*(1-sr); e6-scaled, round-half-up /10
+      .withColumn("score_e6",
+        expr("(2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) div 20"))
+      .select(col("doc_id"), col("n_words"),
+        (col("dr_e6").cast("double") / 1000000.0).as("distinct_ratio"),
+        (col("sr_e6").cast("double") / 1000000.0).as("stop_ratio"),
+        (col("ls_e6").cast("double") / 1000000.0).as("len_score"),
+        (col("score_e6").cast("double") / 1000000.0).as("quality_score"),
+        (col("score_e6") < 500000L).as("is_low_quality"))
       .orderBy("doc_id")
   }
 
@@ -121,7 +125,7 @@ object TextOps {
          |       WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
          |       WHEN fr_hits > 0 THEN 'fr'
          |       ELSE 'und' END) = lang AS is_correct,
-         |  round(CAST(en_hits AS DOUBLE) / n_words, 6) AS stop_ratio
+         |  ((2000000*(en_hits) + (n_words)) // (2*(n_words))) / 1000000.0 AS stop_ratio
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
@@ -129,15 +133,20 @@ object TextOps {
          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
          |), c AS (
          |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS distinct_ratio,
-         |    round(CAST(${hitsSql(Seq("the", "a"))} AS DOUBLE) / len(ws), 6) AS stop_ratio,
-         |    least(round(len(ws) / 100.0, 6), 1.0) AS len_score
+         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+         |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
          |  FROM t
+         |), sc AS (
+         |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6 FROM c
          |)
-         |SELECT doc_id, n_words, distinct_ratio, stop_ratio, len_score,
-         |  round(0.4*distinct_ratio + 0.3*len_score + 0.3*(1.0 - stop_ratio), 6) AS quality_score,
-         |  round(0.4*distinct_ratio + 0.3*len_score + 0.3*(1.0 - stop_ratio), 6) < 0.5 AS is_low_quality
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n_words,
+         |  dr_e6 / 1000000.0 AS distinct_ratio,
+         |  sr_e6 / 1000000.0 AS stop_ratio,
+         |  ls_e6 / 1000000.0 AS len_score,
+         |  score_e6 / 1000000.0 AS quality_score,
+         |  score_e6 < 500000 AS is_low_quality
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t3_tokens" ->
       """SELECT doc_id,
