@@ -30,6 +30,7 @@ object SparkEntry {
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
     "q7_window"    -> ((s, dir) => Queries.q7Window(s, dir)),
+    "q9_profit"    -> ((s, dir) => Queries.q9ProfitByNation(s, dir)),
     "q8_rollup"    -> ((s, dir) => Queries.q8Rollup(s, dir)),
   )
 
@@ -76,6 +77,18 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1999-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, o_year DESC""".stripMargin,
 
     "q7_window" ->
       """SELECT o_custkey, o_orderkey, order_rank, running_spend FROM (

@@ -102,6 +102,31 @@ object Queries {
       .orderBy("o_custkey", "order_rank")
   }
 
+  /** q9: product-type profit by nation and year (TPC-H Q9 shape) — covers
+    * the part dimension. The name-filtered part table and the
+    * supplier->nation chain broadcast; lineitem<->orders is the only
+    * shuffled edge; profit is summed as exact decimal. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.8) * col("p_retailprice") * col("l_quantity")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(amount).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
