@@ -31,6 +31,7 @@ object SparkEntry {
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
     "q7_window"    -> ((s, dir) => Queries.q7Window(s, dir)),
     "q9_profit"    -> ((s, dir) => Queries.q9ProfitByNation(s, dir)),
+    "q6_revenue"   -> ((s, dir) => Queries.q6Revenue(s, dir)),
     "q8_rollup"    -> ((s, dir) => Queries.q8Rollup(s, dir)),
   )
 
@@ -77,6 +78,16 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1999-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q9_profit" ->
       """SELECT n_name, year(o_orderdate) AS o_year,

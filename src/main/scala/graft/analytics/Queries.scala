@@ -102,6 +102,18 @@ object Queries {
       .orderBy("o_custkey", "order_rank")
   }
 
+  /** q6: forecast revenue change (TPC-H Q6 shape) — pure scan+filter+agg,
+    * the codegen/pushdown microbenchmark: every predicate reaches the
+    * parquet scan, no shuffle at all before the single-row aggregate. */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** q9: product-type profit by nation and year (TPC-H Q9 shape) — covers
     * the part dimension. The name-filtered part table and the
     * supplier->nation chain broadcast; lineitem<->orders is the only

@@ -220,12 +220,49 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+
+  /** C6: dedup clusters — connected components over the verified MinHash
+    * near-dup pairs, assigning every involved document a canonical
+    * cluster id (the smallest member id) and cluster size. Real pipelines
+    * keep one canonical doc per cluster; pairs alone don't compose when
+    * A~B and B~C but A!~C.
+    *
+    * Algorithm: min-label propagation to fixpoint. The loop is DRIVER-SIDE
+    * CONTROL only (a scalar convergence count per round over the SMALL
+    * verified-pair set — never the corpus); iterations are O(component
+    * diameter), and at extreme scale the same loop upgrades to the
+    * large-star/small-star formulation with checkpointing per round. */
+  def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("lbl"))
+        .union(labels)
+        .groupBy("doc_id").agg(min("lbl").as("new_lbl"))
+        .persist()
+      changed = prop.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
+        .filter(col("new_lbl") =!= col("old_lbl")).count()
+      labels = prop.withColumnRenamed("new_lbl", "lbl")
+      rounds += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup"         -> ((s, d) => d1ExactDup(s, d)),
     "d2_minhash_lsh"       -> ((s, d) => d2MinhashLsh(s, d)),
     "d3_simhash"           -> ((s, d) => d3Simhash(s, d)),
     "d4_ngram_jaccard"     -> ((s, d) => d4NgramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
+    "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -328,5 +365,50 @@ object Dedup {
         |WHERE round(CASE WHEN a.nrm*b.nrm = 0 THEN 0.0 ELSE
         |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (acc,x) -> acc+x)/(a.nrm*b.nrm) END, 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "d6_dup_clusters" -> {
+      val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
+        s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
+      }.mkString(",\n        ")
+      val bandCases = (0 until 4).map { b =>
+        val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
+        s"WHEN $b THEN md5($cat)"
+      }.mkString(" ")
+      Sh3Cte.replace("WITH sh", "WITH RECURSIVE sh") +
+        s""", shx AS (
+           |  SELECT doc_id, unnest(sh) AS s FROM sh
+           |), hh AS (
+           |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MersenneM AS h31 FROM shx
+           |), sig AS (
+           |  SELECT doc_id,
+           |        $sigCols
+           |  FROM hh GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, b, CASE b $bandCases END AS bh
+           |  FROM sig, range(0, 4) t(b)
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |), verified AS (
+           |  SELECT doc_a, doc_b
+           |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+           |  WHERE ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) >= 500000
+           |), nodes AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_a AS doc_id FROM verified UNION ALL SELECT doc_b FROM verified)
+           |), edges AS (
+           |  SELECT doc_a AS a, doc_b AS b FROM verified
+           |  UNION ALL SELECT doc_b, doc_a FROM verified
+           |), reach AS (
+           |  SELECT doc_id AS n, doc_id AS m FROM nodes
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+           |), cluster AS (
+           |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+           |)
+           |SELECT doc_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           |FROM cluster ORDER BY doc_id""".stripMargin
+    },
   )
 }
