@@ -21,17 +21,27 @@ object Queries {
     sum(c.cast("decimal(18,4)")).cast("double")
 
   /** q1: pricing summary report (TPC-H Q1 shape). Single scan, partial agg,
-    * whole-stage codegen end to end. */
+    * whole-stage codegen end to end.
+    *
+    * disc_price/charge multiply in DECIMAL space, not double: the true
+    * charge has 6 decimal digits (2-dec price × 2-dec disc × 2-dec tax), so
+    * rounding a double product to DECIMAL(18,4) lands on exact halves where
+    * Spark (shortest-repr) and DuckDB (binary) round differently — ~1 in 100
+    * rows, a guaranteed hash mismatch at any scale. Casting the 2-decimal
+    * inputs first is unambiguous, and every later step is exact. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc  = col("l_discount").cast("decimal(3,2)")
+    val tax   = col("l_tax").cast("decimal(3,2)")
+    val one   = lit(1).cast("decimal(3,2)")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-          .as("sum_charge"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order")
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))

@@ -227,33 +227,57 @@ object Dedup {
     * keep one canonical doc per cluster; pairs alone don't compose when
     * A~B and B~C but A!~C.
     *
-    * Algorithm: min-label propagation to fixpoint. The loop is DRIVER-SIDE
-    * CONTROL only (a scalar convergence count per round over the SMALL
-    * verified-pair set — never the corpus); iterations are O(component
-    * diameter), and at extreme scale the same loop upgrades to the
-    * large-star/small-star formulation with checkpointing per round. */
+    * Algorithm: min-label propagation WITH pointer jumping — each round a
+    * node takes the min over (its label, neighbors' labels, its label's
+    * label). The extra label-of-label join halves label-chain depth every
+    * round, so convergence is O(log diameter) rounds instead of O(diameter)
+    * (the public hash-to-min / pointer-doubling CC technique). The loop is
+    * DRIVER-SIDE CONTROL only — one scalar count per round over the SMALL
+    * verified-pair graph, never the corpus. Each round materializes ONE
+    * cached DataFrame, unpersists the previous round's, and periodically
+    * truncates lineage (localCheckpoint here; a reliable checkpoint dir on
+    * a real cluster) so analysis cost stays constant per round. A
+    * non-converged exit is an ERROR, not a silent wrong answer. */
   def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    var cache = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id")).persist()
+    var labels = cache
+    labels.count()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val prop = edges.join(labels, edges("doc_a") === labels("doc_id"))
+    val MaxRounds = 30 // 2^30 diameter headroom under pointer jumping
+    while (changed > 0 && rounds < MaxRounds) {
+      val viaEdge = edges.join(labels, edges("doc_a") === labels("doc_id"))
         .select(col("doc_b").as("doc_id"), col("lbl"))
-        .union(labels)
-        .groupBy("doc_id").agg(min("lbl").as("new_lbl"))
+      val viaPtr = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.lbl").as("lbl"))
+      val merged = viaEdge.withColumn("old", lit(null).cast("long"))
+        .union(viaPtr.withColumn("old", lit(null).cast("long")))
+        .union(labels.withColumn("old", col("lbl")))
+        .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old").as("old"))
         .persist()
-      changed = prop.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
-        .filter(col("new_lbl") =!= col("old_lbl")).count()
-      labels = prop.withColumnRenamed("new_lbl", "lbl")
+      changed = merged.filter(col("lbl") < col("old")).count()
+      cache.unpersist()
+      cache = merged
+      labels = merged.select("doc_id", "lbl")
       rounds += 1
+      if (rounds % 5 == 0) {
+        val cp = labels.localCheckpoint(true)
+        cache.unpersist()
+        cache = cp
+        labels = cp
+      }
     }
+    require(changed == 0,
+      s"d6DupClusters did not converge after $MaxRounds pointer-jumping rounds")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .orderBy("doc_id")
+    pairs.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

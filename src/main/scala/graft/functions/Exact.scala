@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Exact integer-space rounding for ratios of integers (SURVEY.md §5).
   *
@@ -19,10 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Exact {
 
-  /** FP-safe floor division for non-negative longs: (a - a%b)/b — the
-    * numerator is exactly divisible, so the double division is exact. */
+  /** True integer division (Catalyst IntegralDivide, the SQL `div`
+    * operator) — stays in BIGINT space for any magnitude, unlike the
+    * earlier (a - a%b)/b double trick which silently lost exactness past
+    * 2^53 (e.g. sum(length(text)) beyond ~4.5e9 chars at large SF). */
   private def intDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    ColumnBridge.column(new IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** round-half-up(num/den, 6) as an e6-scaled BIGINT (num, den >= 0). */
   def ratio6e(num: Column, den: Column): Column =

@@ -249,7 +249,7 @@ object MemoryOps {
         |  count(*) FILTER (memory_type = 'long_term') AS n_long_term,
         |  count(*) FILTER (memory_type = 'permanent') AS n_permanent,
         |  count(*) FILTER (is_expired) AS n_expired,
-        |  sum(length(data)) AS total_size_bytes,
+        |  CAST(sum(length(data)) AS BIGINT) AS total_size_bytes,
         |  ((2000000*(sum(ttl_seconds)) + (count(ttl_seconds))) // (2*(count(ttl_seconds)))) / 1000000.0 AS avg_ttl_seconds,
         |  min(created_at) AS oldest_created_at,
         |  max(created_at) AS newest_created_at,

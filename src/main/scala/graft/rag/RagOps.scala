@@ -178,9 +178,9 @@ object RagOps {
     "r2_collection_stats" ->
       """SELECT * FROM
         |(SELECT count(*) AS n_docs,
-        |  sum(length(text)) AS total_content_length,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_content_length,
         |  ((2000000*(sum(length(text))) + (count(*))) // (2*(count(*)))) / 1000000.0 AS avg_content_length,
-        |  sum(len(string_split(text, ' '))) AS total_word_count,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_word_count,
         |  count(DISTINCT lang) AS n_langs,
         |  count(DISTINCT source) AS n_sources
         | FROM documents)

@@ -35,7 +35,7 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
-  case class MemEvent(memory_key: String, ts: Timestamp, props: String)
+  case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
   case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)
   /** status: "active" on each update, "expired" when the TTL timeout fires. */
   case class MemUpdate(memory_key: String, status: String, access_count: Long,
@@ -56,7 +56,10 @@ object Streams {
         state.remove()
         Iterator(MemUpdate(key, "expired", s.accessCount, new Timestamp(s.lastTs), s.data))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        // (ts, event_id) sort: events sharing a timestamp within one
+        // micro-batch would otherwise retain arbitrary data — event_id
+        // breaks the tie exactly like the batch path's max_by(props, event_id)
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         val prev = state.getOption
         val created = prev.map(_.createdAt).getOrElse(sorted.head.ts.getTime)
         val last = sorted.last

@@ -42,12 +42,12 @@ class StreamsSpec extends SparkSpec {
     val q = updates.writeStream.format("memory").queryName("h2_updates")
       .outputMode(OutputMode.Append).start()
     try {
-      input.addData(MemEvent("k1", ts(1), "v1"), MemEvent("k1", ts(2), "v2"))
+      input.addData(MemEvent("k1", ts(1), 1L, "v1"), MemEvent("k1", ts(2), 2L, "v2"))
       q.processAllAvailable()
       // advance the watermark far past k1's timeout (00:02 + 60s)
-      input.addData(MemEvent("k2", ts(30), "w1"))
+      input.addData(MemEvent("k2", ts(30), 3L, "w1"))
       q.processAllAvailable()
-      input.addData(MemEvent("k3", ts(40), "x1"))
+      input.addData(MemEvent("k3", ts(40), 4L, "x1"))
       q.processAllAvailable()
       val rows = spark.table("h2_updates").collect()
         .map(r => (r.getAs[String]("memory_key"), r.getAs[String]("status"),
@@ -55,6 +55,27 @@ class StreamsSpec extends SparkSpec {
       assert(rows.contains(("k1", "active", 2L)))
       assert(rows.contains(("k1", "expired", 2L)))
       assert(rows.contains(("k2", "active", 1L)))
+    } finally q.stop()
+  }
+
+  test("H2: same-timestamp events retain the highest event_id's data (deterministic)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MemEvent]
+    val updates = Streams.ttlStateMachine(input.toDS(), ttlSeconds = 60,
+      watermark = "0 seconds")
+    val q = updates.writeStream.format("memory").queryName("h2_ties")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // three events at the SAME event time, out-of-id-order in the batch:
+      // the retained data must be the max event_id's, like batch max_by
+      input.addData(MemEvent("k1", ts(1), 7L, "mid"), MemEvent("k1", ts(1), 9L, "last"),
+        MemEvent("k1", ts(1), 3L, "first"))
+      q.processAllAvailable()
+      val rows = spark.table("h2_ties").collect()
+        .map(r => (r.getAs[String]("memory_key"), r.getAs[String]("status"),
+          r.getAs[String]("data"))).toList
+      assert(rows == List(("k1", "active", "last")))
     } finally q.stop()
   }
 }

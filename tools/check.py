@@ -20,7 +20,9 @@ def canon(df):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NULL"
-            return f"{v:.10g}"
+            # Full 17-sig-digit repr: the driver hash-compares exact values,
+            # so the local mirror must be equally strict (ADVICE r1).
+            return repr(v)
         return str(v)
     rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
     rows.sort()
