@@ -18,11 +18,13 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
+    val tBuild = (System.nanoTime() - tc) / 1e9
     df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"[scratch] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[scratch] $name: $n rows, build ${tBuild}%.2f s + count ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

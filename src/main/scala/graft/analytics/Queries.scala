@@ -23,25 +23,32 @@ object Queries {
   /** q1: pricing summary report (TPC-H Q1 shape). Single scan, partial agg,
     * whole-stage codegen end to end.
     *
-    * disc_price/charge multiply in DECIMAL space, not double: the true
-    * charge has 6 decimal digits (2-dec price × 2-dec disc × 2-dec tax), so
-    * rounding a double product to DECIMAL(18,4) lands on exact halves where
-    * Spark (shortest-repr) and DuckDB (binary) round differently — ~1 in 100
-    * rows, a guaranteed hash mismatch at any scale. Casting the 2-decimal
-    * inputs first is unambiguous, and every later step is exact. */
+    * disc_price/charge must NOT multiply doubles and round to decimal: the
+    * true charge has 6 decimal digits (2-dec price × 2-dec disc × 2-dec
+    * tax), so a double product cast to DECIMAL(18,4) lands on exact halves
+    * where Spark (shortest-repr) and DuckDB (binary) round differently —
+    * ~1 in 100 rows, a guaranteed hash mismatch at any scale. Instead the
+    * 2-decimal inputs are scaled to exact LONG cents (round(x*100) — no
+    * half cases, the true value IS a 2-decimal), multiplied in cheap
+    * codegen'd integer arithmetic (≤1e11 per row), and summed as
+    * DECIMAL(20,0) for 128-bit-class headroom (a LONG sum would overflow
+    * around 1e8 rows per group at e6 scale; 100 TB has ~1e11). The single
+    * exact-integer→double conversion and the /1e4 (/1e6) are each
+    * correctly-rounded IEEE ops, identical in any engine. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
-    val price = col("l_extendedprice").cast("decimal(12,2)")
-    val disc  = col("l_discount").cast("decimal(3,2)")
-    val tax   = col("l_tax").cast("decimal(3,2)")
-    val one   = lit(1).cast("decimal(3,2)")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discC  = round(col("l_discount") * 100).cast("long")
+    val taxC   = round(col("l_tax") * 100).cast("long")
+    val discPriceE4 = (priceC * (lit(100L) - discC)).cast("decimal(20,0)")
+    val chargeE6 = (priceC * (lit(100L) - discC) * (lit(100L) + taxC)).cast("decimal(20,0)")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
-        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (sum(discPriceE4).cast("double") / 1e4).as("sum_disc_price"),
+        (sum(chargeE6).cast("double") / 1e6).as("sum_charge"),
         count(lit(1)).as("count_order")
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))

@@ -71,6 +71,32 @@ object Dedup {
     * groupBy(doc) with 16 min() partial aggs (one shuffle) -> band explode
     * (x4) -> equality self-join on (band, band_hash) -> count-join verify.
     */
+  /** MinHash signatures (sig0..sig15 + per-doc shingle count n) from the
+    * shingle index — the minima AND the count ride ONE groupBy shuffle. */
+  private def minhashSig(ex: DataFrame): DataFrame = {
+    val hashed = ex.withColumn("h31", DetHash.h60(col("s")) % MersenneM)
+    val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
+      min((lit(a) * col("h31") + lit(b)) % MersenneM).as(s"sig$p")
+    } :+ count(lit(1)).as("n")
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding (4 bands x 4 rows) over the signatures -> distinct
+    * candidate (doc_a < doc_b) pairs colliding on at least one band. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("b"),
+            md5(concat_ws(",", (0 until 4).map(o => col(s"sig${4 * b + o}").cast("string")): _*)).as("bh"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // The shingle index feeds signature build, per-doc counts, and both
     // sides of the verification join. Recomputing the (codegen'd, narrow)
@@ -79,24 +105,8 @@ object Dedup {
     // InMemoryRelation. At warehouse scale the index is written to storage
     // once instead (sources/Warehouse).
     val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
-    val hashed = ex.withColumn("h31", DetHash.h60(col("s")) % MersenneM)
-    // signature minima AND the per-doc shingle count in ONE groupBy — the
-    // count rides the same shuffle instead of re-evaluating the index
-    val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
-      min((lit(a) * col("h31") + lit(b)) % MersenneM).as(s"sig$p")
-    } :+ count(lit(1)).as("n")
-    val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bands = sig.select(col("doc_id"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("b"),
-            md5(concat_ws(",", (0 until 4).map(o => col(s"sig${4 * b + o}").cast("string")): _*)).as("bh"))
-        }: _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val sig = minhashSig(ex)
+    val cand = lshCandidates(sig)
     val nsh = sig.select(col("doc_id"), col("n"))
     val inter = cand
       .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -241,21 +251,33 @@ object Dedup {
   def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var cache = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).persist()
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = {
+      System.err.println(f"[graft] d6 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    // Init fuses the first propagation: label = min(self, direct neighbors)
+    // in the same single groupBy that enumerates the nodes — near-dup
+    // clusters are near-cliques, so most nodes land on their component min
+    // immediately and the loop usually just verifies the fixpoint.
+    var cache = edges.union(edges.select(col("doc_a"), col("doc_a").as("doc_b")))
+      .groupBy(col("doc_a").as("doc_id")).agg(min(col("doc_b")).as("lbl")).persist()
     var labels = cache
     labels.count()
+    lap("init (pairs materialize + min-neighbor labels)")
     var changed = 1L
     var rounds = 0
     val MaxRounds = 30 // 2^30 diameter headroom under pointer jumping
     while (changed > 0 && rounds < MaxRounds) {
-      val viaEdge = edges.join(labels, edges("doc_a") === labels("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("lbl"))
-      val viaPtr = labels.as("x").join(labels.as("y"), col("x.lbl") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.lbl").as("lbl"))
-      val merged = viaEdge.withColumn("old", lit(null).cast("long"))
-        .union(viaPtr.withColumn("old", lit(null).cast("long")))
-        .union(labels.withColumn("old", col("lbl")))
+      // ONE join per round over G' = near-dup edges + label links in both
+      // directions: (lbl -> doc) applies lbl(lbl(doc)) — the pointer jump —
+      // while (doc -> lbl) keeps label-node labels fresh for the next jump.
+      val links = edges
+        .union(labels.select(col("doc_id").as("doc_a"), col("lbl").as("doc_b")))
+        .union(labels.select(col("lbl").as("doc_a"), col("doc_id").as("doc_b")))
+      val merged = links.join(labels, links("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("lbl"), lit(null).cast("long").as("old"))
+        .union(labels.select(col("doc_id"), col("lbl"), col("lbl").as("old")))
         .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old").as("old"))
         .persist()
       changed = merged.filter(col("lbl") < col("old")).count()
@@ -263,6 +285,7 @@ object Dedup {
       cache = merged
       labels = merged.select("doc_id", "lbl")
       rounds += 1
+      lap(s"round $rounds (changed=$changed)")
       if (rounds % 5 == 0) {
         val cp = labels.localCheckpoint(true)
         cache.unpersist()
@@ -272,12 +295,48 @@ object Dedup {
     }
     require(changed == 0,
       s"d6DupClusters did not converge after $MaxRounds pointer-jumping rounds")
+    System.err.println(s"[graft] d6DupClusters converged in $rounds rounds")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .orderBy("doc_id")
     pairs.unpersist()
     out
+  }
+
+  /** C7: LSH candidate recall vs exhaustive ground truth. Every pair with
+    * Jaccard >= 0.5 shares at least one shingle, so the inverted shingle
+    * index joined on shingle equality enumerates ALL true near-dup pairs —
+    * an exhaustive (not sampled) denominator. The numerator is the subset
+    * of true pairs that MinHash banding (d2's candidate stage) surfaces.
+    * This is the accuracy gauge for the probabilistic dedup path: banding
+    * params (4x4 over 16 perms) are chosen from the S-curve, and this query
+    * MEASURES the miss rate instead of assuming it.
+    *
+    * Scale note: the exhaustive inverted-index join is a VALIDATION
+    * workload — at 100 TB it runs over a document sample and drops
+    * stop-shingles above a frequency cap (both standard practice); the
+    * plan shape (equality join on shingle, pair-count groupBy) is the same
+    * either way and never materializes an all-pairs product. */
+  def d7LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
+    val sig = minhashSig(ex)
+    val cand = lshCandidates(sig)
+    val nsh = sig.select(col("doc_id"), col("n"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(Exact.ratio6e(col("i"), col("na") + col("nb") - col("i")) >= 500000L)
+      .select("doc_a", "doc_b")
+    val caught = truth.join(cand, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_lsh_candidates")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .withColumn("recall", Exact.ratio6(col("n_caught"), col("n_true_pairs")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,6 +346,7 @@ object Dedup {
     "d4_ngram_jaccard"     -> ((s, d) => d4NgramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
     "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
+    "d7_lsh_recall"        -> ((s, d) => d7LshRecall(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -298,42 +358,70 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |)""".stripMargin
 
+  /** Shared DuckDB CTE chain: shingles -> minhash signatures -> LSH band
+    * collisions -> distinct candidate pairs (mirrors minhashSig +
+    * lshCandidates; used by the d2 and d7 oracles). */
+  private lazy val MinhashCandCte: String = {
+    val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
+      s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
+    }.mkString(",\n        ")
+    val bandCases = (0 until 4).map { b =>
+      val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
+      s"WHEN $b THEN md5($cat)"
+    }.mkString(" ")
+    Sh3Cte +
+      s""", shx AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM sh
+         |), hh AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MersenneM AS h31 FROM shx
+         |), sig AS (
+         |  SELECT doc_id,
+         |        $sigCols
+         |  FROM hh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, b, CASE b $bandCases END AS bh
+         |  FROM sig, range(0, 4) t(b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |  min(doc_id) AS canonical_doc_id, count(*) > 1 AS is_dup_group
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
-    "d2_minhash_lsh" -> {
-      val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
-        s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
-      }.mkString(",\n        ")
-      val bandCases = (0 until 4).map { b =>
-        val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
-        s"WHEN $b THEN md5($cat)"
-      }.mkString(" ")
-      Sh3Cte +
-        s""", shx AS (
-           |  SELECT doc_id, unnest(sh) AS s FROM sh
-           |), hh AS (
-           |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MersenneM AS h31 FROM shx
-           |), sig AS (
-           |  SELECT doc_id,
-           |        $sigCols
-           |  FROM hh GROUP BY doc_id
-           |), bands AS (
-           |  SELECT doc_id, b, CASE b $bandCases END AS bh
-           |  FROM sig, range(0, 4) t(b)
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-           |)
+    "d2_minhash_lsh" -> (MinhashCandCte +
+        s"""
            |SELECT doc_a, doc_b,
            |  ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) / 1000000.0 AS jaccard
            |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
            |WHERE ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) >= 500000
-           |ORDER BY doc_a, doc_b""".stripMargin
-    },
+           |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "d7_lsh_recall" -> (MinhashCandCte +
+        s""", nsh AS (
+           |  SELECT doc_id, len(sh) AS n FROM sh
+           |), inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |), truth AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN nsh x ON x.doc_id = doc_a
+           |  JOIN nsh y ON y.doc_id = doc_b
+           |  WHERE ${Exact.ratio6eSql("i", "x.n + y.n - i")} >= 500000
+           |), caught AS (
+           |  SELECT t.doc_a, t.doc_b FROM truth t
+           |  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+           |)
+           |SELECT
+           |  (SELECT count(*) FROM truth) AS n_true_pairs,
+           |  (SELECT count(*) FROM cand) AS n_lsh_candidates,
+           |  (SELECT count(*) FROM caught) AS n_caught,
+           |  ${Exact.ratio6Sql("(SELECT count(*) FROM caught)", "(SELECT count(*) FROM truth)")} AS recall""".stripMargin),
 
     "d3_simhash" ->
       """WITH wc AS (

@@ -148,6 +148,20 @@ object RagOps {
         lit("2024-01-31 00:00:00").cast("timestamp").as("updated_at"))
       .orderBy("doc_id")
 
+  /** B13: rag_delete_document (reference: rag/database/documents.py:170 —
+    * delete by id, idempotent on missing ids). Batch form: a small delete-id
+    * set broadcast left-anti joined against the corpus, emitting the
+    * surviving documents with their derived fields — the same plan shape as
+    * m7_delete_keys, no shuffle of the 100 TB side. */
+  def r13DeleteDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+    docs.join(broadcast(dels), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        length(col("text")).as("content_length"))
+      .orderBy("doc_id")
+  }
+
   /** B7: metadata-only retrieval: lang IN ('de','fr'), ordered page of 20. */
   def r7SearchByMetadata(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -164,6 +178,7 @@ object RagOps {
     "r10_doc_summary"      -> ((s, d) => r10DocSummary(s, d)),
     "r11_get_document"     -> ((s, d) => r11GetDocument(s, d)),
     "r12_update_document"  -> ((s, d) => r12UpdateDocument(s, d)),
+    "r13_delete_documents" -> ((s, d) => r13DeleteDocuments(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -246,6 +261,10 @@ object RagOps {
         |  len(string_split('updated: ' || text, ' ')) AS word_count,
         |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
         |FROM documents WHERE doc_id % 91 = 0 ORDER BY doc_id""".stripMargin,
+
+    "r13_delete_documents" ->
+      """SELECT doc_id, md5(text) AS content_hash, length(text) AS content_length
+        |FROM documents WHERE doc_id % 9 <> 4 ORDER BY doc_id""".stripMargin,
 
     "r10_doc_summary" ->
       """WITH sent AS (

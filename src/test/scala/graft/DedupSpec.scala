@@ -29,4 +29,15 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.d5EmbeddingNeardup(spark, Sf).collect()
     out.foreach(r => assert(r.getAs[Double]("similarity") >= 0.4))
   }
+
+  test("lsh recall: caught <= true pairs, recall in [0,1], and d2 pairs are a subset of truth") {
+    val r = Dedup.d7LshRecall(spark, Sf).collect()(0)
+    val nTrue = r.getAs[Long]("n_true_pairs")
+    val nCaught = r.getAs[Long]("n_caught")
+    val recall = r.getAs[Double]("recall")
+    assert(nCaught <= nTrue)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // every VERIFIED d2 pair is by construction a caught true pair
+    assert(Dedup.d2MinhashLsh(spark, Sf).count() <= nCaught)
+  }
 }
