@@ -20,15 +20,23 @@ import graft.functions.{DetHash, Exact, Vec}
   */
 object Dedup {
 
-  /** Exploded DISTINCT word n-gram shingles: one row per (doc_id, shingle),
-    * plus carried metadata columns.
+  /** Exploded DISTINCT 60-bit-HASHED word n-gram shingles: one row per
+    * (doc_id, hs), plus carried metadata columns.
     *
     * Built with posexplode + window lead() instead of array higher-order
     * functions: HOF lambdas are interpreted (outside whole-stage codegen)
     * and re-evaluate the split per element — quadratic per document. This
     * formulation is fully codegen'd and shuffles once on doc_id, which at
-    * 100 TB is a narrow, linear pass. */
-  private def shingleRows(df: DataFrame, n: Int, carry: Seq[String]): DataFrame = {
+    * 100 TB is a narrow, linear pass.
+    *
+    * Shingles are hashed to 60-bit longs (md5-derived, oracle-reproducible)
+    * BEFORE the distinct, so every downstream shuffle and join — dedup,
+    * signature build, inverted-index verification — moves 8-byte keys
+    * instead of ~25-char strings: 3-4x less exchange traffic at 100 TB.
+    * At 2^60 the collision probability over even billions of distinct
+    * shingles is negligible (~n^2/2^61), and both engines hash identically
+    * so any collision affects them identically. */
+  private def shingleHashRows(df: DataFrame, n: Int, carry: Seq[String]): DataFrame = {
     val keyCols = col("doc_id") +: carry.map(col)
     val w = df.select(keyCols :+ posexplode(split(col("text"), " ")).as(Seq("pos", "w")): _*)
     val win = org.apache.spark.sql.expressions.Window
@@ -37,8 +45,8 @@ object Dedup {
       acc.withColumn(s"w$o", lead(col("w"), o).over(win))
     }
     led.filter(col(s"w${n - 1}").isNotNull)
-      .select(keyCols :+ concat_ws(" ",
-        col("w") +: (1 until n).map(o => col(s"w$o")): _*).as("s"): _*)
+      .select(keyCols :+ DetHash.h60(concat_ws(" ",
+        col("w") +: (1 until n).map(o => col(s"w$o")): _*)).as("hs"): _*)
       .distinct()
   }
 
@@ -62,10 +70,11 @@ object Dedup {
     }
 
   /** C2: MinHash + LSH banding. 16 permutations over word 3-gram shingles,
-    * 4 bands x 4 rows; candidates = band-hash collisions; exact
-    * Jaccard >= 0.5 verification on candidates only, computed by an
-    * inverted-index intersection count (|I| / (|A|+|B|-|I|)) — no all-pairs
-    * array ops anywhere.
+    * 4 bands x 4 rows; candidates = band-hash collisions; Jaccard >= 0.5
+    * verification on candidates only, computed by an inverted-index
+    * intersection count (|I| / (|A|+|B|-|I|)) over the 60-bit shingle
+    * hashes (exact up to ~2^-60 collision odds) — no all-pairs array ops
+    * anywhere.
     *
     * Plan shape at scale: explode shingles (narrow) -> one md5 each ->
     * groupBy(doc) with 16 min() partial aggs (one shuffle) -> band explode
@@ -74,7 +83,7 @@ object Dedup {
   /** MinHash signatures (sig0..sig15 + per-doc shingle count n) from the
     * shingle index — the minima AND the count ride ONE groupBy shuffle. */
   private def minhashSig(ex: DataFrame): DataFrame = {
-    val hashed = ex.withColumn("h31", DetHash.h60(col("s")) % MersenneM)
+    val hashed = ex.withColumn("h31", col("hs") % MersenneM)
     val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
       min((lit(a) * col("h31") + lit(b)) % MersenneM).as(s"sig$p")
     } :+ count(lit(1)).as("n")
@@ -104,13 +113,13 @@ object Dedup {
     // pays materialization cost and blocks pushdown through the
     // InMemoryRelation. At warehouse scale the index is written to storage
     // once instead (sources/Warehouse).
-    val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
+    val ex = shingleHashRows(Tables.documents(spark, dir), 3, Nil)
     val sig = minhashSig(ex)
     val cand = lshCandidates(sig)
     val nsh = sig.select(col("doc_id"), col("n"))
     val inter = cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(ex.select(col("doc_id").as("doc_a"), col("hs")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("hs")), Seq("doc_b", "hs"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -162,13 +171,13 @@ object Dedup {
     * only documents sharing at least one shingle are ever paired — the
     * shuffle is keyed by (shingle, block), never an all-pairs block product. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(
+    val ex = shingleHashRows(
       Tables.documents(spark, dir)
         .withColumn("len_bucket", (col("n_chars") / 200).cast("long")),
       4, Seq("lang", "len_bucket"))
     val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("x").join(ex.as("y"),
-        col("x.s") === col("y.s") && col("x.lang") === col("y.lang") &&
+        col("x.hs") === col("y.hs") && col("x.lang") === col("y.lang") &&
           col("x.len_bucket") === col("y.len_bucket") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
@@ -319,12 +328,12 @@ object Dedup {
     * plan shape (equality join on shingle, pair-count groupBy) is the same
     * either way and never materializes an all-pairs product. */
   def d7LshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(Tables.documents(spark, dir), 3, Nil)
+    val ex = shingleHashRows(Tables.documents(spark, dir), 3, Nil)
     val sig = minhashSig(ex)
     val cand = lshCandidates(sig)
     val nsh = sig.select(col("doc_id"), col("n"))
     val inter = ex.as("x").join(ex.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
     val truth = inter
@@ -358,9 +367,10 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
       |)""".stripMargin
 
-  /** Shared DuckDB CTE chain: shingles -> minhash signatures -> LSH band
-    * collisions -> distinct candidate pairs (mirrors minhashSig +
-    * lshCandidates; used by the d2 and d7 oracles). */
+  /** Shared DuckDB CTE chain: 60-bit-hashed shingle lists -> minhash
+    * signatures -> LSH band collisions -> distinct candidate pairs
+    * (mirrors shingleHashRows + minhashSig + lshCandidates; used by the
+    * d2 and d7 oracles). */
   private lazy val MinhashCandCte: String = {
     val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
       s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
@@ -370,14 +380,18 @@ object Dedup {
       s"WHEN $b THEN md5($cat)"
     }.mkString(" ")
     Sh3Cte +
-      s""", shx AS (
-         |  SELECT doc_id, unnest(sh) AS s FROM sh
-         |), hh AS (
-         |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MersenneM AS h31 FROM shx
+      s""", shl AS (
+         |  SELECT doc_id, list_distinct(list_transform(sh,
+         |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
+         |  FROM sh
+         |), shx AS (
+         |  SELECT doc_id, unnest(hh) AS h FROM shl
+         |), h31s AS (
+         |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
          |), sig AS (
          |  SELECT doc_id,
          |        $sigCols
-         |  FROM hh GROUP BY doc_id
+         |  FROM h31s GROUP BY doc_id
          |), bands AS (
          |  SELECT doc_id, b, CASE b $bandCases END AS bh
          |  FROM sig, range(0, 4) t(b)
@@ -396,17 +410,17 @@ object Dedup {
     "d2_minhash_lsh" -> (MinhashCandCte +
         s"""
            |SELECT doc_a, doc_b,
-           |  ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) / 1000000.0 AS jaccard
-           |FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-           |WHERE ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) >= 500000
+           |  ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) / 1000000.0 AS jaccard
+           |FROM cand JOIN shl x ON x.doc_id = doc_a JOIN shl y ON y.doc_id = doc_b
+           |WHERE ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
            |ORDER BY doc_a, doc_b""".stripMargin),
 
     "d7_lsh_recall" -> (MinhashCandCte +
         s""", nsh AS (
-           |  SELECT doc_id, len(sh) AS n FROM sh
+           |  SELECT doc_id, len(hh) AS n FROM shl
            |), inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-           |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2
            |), truth AS (
            |  SELECT doc_a, doc_b FROM inter
@@ -450,11 +464,15 @@ object Dedup {
         |    list_distinct(list_transform(range(1, len(ws)-2),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
         |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents)
+        |), shl AS (
+        |  SELECT doc_id, lang, len_bucket, list_distinct(list_transform(sh,
+        |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
+        |  FROM sh
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ((2000000*(len(list_intersect(a.sh, b.sh))) + (len(list_distinct(a.sh || b.sh)))) // (2*(len(list_distinct(a.sh || b.sh))))) / 1000000.0 AS jaccard
-        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |WHERE ((2000000*(len(list_intersect(a.sh, b.sh))) + (len(list_distinct(a.sh || b.sh)))) // (2*(len(list_distinct(a.sh || b.sh))))) >= 300000
+        |  ((2000000*(len(list_intersect(a.hh, b.hh))) + (len(list_distinct(a.hh || b.hh)))) // (2*(len(list_distinct(a.hh || b.hh))))) / 1000000.0 AS jaccard
+        |FROM shl a JOIN shl b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE ((2000000*(len(list_intersect(a.hh, b.hh))) + (len(list_distinct(a.hh || b.hh)))) // (2*(len(list_distinct(a.hh || b.hh))))) >= 300000
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d5_embedding_neardup" ->
