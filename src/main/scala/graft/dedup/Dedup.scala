@@ -505,14 +505,18 @@ object Dedup {
         s"WHEN $b THEN md5($cat)"
       }.mkString(" ")
       Sh3Cte.replace("WITH sh", "WITH RECURSIVE sh") +
-        s""", shx AS (
-           |  SELECT doc_id, unnest(sh) AS s FROM sh
-           |), hh AS (
-           |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MersenneM AS h31 FROM shx
+        s""", shl AS (
+           |  SELECT doc_id, list_distinct(list_transform(sh,
+           |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
+           |  FROM sh
+           |), shx AS (
+           |  SELECT doc_id, unnest(hh) AS h FROM shl
+           |), h31s AS (
+           |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
            |), sig AS (
            |  SELECT doc_id,
            |        $sigCols
-           |  FROM hh GROUP BY doc_id
+           |  FROM h31s GROUP BY doc_id
            |), bands AS (
            |  SELECT doc_id, b, CASE b $bandCases END AS bh
            |  FROM sig, range(0, 4) t(b)
@@ -521,8 +525,8 @@ object Dedup {
            |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
            |), verified AS (
            |  SELECT doc_a, doc_b
-           |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-           |  WHERE ((2000000*(len(list_intersect(x.sh, y.sh))) + (len(list_distinct(x.sh || y.sh)))) // (2*(len(list_distinct(x.sh || y.sh))))) >= 500000
+           |  FROM cand JOIN shl x ON x.doc_id = doc_a JOIN shl y ON y.doc_id = doc_b
+           |  WHERE ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
            |), nodes AS (
            |  SELECT DISTINCT doc_id FROM (
            |    SELECT doc_a AS doc_id FROM verified UNION ALL SELECT doc_b FROM verified)

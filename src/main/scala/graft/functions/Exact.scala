@@ -29,17 +29,25 @@ object Exact {
     ColumnBridge.column(new IntegralDivide(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** round-half-up(num/den, 6) as an e6-scaled BIGINT (num, den >= 0). */
+  /** round-half-up(num/den, 6) as an e6-scaled BIGINT (num, den >= 0).
+    *
+    * The scaled numerator is built in DECIMAL(38,0): `num * 2e6` overflows
+    * BIGINT once num exceeds ~4.6e12 — e.g. sum(length(text)) at 100 TB is
+    * ~1e14. Ratios are computed on aggregated values (one per group), so
+    * the decimal op count is per-group, not per-row. Domain: the e6-scaled
+    * RESULT must fit BIGINT, i.e. num/den <= ~9e12 — true for every ratio
+    * here (averages, scores, recalls are all <= ~1e6). */
   def ratio6e(num: Column, den: Column): Column =
-    intDiv(num.cast("long") * 2000000L + den.cast("long"), den.cast("long") * 2L)
+    intDiv(num.cast("decimal(38,0)") * lit(2000000L) + den.cast("decimal(38,0)"),
+      den.cast("decimal(38,0)") * lit(2L))
 
   /** round-half-up(num/den, 6) as DOUBLE — cross-engine identical. */
   def ratio6(num: Column, den: Column): Column =
     ratio6e(num, den).cast("double") / 1000000.0
 
-  /** DuckDB SQL for ratio6e / ratio6. */
+  /** DuckDB SQL for ratio6e / ratio6 (HUGEINT for the same >2^63 headroom). */
   def ratio6eSql(num: String, den: String): String =
-    s"((2000000*($num) + ($den)) // (2*($den)))"
+    s"((2000000*CAST($num AS HUGEINT) + ($den)) // (2*CAST($den AS HUGEINT)))"
 
   def ratio6Sql(num: String, den: String): String =
     s"(${ratio6eSql(num, den)} / 1000000.0)"

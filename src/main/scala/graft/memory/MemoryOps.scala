@@ -250,7 +250,7 @@ object MemoryOps {
         |  count(*) FILTER (memory_type = 'permanent') AS n_permanent,
         |  count(*) FILTER (is_expired) AS n_expired,
         |  CAST(sum(length(data)) AS BIGINT) AS total_size_bytes,
-        |  ((2000000*(sum(ttl_seconds)) + (count(ttl_seconds))) // (2*(count(ttl_seconds)))) / 1000000.0 AS avg_ttl_seconds,
+        |  ((2000000*CAST(sum(ttl_seconds) AS HUGEINT) + (count(ttl_seconds))) // (2*CAST(count(ttl_seconds) AS HUGEINT))) / 1000000.0 AS avg_ttl_seconds,
         |  min(created_at) AS oldest_created_at,
         |  max(created_at) AS newest_created_at,
         |  max(access_count) AS max_access_count

@@ -194,7 +194,7 @@ object RagOps {
       """SELECT * FROM
         |(SELECT count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS total_content_length,
-        |  ((2000000*(sum(length(text))) + (count(*))) // (2*(count(*)))) / 1000000.0 AS avg_content_length,
+        |  ((2000000*CAST(sum(length(text)) AS HUGEINT) + (count(*))) // (2*CAST(count(*) AS HUGEINT))) / 1000000.0 AS avg_content_length,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_word_count,
         |  count(DISTINCT lang) AS n_langs,
         |  count(DISTINCT source) AS n_sources

@@ -37,6 +37,29 @@ class PropertySpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"dot mismatch: $g vs $w") }
   }
 
+  test("ratio6e equals BigDecimal round-half-up in e6 integer space, incl. past 2^53") {
+    import spark.implicits._
+    import graft.functions.Exact
+    // domain (see Exact scaladoc): e6-scaled result must fit BIGINT, so
+    // keep num/den <= 2^30 while pushing num well past 2^53 (where the
+    // old FP-division and BIGINT-multiply formulations silently broke)
+    val pairGen = for {
+      num <- Gen.chooseNum(0L, 1L << 60)
+      den <- Gen.chooseNum(math.max(1L, num >> 30), 1L << 40)
+    } yield (num, den)
+    val pairs = samples(pairGen, 60) ++
+      Seq((9007199254740993L, 4096L), ((1L << 60) - 1L, 1L << 20), (1L, 1000000000L))
+    val got = pairs.toDF("num", "den")
+      .select(Exact.ratio6e(col("num"), col("den"))).collect().map(_.getLong(0))
+    val want = pairs.map { case (n, d) =>
+      (BigDecimal(n) * 1000000 / BigDecimal(d))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    got.zip(want).zip(pairs).foreach { case ((g, w), p) =>
+      assert(g == w, s"ratio6e mismatch for $p: $g vs $w")
+    }
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val lists = samples(Gen.listOfN(5, word), 20)
