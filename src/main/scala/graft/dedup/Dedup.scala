@@ -348,6 +348,25 @@ object Dedup {
       .withColumn("recall", Exact.ratio6(col("n_caught"), col("n_true_pairs")))
   }
 
+  /** C8: the deduplicated corpus itself — what a training pipeline ships.
+    * Survivors = exact-canonical docs (min doc_id per content hash, a
+    * window over the hash partition — no join against a corpus-sized keep
+    * list) minus near-dup cluster non-canonicals (the SMALL drop set from
+    * d6, broadcast left-anti). The exact layer also covers docs too short
+    * to shingle, which MinHash can't see. */
+  def d8CanonicalCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    val flagged = Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("is_can", col("doc_id") === min(col("doc_id")).over(w))
+    val nearDrop = d6DupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    flagged.filter(col("is_can"))
+      .join(broadcast(nearDrop), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "content_hash")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup"         -> ((s, d) => d1ExactDup(s, d)),
     "d2_minhash_lsh"       -> ((s, d) => d2MinhashLsh(s, d)),
@@ -356,6 +375,7 @@ object Dedup {
     "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
     "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
     "d7_lsh_recall"        -> ((s, d) => d7LshRecall(s, d)),
+    "d8_canonical_corpus"  -> ((s, d) => d8CanonicalCorpus(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -496,53 +516,45 @@ object Dedup {
         |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (acc,x) -> acc+x)/(a.nrm*b.nrm) END, 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "d6_dup_clusters" -> {
-      val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
-        s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
-      }.mkString(",\n        ")
-      val bandCases = (0 until 4).map { b =>
-        val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
-        s"WHEN $b THEN md5($cat)"
-      }.mkString(" ")
-      Sh3Cte.replace("WITH sh", "WITH RECURSIVE sh") +
-        s""", shl AS (
-           |  SELECT doc_id, list_distinct(list_transform(sh,
-           |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
-           |  FROM sh
-           |), shx AS (
-           |  SELECT doc_id, unnest(hh) AS h FROM shl
-           |), h31s AS (
-           |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
-           |), sig AS (
-           |  SELECT doc_id,
-           |        $sigCols
-           |  FROM h31s GROUP BY doc_id
-           |), bands AS (
-           |  SELECT doc_id, b, CASE b $bandCases END AS bh
-           |  FROM sig, range(0, 4) t(b)
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-           |), verified AS (
-           |  SELECT doc_a, doc_b
-           |  FROM cand JOIN shl x ON x.doc_id = doc_a JOIN shl y ON y.doc_id = doc_b
-           |  WHERE ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
-           |), nodes AS (
-           |  SELECT DISTINCT doc_id FROM (
-           |    SELECT doc_a AS doc_id FROM verified UNION ALL SELECT doc_b FROM verified)
-           |), edges AS (
-           |  SELECT doc_a AS a, doc_b AS b FROM verified
-           |  UNION ALL SELECT doc_b, doc_a FROM verified
-           |), reach AS (
-           |  SELECT doc_id AS n, doc_id AS m FROM nodes
-           |  UNION
-           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-           |), cluster AS (
-           |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
-           |)
-           |SELECT doc_id, cluster_id,
-           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-           |FROM cluster ORDER BY doc_id""".stripMargin
-    },
+    "d6_dup_clusters" -> (D6ClusterCte +
+        """
+          |SELECT doc_id, cluster_id,
+          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          |FROM cluster ORDER BY doc_id""".stripMargin),
+
+    "d8_canonical_corpus" -> (D6ClusterCte +
+        """, drops AS (
+          |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
+          |), flagged AS (
+          |  SELECT doc_id, lang, source, md5(text) AS content_hash,
+          |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_can
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, source, content_hash FROM flagged
+          |WHERE is_can AND doc_id NOT IN (SELECT doc_id FROM drops)
+          |ORDER BY doc_id""".stripMargin),
   )
+
+  /** DuckDB CTE chain for d6/d8: the hashed-shingle candidate chain under a
+    * RECURSIVE prefix, plus verified pairs and the transitive-closure
+    * cluster table (the oracle's exact CC — min reachable id per node). */
+  private lazy val D6ClusterCte: String =
+    MinhashCandCte.replace("WITH sh", "WITH RECURSIVE sh") +
+      """, verified AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN shl x ON x.doc_id = doc_a JOIN shl y ON y.doc_id = doc_b
+        |  WHERE ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
+        |), nodes AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM verified UNION ALL SELECT doc_b FROM verified)
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM verified
+        |  UNION ALL SELECT doc_b, doc_a FROM verified
+        |), reach AS (
+        |  SELECT doc_id AS n, doc_id AS m FROM nodes
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        |), cluster AS (
+        |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+        |)""".stripMargin
 }

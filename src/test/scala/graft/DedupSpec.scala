@@ -30,6 +30,17 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("similarity") >= 0.4))
   }
 
+  test("canonical corpus: no surviving exact dups, cluster canonicals survive, drops don't") {
+    val surv = Dedup.d8CanonicalCorpus(spark, Sf)
+    val n = surv.count()
+    assert(surv.select("content_hash").distinct().count() == n)
+    val clusters = Dedup.d6DupClusters(spark, Sf)
+    val drops = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    assert(surv.join(drops, Seq("doc_id")).count() == 0)
+    val canonicals = clusters.select(col("cluster_id").as("doc_id")).distinct()
+    assert(canonicals.join(surv, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
   test("lsh recall: caught <= true pairs, recall in [0,1], and d2 pairs are a subset of truth") {
     val r = Dedup.d7LshRecall(spark, Sf).collect()(0)
     val nTrue = r.getAs[Long]("n_true_pairs")
