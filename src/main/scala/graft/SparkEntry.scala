@@ -38,7 +38,7 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
     MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++
-    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Map(
+    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Binary.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

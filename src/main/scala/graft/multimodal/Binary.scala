@@ -71,7 +71,60 @@ object Binary {
       .orderBy("doc_id")
   }
 
+  /** One sampled frame of a media payload (scalar-only: exact integer
+    * stats so the driver's DuckDB oracle can replicate them byte-for-byte
+    * — the test payloads are ASCII, so byte value == code point). */
+  case class FrameRow(doc_id: Long, frame_no: Int, frame_len: Int,
+                      sum_bytes: Long, max_byte: Int)
+
+  val FrameBytes = 256
+  val FrameStride = 4
+
+  /** STUB frame decoder: a real implementation would seek keyframes and
+    * decode pixels; fixed-size byte windows with integer stats stand in.
+    * The 1->N explode shape (one asset -> many sampled frames) is the
+    * real contract a video pipeline needs. */
+  private[graft] def sampleFrames(r: MediaRecord): Seq[FrameRow] =
+    r.payload.grouped(FrameBytes).zipWithIndex.collect {
+      case (chunk, i) if i % FrameStride == 0 =>
+        FrameRow(r.doc_id, i, chunk.length,
+          chunk.map(b => (b & 0xFF).toLong).sum,
+          chunk.map(b => b & 0xFF).max)
+    }.toSeq
+
+  /** F2: frame sampling — every FrameStride-th FrameBytes window of each
+    * payload, emitted as one row per sampled frame. Same partition-local
+    * batched execution as mm1; output grows by the sampling factor, never
+    * by the full decode. */
+  def mm2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaRecords(spark, dir)
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap(sampleFrames)))
+      .toDF()
+      .orderBy("doc_id", "frame_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_binary_features" -> ((s, d) => mm1BinaryFeatures(s, d)),
+    "mm2_frame_sample"    -> ((s, d) => mm2FrameSample(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm2_frame_sample" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT))) AS fno
+         |  FROM documents
+         |), win AS (
+         |  SELECT doc_id, CAST(fno AS INT) AS frame_no,
+         |    substr(text, CAST(fno * $FrameBytes + 1 AS INT), $FrameBytes) AS w
+         |  FROM fr WHERE fno % $FrameStride = 0
+         |)
+         |SELECT doc_id, frame_no, CAST(length(w) AS INT) AS frame_len,
+         |  CAST(list_aggregate(list_transform(range(1, length(w)+1),
+         |    i -> ord(substr(w, CAST(i AS INT), 1))), 'sum') AS BIGINT) AS sum_bytes,
+         |  CAST(list_aggregate(list_transform(range(1, length(w)+1),
+         |    i -> ord(substr(w, CAST(i AS INT), 1))), 'max') AS INT) AS max_byte
+         |FROM win ORDER BY doc_id, frame_no""".stripMargin,
   )
 }
