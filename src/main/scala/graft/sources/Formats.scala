@@ -28,4 +28,13 @@ object Formats {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ORC: the other columnar warehouse format Spark ships natively —
+  // predicate pushdown and column pruning work the same as parquet, so a
+  // deployment standardized on ORC loses nothing.
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -63,4 +63,19 @@ class SourcesSpec extends SparkSpec {
     val backCsv = Formats.readCsv(spark, cdir, docs.schema)
     assert(backCsv.count() == docs.count())
   }
+
+  test("documents survive an ORC round-trip with pushdown intact") {
+    val docs = Tables.documents(spark, Sf)
+    val odir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    Formats.writeOrc(docs, odir)
+    val back = Formats.readOrc(spark, odir)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum(length(col("text")))).collect()(0).getLong(0) ==
+      docs.agg(sum(length(col("text")))).collect()(0).getLong(0))
+    // filters reach the ORC scan like parquet (PushedFilters non-empty)
+    val plan = back.filter(col("doc_id") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"),
+      s"expected pushed filters in ORC scan:\n$plan")
+  }
 }
