@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.functions.Vec
+
 /** Structured Streaming operators (SURVEY.md §2.H) — the streaming analog of
   * the reference's SSE event feeds (/root/reference/mcp_synaptic/sse/ —
   * document/memory change + expiration events).
@@ -33,6 +35,41 @@ object Streams {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+  }
+
+  /** H5: streaming vector search — the Spark-native form of the reference's
+    * online `rag_search` serving (rag/database/search.py): query vectors
+    * arrive as a stream, the corpus is a STATIC broadcast side, and each
+    * micro-batch emits every query's top-k.
+    *
+    * Window functions aren't allowed on streaming frames, so top-k is a
+    * watermarked streaming AGGREGATION: collect the (similarity, id) pairs
+    * per query and sort/slice inside the aggregate — per-query candidate
+    * sets are bounded by the threshold filter before the shuffle. The
+    * stream-static join never shuffles the corpus; at scale it is the same
+    * broadcast scan as the batch path, executed per micro-batch.
+    *
+    * @param queries streaming frame: (query_id long, ts timestamp,
+    *                qv array&lt;float&gt;)
+    * @param corpus  static frame: (vec_id, v, nrm) — Search.corpus shape
+    */
+  def streamingSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                      threshold: Double, watermark: String = "10 minutes"): DataFrame = {
+    val q = (if (queries.isStreaming) queries.withWatermark("ts", watermark) else queries)
+      .withColumn("qnrm", Vec.norm2Native(col("qv")))
+    val sim = round(greatest(
+      when(col("qnrm") * col("nrm") === 0.0, 0.0)
+        .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))),
+      lit(0.0)), 6)
+    q.join(broadcast(corpus), col("vec_id") =!= col("query_id"))
+      .withColumn("similarity", sim)
+      .filter(col("similarity") >= threshold)
+      .groupBy(col("query_id"), col("ts"))
+      .agg(slice(array_sort(collect_list(
+          struct((-col("similarity")).as("negsim"), col("vec_id")))), 1, k).as("raw"))
+      .select(col("query_id"), col("ts"),
+        transform(col("raw"), e => e.getField("vec_id")).as("topk_vec_ids"),
+        transform(col("raw"), e => -e.getField("negsim")).as("topk_sims"))
   }
 
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)

@@ -5,6 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
+import org.apache.spark.sql.functions._
+
+import graft.rag.Search
 import graft.streaming.Streams
 import graft.streaming.Streams.MemEvent
 
@@ -55,6 +58,37 @@ class StreamsSpec extends SparkSpec {
       assert(rows.contains(("k1", "active", 2L)))
       assert(rows.contains(("k1", "expired", 2L)))
       assert(rows.contains(("k2", "active", 1L)))
+    } finally q.stop()
+  }
+
+  test("H5: streaming search emits the same top-k as the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Search.corpus(spark, Sf)
+    val qvecs = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), ts(1), r.getSeq[Float](1)))
+    assert(qvecs.nonEmpty)
+    val expected = Search.r3SearchTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("vec_id")).toSeq }
+
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val out = Streams.streamingSearch(
+      input.toDF().toDF("query_id", "ts", "qv"), corpus, k = 10, threshold = 0.2,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("h5_search")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(qvecs.toSeq)
+      q.processAllAvailable()
+      // a later dummy query advances the watermark so the first batch emits
+      input.addData((-899L, ts(30), qvecs.head._3))
+      q.processAllAvailable()
+      val got = spark.table("h5_search").collect()
+        .filter(_.getAs[Long]("query_id") >= 0)
+        .map(r => r.getAs[Long]("query_id") -> r.getSeq[Long](2)).toMap
+      assert(got == expected)
     } finally q.stop()
   }
 
