@@ -1,0 +1,315 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vec
+import graft.rag.Search
+
+/** Product quantization ANN (SURVEY.md §2.D5) — the memory-compression
+  * scale path: a 100 TB float embedding store collapses to 8 bytes per
+  * vector (8 subvectors x 1-byte codes), so the searchable index fits in a
+  * fraction of the footprint and scoring never touches the raw vectors.
+  * Public technique: Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search" (TPAMI 2011).
+  *
+  * Index build (one-time, narrow): the 64-dim space splits into M=8
+  * subspaces of 8 dims; each subspace gets K=16 data-drawn centroids (the
+  * subvectors of the rows with vec_id < K — deterministic, so the DuckDB
+  * oracle replays the exact same codebook). Every vector stores, per
+  * subspace, the id of its nearest centroid (rounded L2 distance,
+  * centroid-id tie-break) plus the reconstruction norm.
+  *
+  * Query (ADC — asymmetric distance computation): each query precomputes a
+  * 8x16 lookup table of subvector dot products against the codebook
+  * (tiny, broadcast); scoring a corpus vector is 8 array lookups + 7
+  * additions on the CODES — no 64-dim math per pair, no shuffle of the
+  * corpus. Every sum is written left-to-right in both engines so the
+  * rounded similarity is bit-identical cross-engine.
+  */
+object Pq {
+
+  val M = 8   // subvectors
+  val D = 8   // dims per subvector
+  val K = 16  // centroids per subvector
+
+  private def subvec(v: Column, m: Int): Column = slice(v, m * D + 1, D)
+
+  /** Codebook: (m, k, c float[D], cn2) from the corpus rows with vec_id < K. */
+  private def codebook(e: DataFrame): DataFrame = {
+    val base = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("k"), col("v"))
+    base.select(col("k"), explode(array((0 until M).map { m =>
+        struct(lit(m).as("m"), subvec(col("v"), m).as("c"))
+      }: _*)).as("s"))
+      .select(col("s.m").as("m"), col("k"), col("s.c").as("c"))
+      .withColumn("cn2", Vec.dotNative(col("c"), col("c")))
+  }
+
+  /** PQ codes, pivoted to one row per vector: code0..code7 + per-subspace
+    * chosen-centroid norms cn0..cn7 (summed left-to-right downstream). */
+  private def encode(e: DataFrame, cb: DataFrame): DataFrame = {
+    val sub = e.select(col("vec_id"), explode(array((0 until M).map { m =>
+        struct(lit(m).as("m"), subvec(col("v"), m).as("sub"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    // L2 argmin via -2*dot + |c|^2 (the |x|^2 term is constant per (vec, m))
+    val dist = round(lit(-2.0) * Vec.dotNative(col("sub"), col("c")) + col("cn2"), 6)
+    val wv = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("k"))
+    val codes = sub.join(broadcast(cb), "m")
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"), col("cn2"))
+    val aggs = (0 until M).flatMap { m =>
+      Seq(max(when(col("m") === m, col("code"))).as(s"code$m"),
+        max(when(col("m") === m, col("cn2"))).as(s"cn$m"))
+    }
+    codes.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** D5: PQ top-10 for the query set (vec_id % 101 == 0, as the IVF path).
+    * Similarity = approx_dot / (qnrm * recon_nrm), rounded; rank with id
+    * tie-break. */
+  def a5PqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Search.corpus(spark, dir) // vec_id, label, v, nrm
+    val cb = codebook(e)
+    val codes = encode(e, cb)
+    val probes = e.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // per-query LUT: for each m an array of K dot products, ordered by k.
+    // The slice offset depends on m, so qd is a CASE chain over m.
+    val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qv"), m), col("c"))))
+      .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
+        when(col("m") === m, d).otherwise(acc)
+      }
+    val lut = probes.join(broadcast(cb), lit(true))
+      .withColumn("qd", qd)
+      .groupBy(col("query_id"), col("qnrm"))
+      .agg((0 until M).map { m =>
+        transform(array_sort(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))),
+          s => s.getField("qd")).as(s"l$m")
+      }.head, (1 until M).map { m =>
+        transform(array_sort(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))),
+          s => s.getField("qd")).as(s"l$m")
+      }: _*)
+    // scoring: 8 array lookups + left-to-right sums on both engines
+    val approx = (0 until M).map(m =>
+      element_at(col(s"l$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+    val rn2 = (0 until M).map(m => col(s"cn$m")).reduce(_ + _)
+    val sim = round(
+      when(col("qnrm") * sqrt(rn2) === 0.0, 0.0).otherwise(approx / (col("qnrm") * sqrt(rn2))), 6)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** D7: PQ with exact re-rank — the production shape: the 8-byte codes
+    * produce an ADC shortlist of R=50 candidates per query (cheap, never
+    * touches raw vectors), then ONLY the shortlist joins back to the raw
+    * vectors for exact cosine top-10. At 100 TB the exact math runs on
+    * 50 rows per query instead of the corpus; recall is restored while the
+    * scan stays code-only. */
+  def a7PqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = a5PqTopK(spark, dir, k = 50)
+      .select(col("query_id"), col("vec_id"))
+    val e = Search.corpus(spark, dir)
+    val probes = e.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cand = shortlist
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(probes), "query_id")
+    val sim = round(
+      when(col("qnrm") * col("nrm") === 0.0, 0.0)
+        .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    cand.withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "vec_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** D6: PQ quality — recall@10 against exact brute force (a3's shape):
+    * the compression/accuracy trade is a measured, oracle-checked number. */
+  def a6PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
+      threshold = -1.0, clampZero = false, sameLabel = false)
+      .select(col("query_id"), col("vec_id"))
+    val pq = a5PqTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val common = bf.join(pq, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(common, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("recall", round(col("n_common").cast("double") / col("n_true"), 6))
+      .select("query_id", "n_true", "n_common", "recall")
+      .orderBy("query_id")
+  }
+
+  /** D8: recall@10 of the re-ranked PQ pipeline — shows the shortlist +
+    * exact-rescore stage restoring the accuracy pure ADC gives up. */
+  def a8PqRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
+      threshold = -1.0, clampZero = false, sameLabel = false)
+      .select(col("query_id"), col("vec_id"))
+    val rr = a7PqRerank(spark, dir).select(col("query_id"), col("vec_id"))
+    val common = bf.join(rr, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(common, Seq("query_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("recall", round(col("n_common").cast("double") / col("n_true"), 6))
+      .select("query_id", "n_true", "n_common", "recall")
+      .orderBy("query_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a5_pq_topk" -> ((s, d) => a5PqTopK(s, d)),
+    "a6_pq_recall" -> ((s, d) => a6PqRecall(s, d)),
+    "a7_pq_rerank" -> ((s, d) => a7PqRerank(s, d)),
+    "a8_pq_rerank_recall" -> ((s, d) => a8PqRerankRecall(s, d)),
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
+
+  /** DOUBLE[8] subvector m of 64-dim list `v` (m is a SQL expression). */
+  private def subSql(v: String, m: String): String =
+    s"list_transform(range(1, $D + 1), j -> $v[$m*$D + j])"
+
+  /** Shared CTE chain to the ranked PQ results (mirrors codebook + encode +
+    * LUT scoring; every multi-term sum written left-to-right like the Spark
+    * side so the rounded similarity is bit-identical). */
+  private lazy val PqCte: String = {
+    val codePivot = (0 until M).map(m =>
+      s"max(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n        ")
+    val cnPivot = (0 until M).map(m =>
+      s"max(CASE WHEN m = $m THEN cn2 END) AS cnp$m").mkString(",\n        ")
+    val lutJoins = (0 until M).map(m =>
+      s"JOIN lut l$m ON l$m.query_id = p.query_id AND l$m.m = $m AND l$m.k = s.code$m")
+      .mkString("\n  ")
+    val approx = (0 until M).map(m => s"l$m.qd").mkString(" + ")
+    val rn2 = (0 until M).map(m => s"s.cnp$m").mkString(" + ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
+       |cbn AS (
+       |  SELECT t.m, e.vec_id AS k, ${subSql("e.v", "t.m")} AS c,
+       |    ${dotSql(subSql("e.v", "t.m"), subSql("e.v", "t.m"))} AS cn2
+       |  FROM en e, range(0, $M) t(m) WHERE e.vec_id < $K
+       |), subv AS (
+       |  SELECT e.vec_id, t.m, ${subSql("e.v", "t.m")} AS sub
+       |  FROM en e, range(0, $M) t(m)
+       |), dists AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    round(-2.0*${dotSql("s.sub", "c.c")} + c.cn2, 6) AS dist, c.cn2
+       |  FROM subv s JOIN cbn c ON c.m = s.m
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code, cn2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM dists) WHERE rn = 1
+       |), cp AS (
+       |  SELECT vec_id,
+       |        $codePivot,
+       |        $cnPivot
+       |  FROM codes GROUP BY vec_id
+       |), probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id % 101 = 0
+       |), lut AS (
+       |  SELECT p.query_id, c.m, c.k, ${dotSql(subSql("p.qv", "c.m"), "c.c")} AS qd
+       |  FROM probes p, cbn c
+       |), scored AS (
+       |  SELECT p.query_id, s.vec_id,
+       |    round(CASE WHEN p.qnrm * sqrt($rn2) = 0 THEN 0.0
+       |      ELSE ($approx) / (p.qnrm * sqrt($rn2)) END, 6) AS similarity
+       |  FROM cp s CROSS JOIN probes p
+       |  $lutJoins
+       |  WHERE s.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+       |  FROM scored)""".stripMargin
+  }
+
+  /** ADC shortlist (R=50) -> exact cosine re-rank (appended after PqCte). */
+  private lazy val RerankCte: String =
+    s"""
+       |, shortlist AS (
+       |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 50
+       |), rr AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(CASE WHEN p.qnrm*e2.nrm = 0 THEN 0.0
+       |      ELSE ${dotSql("p.qv", "e2.v")}/(p.qnrm*e2.nrm) END, 6) AS similarity
+       |  FROM shortlist s
+       |  JOIN en e2 ON e2.vec_id = s.vec_id
+       |  JOIN probes p ON p.query_id = s.query_id
+       |), rranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+       |  FROM rr)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "a5_pq_topk" -> (PqCte +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin),
+
+    "a7_pq_rerank" -> (PqCte + RerankCte +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM rranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin),
+
+    "a8_pq_rerank_recall" -> (PqCte + RerankCte +
+      s"""
+         |, rr10 AS (
+         |  SELECT query_id, vec_id FROM rranked WHERE rnk <= 10
+         |), bfs AS (
+         |  SELECT q.vec_id AS query_id, en2.vec_id,
+         |    round(CASE WHEN q.nrm*en2.nrm = 0 THEN 0.0
+         |      ELSE ${dotSql("q.v", "en2.v")}/(q.nrm*en2.nrm) END, 6) AS similarity
+         |  FROM en q JOIN en en2 ON en2.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 101 = 0
+         |), bf AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+         |    FROM bfs) WHERE rnk <= 10
+         |), common AS (
+         |  SELECT bf.query_id, count(*) AS n_common
+         |  FROM bf JOIN rr10 ON bf.query_id = rr10.query_id AND bf.vec_id = rr10.vec_id
+         |  GROUP BY bf.query_id
+         |)
+         |SELECT t.query_id, t.n_true, coalesce(c.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_true, 6) AS recall
+         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+         |LEFT JOIN common c ON c.query_id = t.query_id
+         |ORDER BY t.query_id""".stripMargin),
+
+    "a6_pq_recall" -> (PqCte +
+      s"""
+         |, pq AS (
+         |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
+         |), bfs AS (
+         |  SELECT q.vec_id AS query_id, en2.vec_id,
+         |    round(CASE WHEN q.nrm*en2.nrm = 0 THEN 0.0
+         |      ELSE ${dotSql("q.v", "en2.v")}/(q.nrm*en2.nrm) END, 6) AS similarity
+         |  FROM en q JOIN en en2 ON en2.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 101 = 0
+         |), bf AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+         |    FROM bfs) WHERE rnk <= 10
+         |), common AS (
+         |  SELECT bf.query_id, count(*) AS n_common
+         |  FROM bf JOIN pq ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
+         |  GROUP BY bf.query_id
+         |)
+         |SELECT t.query_id, t.n_true, coalesce(c.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_true, 6) AS recall
+         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+         |LEFT JOIN common c ON c.query_id = t.query_id
+         |ORDER BY t.query_id""".stripMargin),
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ann.Pq
+
+class PqSpec extends SparkSpec {
+
+  test("PQ top-k is well-formed: dense ranks, bounded similarity, no self-hits") {
+    val rows = Pq.a5PqTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rnk")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"ranks not dense for query $q")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("vec_id") != q, "self hit")
+        val s = r.getAs[Double]("similarity")
+        assert(s >= -1.000001 && s <= 1.000001, s"similarity out of range: $s")
+      }
+    }
+  }
+
+  test("PQ recall@10 is measured against full brute force and lands in [0,1]") {
+    val rows = Pq.a6PqRecall(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") == 10L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("exact re-rank never lowers recall vs pure ADC") {
+    val adc = Pq.a6PqRecall(spark, Sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    val rr = Pq.a8PqRerankRecall(spark, Sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    assert(rr.keySet == adc.keySet)
+    rr.foreach { case (q, rec) =>
+      assert(rec >= adc(q), s"re-rank lowered recall for query $q: ${adc(q)} -> $rec")
+    }
+  }
+}
