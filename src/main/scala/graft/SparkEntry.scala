@@ -34,6 +34,8 @@ object SparkEntry {
     "q9_profit"    -> ((s, dir) => Queries.q9ProfitByNation(s, dir)),
     "q6_revenue"   -> ((s, dir) => Queries.q6Revenue(s, dir)),
     "q8_rollup"    -> ((s, dir) => Queries.q8Rollup(s, dir)),
+    "q4_semi"      -> ((s, dir) => Queries.q4SemiJoin(s, dir)),
+    "q10_returns"  -> ((s, dir) => Queries.q10Returns(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
@@ -122,5 +124,30 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type, date_trunc('day', ts)
         |ORDER BY event_type, day""".stripMargin,
+
+    "q4_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -156,6 +156,48 @@ object Queries {
       .orderBy(col("n_name"), col("o_year").desc)
   }
 
+  /** q4: order-priority check (TPC-H Q4 shape) — the EXISTS/semi-join
+    * pattern: orders with at least one lineitem shipped >90 days after the
+    * order date. LeftSemi never duplicates or carries lineitem columns —
+    * the probe side streams, only the match bit survives, and the
+    * aggregation is a tiny groupBy on priority. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q10: returned-item revenue per customer (TPC-H Q10 shape), top 20.
+    * At scale: lineitem⋈orders and ⋈customer shuffle on their keys (both
+    * sides large), nation broadcasts, and the top-20 is
+    * TakeOrderedAndProject — no global sort of the aggregate. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {

@@ -73,7 +73,12 @@ object Pq {
     * tie-break. */
   def a5PqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Search.corpus(spark, dir) // vec_id, label, v, nrm
-    val cb = codebook(e)
+    adcTopK(e, codebook(e), k)
+  }
+
+  /** ADC search against ANY (m, k, c, cn2) codebook — shared by the
+    * deterministic (a5) and k-means-trained (a9) paths. */
+  private def adcTopK(e: DataFrame, cb: DataFrame, k: Int): DataFrame = {
     val codes = encode(e, cb)
     val probes = e.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -151,6 +156,38 @@ object Pq {
       .orderBy("query_id")
   }
 
+  /** Trained codebook: one seeded MLlib k-means per subspace over the
+    * corpus subvectors — the production codebook build (a4's MLlib path
+    * applied per-subspace). Centers land in the same (m, k, c, cn2) shape
+    * as the deterministic codebook, so the whole ADC pipeline is reused
+    * unchanged. Not oracle-gated (k-means isn't SQL-reproducible) —
+    * spec-tested instead. */
+  private def trainedCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    // codebooks train on a deterministic ~25% sample — standard PQ practice
+    // (a few hundred vectors per centroid suffice) and 4x less fit time
+    val sample = e.filter(col("vec_id") % 4 === 0)
+    val rows = (0 until M).flatMap { m =>
+      val sub = sample.select(
+        org.apache.spark.ml.functions.array_to_vector(subvec(col("v"), m)).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(K).setSeed(42L + m).setMaxIter(5).setFeaturesCol("features")
+        .fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (c, kk) =>
+        (m, kk, c.toArray.map(_.toFloat))
+      }
+    }
+    rows.toDF("m", "k", "c").withColumn("cn2", Vec.dotNative(col("c"), col("c")))
+  }
+
+  /** D9: PQ with k-means-trained codebooks (rows-only + spec): better
+    * quantization than data-drawn centroids, same 8-byte index and ADC
+    * scan. */
+  def a9PqKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    adcTopK(e, trainedCodebook(spark, e), 10)
+  }
+
   /** D8: recall@10 of the re-ranked PQ pipeline — shows the shortlist +
     * exact-rescore stage restoring the accuracy pure ADC gives up. */
   def a8PqRerankRecall(spark: SparkSession, dir: String): DataFrame = {
@@ -173,6 +210,7 @@ object Pq {
     "a6_pq_recall" -> ((s, d) => a6PqRecall(s, d)),
     "a7_pq_rerank" -> ((s, d) => a7PqRerank(s, d)),
     "a8_pq_rerank_recall" -> ((s, d) => a8PqRerankRecall(s, d)),
+    "a9_pq_kmeans" -> ((s, d) => a9PqKmeansTopK(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle

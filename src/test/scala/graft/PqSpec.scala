@@ -28,6 +28,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("k-means-trained PQ returns well-formed top-k with nonzero recall") {
+    val rows = Pq.a9PqKmeansTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("query_id"))
+      val s = r.getAs[Double]("similarity")
+      assert(s >= -1.000001 && s <= 1.000001)
+    }
+    // recall vs exact brute force, computed in-spec (k-means not oracle-able)
+    val bf = graft.rag.Search.knn(spark, Sf,
+        org.apache.spark.sql.functions.col("vec_id") % 101 === 0,
+        k = 10, threshold = -1.0, clampZero = false, sameLabel = false)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = rows.count(r => bf((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))))
+    assert(hits > 0, "trained-codebook PQ found none of the true top-10")
+  }
+
   test("exact re-rank never lowers recall vs pure ADC") {
     val adc = Pq.a6PqRecall(spark, Sf).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
