@@ -259,10 +259,23 @@ object Dedup {
     * non-converged exit is an ERROR, not a silent wrong answer. */
   def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
+    val labels = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+    pairs.unpersist()
+    out
+  }
+
+  /** Connected components over an undirected pair list (doc_a, doc_b) —
+    * returns (doc_id, lbl) where lbl is the smallest reachable id.
+    * Exposed for reuse and for the deep-chain convergence spec. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
-      System.err.println(f"[graft] d6 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.err.println(f"[graft] cc $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
     // Init fuses the first propagation: label = min(self, direct neighbors)
@@ -290,27 +303,23 @@ object Dedup {
         .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old").as("old"))
         .persist()
       changed = merged.filter(col("lbl") < col("old")).count()
+      // truncate lineage EVERY round: the label table is tiny, but the
+      // logical plan otherwise grows ~4x per round and Catalyst ANALYSIS
+      // (not execution) becomes the cost — measured 19s/round by round 6
+      // on a 400-chain without this. localCheckpoint here; a reliable
+      // checkpoint dir on a real cluster.
+      val cp = merged.select("doc_id", "lbl").localCheckpoint(true)
       cache.unpersist()
-      cache = merged
-      labels = merged.select("doc_id", "lbl")
+      merged.unpersist()
+      cache = cp
+      labels = cp
       rounds += 1
       lap(s"round $rounds (changed=$changed)")
-      if (rounds % 5 == 0) {
-        val cp = labels.localCheckpoint(true)
-        cache.unpersist()
-        cache = cp
-        labels = cp
-      }
     }
     require(changed == 0,
-      s"d6DupClusters did not converge after $MaxRounds pointer-jumping rounds")
-    System.err.println(s"[graft] d6DupClusters converged in $rounds rounds")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .orderBy("doc_id")
-    pairs.unpersist()
-    out
+      s"connectedComponents did not converge after $MaxRounds pointer-jumping rounds")
+    System.err.println(s"[graft] connectedComponents converged in $rounds rounds")
+    labels
   }
 
   /** C7: LSH candidate recall vs exhaustive ground truth. Every pair with

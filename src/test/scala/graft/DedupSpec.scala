@@ -30,6 +30,17 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("similarity") >= 0.4))
   }
 
+  test("connected components handles a diameter-400 chain within the round cap") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-400: worst case for plain neighbor propagation
+    // (400 rounds); pointer jumping must collapse it in O(log d) <= 30
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+    assert(labels.length == 401)
+    labels.foreach(r => assert(r.getAs[Long]("lbl") == 0L,
+      s"node ${r.getAs[Long]("doc_id")} not labeled with the component min"))
+  }
+
   test("canonical corpus: no surviving exact dups, cluster canonicals survive, drops don't") {
     val surv = Dedup.d8CanonicalCorpus(spark, Sf)
     val n = surv.count()

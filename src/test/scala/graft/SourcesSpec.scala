@@ -49,6 +49,24 @@ class SourcesSpec extends SparkSpec {
     assert(!files.contains("list_id=1") || files.contains("PartitionFilters"))
   }
 
+  test("events partitioned by day prune a date-range scan to matching days") {
+    val ev = Tables.events(spark, Sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Files.createTempDirectory("graft_evday").toString
+    Warehouse.writePartitioned(ev, dir, "day")
+    val oneDay = Formats.readParquet(spark, dir).filter(col("day") === "2024-01-03")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"expected a partition filter on day:\n$plan")
+    assert(oneDay.count() == ev.filter(col("day") === "2024-01-03").count())
+    // the time-travel shape every event-log query takes at 100 TB: the scan
+    // reads only the requested days' directories, never the full history
+    val range = Formats.readParquet(spark, dir)
+      .filter(col("day") >= "2024-01-02" && col("day") <= "2024-01-04")
+    assert(range.count() ==
+      ev.filter(col("day") >= "2024-01-02" && col("day") <= "2024-01-04").count())
+  }
+
   test("documents survive a JSON and CSV round-trip") {
     val docs = Tables.documents(spark, Sf)
     val jdir = Files.createTempDirectory("graft_json").toString + "/docs"
