@@ -25,8 +25,15 @@ object Bench {
     graft.analytics.Queries.q6Revenue(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be VISIBLE: stderr log + negative timing (a
+      // silent catch once hid an analysis error as a fast "result")
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${String.valueOf(e.getMessage).take(300)}")
+          false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

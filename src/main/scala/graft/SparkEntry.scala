@@ -36,6 +36,8 @@ object SparkEntry {
     "q8_rollup"    -> ((s, dir) => Queries.q8Rollup(s, dir)),
     "q4_semi"      -> ((s, dir) => Queries.q4SemiJoin(s, dir)),
     "q10_returns"  -> ((s, dir) => Queries.q10Returns(s, dir)),
+    "q14_promo"    -> ((s, dir) => Queries.q14Promo(s, dir)),
+    "q16_parts"    -> ((s, dir) => Queries.q16Parts(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
@@ -149,5 +151,28 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |    * 100.0
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS promo_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q16_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 30""".stripMargin,
   )
 }

@@ -198,6 +198,42 @@ object Queries {
       .limit(20)
   }
 
+  /** q14: promotion revenue share (TPC-H Q14 shape) — conditional
+    * aggregation: two decimal sums in ONE pass over the month's lineitems
+    * (no second scan, no join duplication), part broadcast. The final
+    * percentage divides the two exact sums as doubles, left-to-right in
+    * both engines. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).cast("double") * lit(100.0) /
+          sum(revenue.cast("decimal(18,4)")).cast("double")).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q16: supplier diversity per part segment (TPC-H Q16 shape) — a
+    * count(DISTINCT) over a broadcast-joined dimension slice; the distinct
+    * dedups map-side per group before the exchange. */
+  def q16Parts(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(30)
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
