@@ -171,7 +171,8 @@ object Pq {
       val sub = sample.select(
         org.apache.spark.ml.functions.array_to_vector(subvec(col("v"), m)).as("features"))
       val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(K).setSeed(42L + m).setMaxIter(3).setFeaturesCol("features")
+        .setK(K).setSeed(42L + m).setMaxIter(3).setInitMode("random")
+        .setFeaturesCol("features")
         .fit(sub)
       model.clusterCenters.zipWithIndex.map { case (c, kk) =>
         (m, kk, c.toArray.map(_.toFloat))
