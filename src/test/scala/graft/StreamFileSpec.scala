@@ -41,4 +41,31 @@ class StreamFileSpec extends SparkSpec {
       assert(s == b, s"streamed ${s.size} windows vs batch ${b.size}")
     } finally q.stop()
   }
+
+  test("streaming ingest writes a durable checkpointed parquet sink") {
+    val events = Tables.events(spark, Sf).select("event_id", "ts", "event_type", "value")
+    val srcDir = Files.createTempDirectory("graft_sink_src").toString + "/events"
+    val sinkDir = Files.createTempDirectory("graft_sink_out").toString + "/bronze"
+    val ckptDir = Files.createTempDirectory("graft_sink_ck").toString + "/ckpt"
+    events.write.mode("overwrite").parquet(srcDir)
+
+    // the raw->bronze ingest shape: stateless derive + filter, append sink
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+      .filter(col("value") >= 0.0)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val q = stream.writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val sunk = spark.read.parquet(sinkDir)
+    val expected = events.filter(col("value") >= 0.0).count()
+    assert(sunk.count() == expected, "sink row count != filtered source count")
+    assert(sunk.columns.contains("day"))
+    // exactly-once bookkeeping exists: committed offsets in the checkpoint
+    assert(new java.io.File(s"$ckptDir/commits").listFiles().nonEmpty,
+      "checkpoint has no committed batches")
+  }
 }
