@@ -38,6 +38,7 @@ object SparkEntry {
     "q10_returns"  -> ((s, dir) => Queries.q10Returns(s, dir)),
     "q14_promo"    -> ((s, dir) => Queries.q14Promo(s, dir)),
     "q16_parts"    -> ((s, dir) => Queries.q16Parts(s, dir)),
+    "q22_idle"     -> ((s, dir) => Queries.q22IdleCustomers(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
@@ -174,5 +175,20 @@ object SparkEntry {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         |LIMIT 30""".stripMargin,
+
+    "q22_idle" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |), thresh AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS n_c
+        |  FROM cust WHERE bal_c > 0
+        |)
+        |SELECT count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM cust, thresh
+        |WHERE bal_c * n_c > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
   )
 }

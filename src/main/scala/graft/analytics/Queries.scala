@@ -234,6 +234,25 @@ object Queries {
       .limit(30)
   }
 
+  /** q22: idle high-balance customers (TPC-H Q22 shape) — a broadcast
+    * scalar-aggregate subquery plus a left-anti join: customers with an
+    * above-average balance and no orders at all. The "above average"
+    * comparison runs in exact integer space (balance_cents * n > sum_cents)
+    * — a double avg would be an order-dependent FP sum, unstable across
+    * engines AND across 100 TB shuffle orders. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+    val thresh = cust.filter(col("bal_c") > 0)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_c"))
+    val ord = Tables.orders(spark, dir).select("o_custkey").distinct()
+    cust.crossJoin(broadcast(thresh))
+      .filter(col("bal_c") * col("n_c") > col("sum_c"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_custs"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
