@@ -19,10 +19,17 @@ object Bench {
       .groupBy("event_type").count().count()
     // ... and one cheap query per subsystem (memory build, text scan,
     // analytics agg) so the first measured query of each family isn't
-    // charged the family's one-time codegen/JIT cost.
-    graft.memory.MemoryOps.m4Stats(spark, sfDir).count()
-    graft.text.TextOps.queries("t1_langid")(spark, sfDir).count()
-    graft.analytics.Queries.q6Revenue(spark, sfDir).count()
+    // charged the family's one-time codegen/JIT cost. Guarded: a broken
+    // warm-up query must degrade to a cold start, not abort the bench
+    // before any JSON is printed.
+    Seq[() => Any](
+      () => graft.memory.MemoryOps.m4Stats(spark, sfDir).count(),
+      () => graft.text.TextOps.queries("t1_langid")(spark, sfDir).count(),
+      () => graft.analytics.Queries.q6Revenue(spark, sfDir).count(),
+    ).foreach(w => try w() catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup FAILED: ${String.valueOf(e.getMessage).take(200)}")
+    })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE: stderr log + negative timing (a

@@ -88,16 +88,14 @@ object Pq {
       .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
         when(col("m") === m, d).otherwise(acc)
       }
+    val lutAggs = (0 until M).map { m =>
+      transform(array_sort(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))),
+        s => s.getField("qd")).as(s"l$m")
+    }
     val lut = probes.join(broadcast(cb), lit(true))
       .withColumn("qd", qd)
       .groupBy(col("query_id"), col("qnrm"))
-      .agg((0 until M).map { m =>
-        transform(array_sort(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))),
-          s => s.getField("qd")).as(s"l$m")
-      }.head, (1 until M).map { m =>
-        transform(array_sort(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))),
-          s => s.getField("qd")).as(s"l$m")
-      }: _*)
+      .agg(lutAggs.head, lutAggs.tail: _*)
     // scoring: 8 array lookups + left-to-right sums on both engines
     val approx = (0 until M).map(m =>
       element_at(col(s"l$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
@@ -125,8 +123,11 @@ object Pq {
     val e = Search.corpus(spark, dir)
     val probes = e.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val cand = shortlist
-      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    // broadcast the (queries x 50)-row shortlist into the corpus scan —
+    // without the hint the stats-less window output plans a sort-merge
+    // join that shuffles the raw-vector corpus
+    val cand = e.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(shortlist), "vec_id")
       .join(broadcast(probes), "query_id")
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
@@ -139,14 +140,15 @@ object Pq {
       .orderBy("query_id", "rnk")
   }
 
-  /** D6: PQ quality — recall@10 against exact brute force (a3's shape):
-    * the compression/accuracy trade is a measured, oracle-checked number. */
-  def a6PqRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** recall@10 of an approximate result set vs exact brute force over the
+    * same query set — shared by a6 (pure ADC) and a8 (re-ranked). */
+  private def recallVsBruteForce(spark: SparkSession, dir: String,
+                                 approx: DataFrame): DataFrame = {
     val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
       threshold = -1.0, clampZero = false, sameLabel = false)
       .select(col("query_id"), col("vec_id"))
-    val pq = a5PqTopK(spark, dir).select(col("query_id"), col("vec_id"))
-    val common = bf.join(pq, Seq("query_id", "vec_id"))
+    val common = bf.join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_common"))
     bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
       .join(common, Seq("query_id"), "left")
@@ -155,6 +157,11 @@ object Pq {
       .select("query_id", "n_true", "n_common", "recall")
       .orderBy("query_id")
   }
+
+  /** D6: PQ quality — recall@10 against exact brute force (a3's shape):
+    * the compression/accuracy trade is a measured, oracle-checked number. */
+  def a6PqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBruteForce(spark, dir, a5PqTopK(spark, dir))
 
   /** Trained codebook: one seeded MLlib k-means per subspace over the
     * corpus subvectors — the production codebook build (a4's MLlib path
@@ -191,20 +198,8 @@ object Pq {
 
   /** D8: recall@10 of the re-ranked PQ pipeline — shows the shortlist +
     * exact-rescore stage restoring the accuracy pure ADC gives up. */
-  def a8PqRerankRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
-      threshold = -1.0, clampZero = false, sameLabel = false)
-      .select(col("query_id"), col("vec_id"))
-    val rr = a7PqRerank(spark, dir).select(col("query_id"), col("vec_id"))
-    val common = bf.join(rr, Seq("query_id", "vec_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
-    bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-      .join(common, Seq("query_id"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("recall", round(col("n_common").cast("double") / col("n_true"), 6))
-      .select("query_id", "n_true", "n_common", "recall")
-      .orderBy("query_id")
-  }
+  def a8PqRerankRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBruteForce(spark, dir, a7PqRerank(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a5_pq_topk" -> ((s, d) => a5PqTopK(s, d)),
@@ -290,6 +285,32 @@ object Pq {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
        |  FROM rr)""".stripMargin
 
+  /** Shared recall-vs-brute-force SQL tail: joins `approxRel`
+    * (query_id, vec_id) against the exact top-10 (mirror of
+    * recallVsBruteForce — change the recall definition in ONE place). */
+  private def recallTailSql(approxRel: String): String =
+    s"""
+       |, bfs AS (
+       |  SELECT q.vec_id AS query_id, en2.vec_id,
+       |    round(CASE WHEN q.nrm*en2.nrm = 0 THEN 0.0
+       |      ELSE ${dotSql("q.v", "en2.v")}/(q.nrm*en2.nrm) END, 6) AS similarity
+       |  FROM en q JOIN en en2 ON en2.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 101 = 0
+       |), bf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+       |    FROM bfs) WHERE rnk <= 10
+       |), common AS (
+       |  SELECT bf.query_id, count(*) AS n_common
+       |  FROM bf JOIN $approxRel a ON bf.query_id = a.query_id AND bf.vec_id = a.vec_id
+       |  GROUP BY bf.query_id
+       |)
+       |SELECT t.query_id, t.n_true, coalesce(c.n_common, 0) AS n_common,
+       |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_true, 6) AS recall
+       |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+       |LEFT JOIN common c ON c.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "a5_pq_topk" -> (PqCte +
       """
@@ -302,53 +323,15 @@ object Pq {
         |ORDER BY query_id, rnk""".stripMargin),
 
     "a8_pq_rerank_recall" -> (PqCte + RerankCte +
-      s"""
-         |, rr10 AS (
-         |  SELECT query_id, vec_id FROM rranked WHERE rnk <= 10
-         |), bfs AS (
-         |  SELECT q.vec_id AS query_id, en2.vec_id,
-         |    round(CASE WHEN q.nrm*en2.nrm = 0 THEN 0.0
-         |      ELSE ${dotSql("q.v", "en2.v")}/(q.nrm*en2.nrm) END, 6) AS similarity
-         |  FROM en q JOIN en en2 ON en2.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 101 = 0
-         |), bf AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
-         |    FROM bfs) WHERE rnk <= 10
-         |), common AS (
-         |  SELECT bf.query_id, count(*) AS n_common
-         |  FROM bf JOIN rr10 ON bf.query_id = rr10.query_id AND bf.vec_id = rr10.vec_id
-         |  GROUP BY bf.query_id
-         |)
-         |SELECT t.query_id, t.n_true, coalesce(c.n_common, 0) AS n_common,
-         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_true, 6) AS recall
-         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
-         |LEFT JOIN common c ON c.query_id = t.query_id
-         |ORDER BY t.query_id""".stripMargin),
+      """
+        |, rr10 AS (
+        |  SELECT query_id, vec_id FROM rranked WHERE rnk <= 10
+        |)""".stripMargin + recallTailSql("rr10")),
 
     "a6_pq_recall" -> (PqCte +
-      s"""
-         |, pq AS (
-         |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
-         |), bfs AS (
-         |  SELECT q.vec_id AS query_id, en2.vec_id,
-         |    round(CASE WHEN q.nrm*en2.nrm = 0 THEN 0.0
-         |      ELSE ${dotSql("q.v", "en2.v")}/(q.nrm*en2.nrm) END, 6) AS similarity
-         |  FROM en q JOIN en en2 ON en2.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 101 = 0
-         |), bf AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
-         |    FROM bfs) WHERE rnk <= 10
-         |), common AS (
-         |  SELECT bf.query_id, count(*) AS n_common
-         |  FROM bf JOIN pq ON bf.query_id = pq.query_id AND bf.vec_id = pq.vec_id
-         |  GROUP BY bf.query_id
-         |)
-         |SELECT t.query_id, t.n_true, coalesce(c.n_common, 0) AS n_common,
-         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / t.n_true, 6) AS recall
-         |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
-         |LEFT JOIN common c ON c.query_id = t.query_id
-         |ORDER BY t.query_id""".stripMargin),
+      """
+        |, pq AS (
+        |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
+        |)""".stripMargin + recallTailSql("pq")),
   )
 }

@@ -319,7 +319,11 @@ object Dedup {
     require(changed == 0,
       s"connectedComponents did not converge after $MaxRounds pointer-jumping rounds")
     System.err.println(s"[graft] connectedComponents converged in $rounds rounds")
-    labels
+    // hand the caller its own checkpoint and release the loop's final one,
+    // so repeated CC calls in one session don't pin superseded label tables
+    val result = labels.localCheckpoint(true)
+    cache.unpersist()
+    result
   }
 
   /** C7: LSH candidate recall vs exhaustive ground truth. Every pair with
@@ -368,10 +372,14 @@ object Dedup {
     val flagged = Tables.documents(spark, dir)
       .withColumn("content_hash", md5(col("text")))
       .withColumn("is_can", col("doc_id") === min(col("doc_id")).over(w))
+    // no broadcast hint: the drop set is corpus-PROPORTIONAL (20-40% of a
+    // web-scale corpus is near-dup), so the planner/AQE must pick the join
+    // strategy — broadcast when it fits, shuffle/bucketed anti join when
+    // it doesn't
     val nearDrop = d6DupClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     flagged.filter(col("is_can"))
-      .join(broadcast(nearDrop), Seq("doc_id"), "left_anti")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "content_hash")
       .orderBy("doc_id")
   }

@@ -65,7 +65,8 @@ class StreamFileSpec extends SparkSpec {
     assert(sunk.count() == expected, "sink row count != filtered source count")
     assert(sunk.columns.contains("day"))
     // exactly-once bookkeeping exists: committed offsets in the checkpoint
-    assert(new java.io.File(s"$ckptDir/commits").listFiles().nonEmpty,
-      "checkpoint has no committed batches")
+    // (listFiles is null when the dir is missing — that IS the failure case)
+    val commits = Option(new java.io.File(s"$ckptDir/commits").listFiles())
+    assert(commits.exists(_.nonEmpty), "checkpoint has no committed batches")
   }
 }
