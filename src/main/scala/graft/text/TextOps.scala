@@ -82,6 +82,34 @@ object TextOps {
       .select("doc_id", "ws_tokens", "seg_tokens", "bpe_est")
       .orderBy("doc_id")
 
+  /** E5: the keep/drop verdict — the training-data filter decision that
+    * composes the pipeline's signals per document: exact-dup canonical
+    * (keep one per content hash), quality score above threshold, token
+    * count in band, allowed language. Every predicate is integer/boolean
+    * (no FP on the decision path), so the verdict is bit-stable across
+    * engines and shuffle orders; at 100 TB this is one narrow pass plus
+    * the content-hash window shuffle. */
+  def t5KeepFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("dr_e6", Exact.ratio6e(size(array_distinct(ws)), col("n_words")))
+      .withColumn("sr_e6", Exact.ratio6e(hits(ws, Seq("the", "a")), col("n_words")))
+      .withColumn("ls_e6", least(Exact.ratio6e(col("n_words"), lit(100)), lit(1000000L)))
+      .withColumn("score_e6",
+        expr("(2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) div 20"))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("quality_ok", col("score_e6") >= 500000L)
+      .withColumn("tokens_ok", col("n_words").between(25, 80))
+      .withColumn("lang_ok", col("lang").isin("en", "de", "fr"))
+      .withColumn("keep",
+        col("is_canonical") && col("quality_ok") && col("tokens_ok") && col("lang_ok"))
+      .select("doc_id", "is_canonical", "quality_ok", "tokens_ok", "lang_ok", "keep")
+      .orderBy("doc_id")
+  }
+
   /** E4: rolling polynomial hash fingerprint — in-order fold
     * h = (h*31 + H(w)) mod 1e9+7 over the token stream. */
   def t4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -99,6 +127,7 @@ object TextOps {
     "t2_quality"     -> ((s, d) => t2Quality(s, d)),
     "t3_tokens"      -> ((s, d) => t3Tokens(s, d)),
     "t4_fingerprint" -> ((s, d) => t4Fingerprint(s, d)),
+    "t5_keep_filter" -> ((s, d) => t5KeepFilter(s, d)),
   )
 
   private def hitsSql(stops: Seq[String]): String =
@@ -146,6 +175,30 @@ object TextOps {
          |  ls_e6 / 1000000.0 AS len_score,
          |  score_e6 / 1000000.0 AS quality_score,
          |  score_e6 < 500000 AS is_low_quality
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t5_keep_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, md5(text) AS content_hash,
+         |    string_split(text, ' ') AS ws
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, content_hash, CAST(len(ws) AS BIGINT) AS n_words,
+         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+         |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
+         |  FROM t
+         |), sc AS (
+         |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6,
+         |    doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+         |  FROM c
+         |)
+         |SELECT doc_id, is_canonical,
+         |  score_e6 >= 500000 AS quality_ok,
+         |  n_words BETWEEN 25 AND 80 AS tokens_ok,
+         |  lang IN ('en', 'de', 'fr') AS lang_ok,
+         |  is_canonical AND score_e6 >= 500000 AND n_words BETWEEN 25 AND 80
+         |    AND lang IN ('en', 'de', 'fr') AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t3_tokens" ->
