@@ -39,6 +39,7 @@ object SparkEntry {
     "q14_promo"    -> ((s, dir) => Queries.q14Promo(s, dir)),
     "q16_parts"    -> ((s, dir) => Queries.q16Parts(s, dir)),
     "q22_idle"     -> ((s, dir) => Queries.q22IdleCustomers(s, dir)),
+    "q18_bigorders" -> ((s, dir) => Queries.q18BigOrders(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
@@ -190,5 +191,18 @@ object SparkEntry {
         |FROM cust, thresh
         |WHERE bal_c * n_c > sum_c
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 120
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
   )
 }

@@ -253,6 +253,28 @@ object Queries {
         dsum(col("c_acctbal")).as("total_acctbal"))
   }
 
+  /** q18: large-volume orders (TPC-H Q18 shape) — aggregate-HAVING as a
+    * filter then join back: the big-order key set is derived with one
+    * groupBy over lineitem, and only matching orders/customers join in.
+    * At scale the key set is small post-filter (broadcast), so the
+    * expensive side is a single aggregation pass — never a join of the
+    * unfiltered facts. Quantity sums compare in exact integer units. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 120)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {
