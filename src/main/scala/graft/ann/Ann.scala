@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,14 +30,35 @@ object Ann {
     val e = Search.corpus(spark, dir)  // vec_id, label, v, nrm
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // Corpus-side list assignment is ROW-LOCAL: the 8 centroids are pivoted
+    // into one broadcast row and the argmax (rounded cosine desc, cent_id
+    // tie-break) is a `least()` over (-cs, cent_id) structs — a narrow
+    // codegen'd map with NO exchange over the 100 TB side. (Negating the
+    // rounded cosine flips the order; Spark's double compare treats -0.0 and
+    // 0.0 as equal, exactly like the previous `.desc` sort and the oracle.)
+    // Only the tiny probe set still takes the explode + window path, because
+    // it needs the top-NPROBE centroids, not just the argmax.
+    val centAggs = (0 until 8).map(i =>
+      max(when(col("cent_id") === i, struct(col("cv"), col("cnrm")))).as(s"ct$i"))
+    val centRow = cent.groupBy().agg(centAggs.head, centAggs.tail: _*)
+    def csOf(cv: Column, cnrm: Column): Column = round(
+      when(col("nrm") * cnrm === 0.0, 0.0)
+        .otherwise(Vec.dotNative(col("v"), cv) / (col("nrm") * cnrm)), 6)
+    val cands = (0 until 8).map { i =>
+      val ct = col(s"ct$i")
+      when(ct.isNotNull, struct(
+        negate(csOf(ct.getField("cv"), ct.getField("cnrm"))).as("ncs"),
+        lit(i.toLong).as("cent_id")))
+    }
+    val asg = e.crossJoin(broadcast(centRow))
+      .select(col("vec_id"), least(cands: _*).getField("cent_id").as("list_id"),
+        col("v"), col("nrm"))
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
-    val asg0 = e.join(broadcast(cent), lit(true)).withColumn("cs", cs)
     val wv = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    val asg = asg0.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("list_id"), col("v"), col("nrm"))
-    val probes = asg0.filter(col("vec_id") % 101 === 0)
+    val probes = e.filter(col("vec_id") % 101 === 0)
+      .join(broadcast(cent), lit(true)).withColumn("cs", cs)
       .withColumn("rn", row_number().over(wv)).filter(col("rn") <= 3)
       .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"),
         col("v").as("qv"), col("nrm").as("qnrm"))

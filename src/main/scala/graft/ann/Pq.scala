@@ -47,25 +47,38 @@ object Pq {
       .withColumn("cn2", Vec.dotNative(col("c"), col("c")))
   }
 
-  /** PQ codes, pivoted to one row per vector: code0..code7 + per-subspace
-    * chosen-centroid norms cn0..cn7 (summed left-to-right downstream). */
+  /** PQ codes, one row per vector: code0..code7 + per-subspace
+    * chosen-centroid norms cn0..cn7 (summed left-to-right downstream).
+    *
+    * The M*K codebook is pivoted into ONE broadcast row and the per-subspace
+    * L2 argmin (-2*dot + |c|^2; the |x|^2 term is constant per (vec, m)) is
+    * computed ROW-LOCALLY with `least()` over (dist, k, cn2) candidate
+    * structs — Spark struct ordering is lexicographic, so the tie-break is
+    * exactly the oracle's ORDER BY dist, k. Encoding is therefore a single
+    * narrow codegen'd map over the corpus: NO explode, NO join fan-out, NO
+    * exchange — at 100 TB the index build is one pass over the data.
+    * (The previous shape windowed corpus x M x K rows through a full
+    * Exchange+Sort — the dominant index-build cost at scale.)
+    * A missing (m, k) cell yields a null candidate, which `least` skips —
+    * same candidate set as the oracle's join against the present rows. */
   private def encode(e: DataFrame, cb: DataFrame): DataFrame = {
-    val sub = e.select(col("vec_id"), explode(array((0 until M).map { m =>
-        struct(lit(m).as("m"), subvec(col("v"), m).as("sub"))
-      }: _*)).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
-    // L2 argmin via -2*dot + |c|^2 (the |x|^2 term is constant per (vec, m))
-    val dist = round(lit(-2.0) * Vec.dotNative(col("sub"), col("c")) + col("cn2"), 6)
-    val wv = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("k"))
-    val codes = sub.join(broadcast(cb), "m")
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("k").as("code"), col("cn2"))
-    val aggs = (0 until M).flatMap { m =>
-      Seq(max(when(col("m") === m, col("code"))).as(s"code$m"),
-        max(when(col("m") === m, col("cn2"))).as(s"cn$m"))
+    val cbAggs = (for (m <- 0 until M; k <- 0 until K) yield
+      max(when(col("m") === m && col("k") === k,
+        struct(col("k"), col("c"), col("cn2")))).as(s"cb_${m}_$k")).toSeq
+    val cbRow = cb.groupBy().agg(cbAggs.head, cbAggs.tail: _*)
+    val outCols = (0 until M).flatMap { m =>
+      val sv = subvec(col("v"), m)
+      val cands = (0 until K).map { k =>
+        val cc = col(s"cb_${m}_$k")
+        when(cc.isNotNull, struct(
+          round(lit(-2.0) * Vec.dotNative(sv, cc.getField("c")) + cc.getField("cn2"), 6).as("dist"),
+          cc.getField("k").as("k"),
+          cc.getField("cn2").as("cn2")))
+      }
+      val best = least(cands: _*)
+      Seq(best.getField("k").as(s"code$m"), best.getField("cn2").as(s"cn$m"))
     }
-    codes.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    e.crossJoin(broadcast(cbRow)).select(col("vec_id") +: outCols: _*)
   }
 
   /** D5: PQ top-10 for the query set (vec_id % 101 == 0, as the IVF path).
@@ -88,17 +101,19 @@ object Pq {
       .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
         when(col("m") === m, d).otherwise(acc)
       }
+    // LUT maps keyed BY k (not array position): robust to a sparse centroid
+    // id range — codes always come from the same codebook, so the lookup
+    // can't silently shift the way a positional element_at could.
     val lutAggs = (0 until M).map { m =>
-      transform(array_sort(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))),
-        s => s.getField("qd")).as(s"l$m")
+      map_from_entries(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))).as(s"l$m")
     }
     val lut = probes.join(broadcast(cb), lit(true))
       .withColumn("qd", qd)
       .groupBy(col("query_id"), col("qnrm"))
       .agg(lutAggs.head, lutAggs.tail: _*)
-    // scoring: 8 array lookups + left-to-right sums on both engines
+    // scoring: 8 map lookups + left-to-right sums on both engines
     val approx = (0 until M).map(m =>
-      element_at(col(s"l$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+      element_at(col(s"l$m"), col(s"code$m"))).reduce(_ + _)
     val rn2 = (0 until M).map(m => col(s"cn$m")).reduce(_ + _)
     val sim = round(
       when(col("qnrm") * sqrt(rn2) === 0.0, 0.0).otherwise(approx / (col("qnrm") * sqrt(rn2))), 6)
