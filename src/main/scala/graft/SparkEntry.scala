@@ -40,6 +40,10 @@ object SparkEntry {
     "q16_parts"    -> ((s, dir) => Queries.q16Parts(s, dir)),
     "q22_idle"     -> ((s, dir) => Queries.q22IdleCustomers(s, dir)),
     "q18_bigorders" -> ((s, dir) => Queries.q18BigOrders(s, dir)),
+    "q13_orderdist" -> ((s, dir) => Queries.q13OrderDistribution(s, dir)),
+    "q15_topsupp"   -> ((s, dir) => Queries.q15TopSupplier(s, dir)),
+    "q17_smallqty"  -> ((s, dir) => Queries.q17SmallQty(s, dir)),
+    "q19_disjunct"  -> ((s, dir) => Queries.q19Disjunctive(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
@@ -191,6 +195,55 @@ object SparkEntry {
         |FROM cust, thresh
         |WHERE bal_c * n_c > sum_c
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q13_orderdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_topsupp" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS DECIMAL(20,0))) AS HUGEINT) AS rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, CAST(rev_e4 AS DOUBLE) / 1e4 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_smallqty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#2'
+        |), pp AS (
+        |  SELECT l_partkey AS ap_partkey, count(*) AS n_li,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM li JOIN pp ON l_partkey = ap_partkey
+        |WHERE qty * 5 * n_li < sum_qty""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q18_bigorders" ->
       """WITH big AS (

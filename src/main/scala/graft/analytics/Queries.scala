@@ -275,6 +275,98 @@ object Queries {
       .limit(50)
   }
 
+  /** q13: customer order-count distribution (TPC-H Q13 shape) — the LEFT
+    * OUTER pattern: every customer counts, including the order-less ones a
+    * plain join would drop. Two aggregations: orders per customer (shuffle
+    * on custkey), then the tiny histogram groupBy. At scale the first
+    * groupBy is the only real exchange; counting o_orderkey (not *) keeps
+    * the no-order customers at 0 exactly like the SQL semantics. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q15: top supplier(s) by period revenue (TPC-H Q15 shape) — the
+    * max-of-aggregate pattern: revenue per supplier over a quarter, then
+    * only the supplier(s) hitting the global max survive. Revenue is summed
+    * in EXACT e4 integer units (cents x (100-disc)) so the equality against
+    * the max is bit-stable in any engine and at any shuffle order — a
+    * double-summed revenue would make `rev = max(rev)` flap. The scalar max
+    * broadcasts; nothing re-joins the facts. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revE4 = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).cast("decimal(20,0)")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revE4).as("rev_e4"))
+    val top = rev.agg(max(col("rev_e4")).as("max_e4"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_e4") === col("max_e4"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_e4").cast("double") / 1e4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q17: small-quantity-order revenue (TPC-H Q17 shape) — the correlated
+    * per-group average: lineitems of one brand whose quantity is below 20%
+    * of that part's average quantity. The per-part (n, sum_qty) aggregate is
+    * computed ONCE and joined back (broadcast — it's the filtered brand's
+    * parts only), and the 0.2*avg comparison runs in exact integer space:
+    * qty < sum/(5n) <=> 5*qty*n < sum — no double division anywhere, so
+    * the row set is engine- and order-exact. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#2")
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("p_partkey").as("ap_partkey"))
+      .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_qty"))
+    li.join(broadcast(perPart), col("p_partkey") === col("ap_partkey"))
+      .filter(col("qty") * lit(5L) * col("n_li") < col("sum_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** q19: disjunctive predicate revenue (TPC-H Q19 shape) — an OR of three
+    * (brand AND size-band AND quantity-band) conjunctions across the
+    * part⋈lineitem join. The per-table halves of each conjunct (sizes on
+    * part, quantities on lineitem) are pushable into BOTH scans as ORs, and
+    * the join stays a single broadcast hash join — no union-of-three-scans
+    * rewrite, one pass over the facts. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      // OR of the part-side halves: prunes the broadcast to candidate parts
+      .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {

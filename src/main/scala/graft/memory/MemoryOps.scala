@@ -104,6 +104,30 @@ object MemoryOps {
       .offset(10)
       .limit(100)
 
+  /** The m3b probe key list — shared verbatim by the Spark filter and the
+    * DuckDB oracle so both engines see the identical batch-get request. */
+  private[graft] val M3bKeys: Seq[String] =
+    for (u <- 0 to 200 by 5; t <- Seq("click", "view", "error")) yield s"u$u:$t"
+
+  /** A3b: MemoryQuery batch point-lookup — the keys[] form plus the
+    * expires_after/expires_before range (models/memory.py:128-131 keys,
+    * :151-158 expires filters), include_expired=true (the expires window
+    * itself scopes the result, as a caller auditing upcoming/past expiries
+    * would), paged. This is the reference's bulk-get: a caller passes
+    * explicit keys and an expiry window. At scale the key list is a
+    * broadcast semi join against the bucketed-by-key memory table (here an
+    * isin literal — same plan class, no shuffle of the table); the expires
+    * range is a pushable predicate. */
+  def m3bListByKeys(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("memory_key").isin(M3bKeys: _*) &&
+        col("expires_at") > lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("expires_at") < lit("2024-02-10 00:00:00").cast("timestamp"))
+      .select("memory_key", "memory_type", "created_at", "expires_at", "data")
+      .orderBy("memory_key")
+      .offset(2)
+      .limit(50)
+
   /** A4: MemoryStats — single-row aggregate (models/memory.py:MemoryStats). */
   def m4Stats(spark: SparkSession, dir: String): DataFrame =
     memoryTable(spark, dir).agg(
@@ -175,6 +199,7 @@ object MemoryOps {
     "m1_upsert_latest"   -> ((s, d) => m1UpsertLatest(s, d)),
     "m2_get"             -> ((s, d) => m2Get(s, d)),
     "m3_list_filtered"   -> ((s, d) => m3ListFiltered(s, d)),
+    "m3b_list_by_keys"   -> ((s, d) => m3bListByKeys(s, d)),
     "m4_stats"           -> ((s, d) => m4Stats(s, d)),
     "m5_cleanup_expired" -> ((s, d) => m5CleanupExpired(s, d)),
     "m6_expiry_buckets"  -> ((s, d) => m6ExpiryBuckets(s, d)),
@@ -241,6 +266,15 @@ object MemoryOps {
         |  AND CAST(regexp_extract(data, '"k": (\d+)', 1) AS INT) % 2 = 0
         |ORDER BY memory_key
         |LIMIT 100 OFFSET 10""".stripMargin),
+
+    "m3b_list_by_keys" -> (Cte +
+      s"""SELECT memory_key, memory_type, created_at, expires_at, data
+         |FROM mem2
+         |WHERE memory_key IN (${M3bKeys.map(k => s"'$k'").mkString(", ")})
+         |  AND expires_at > TIMESTAMP '2024-01-10 00:00:00'
+         |  AND expires_at < TIMESTAMP '2024-02-10 00:00:00'
+         |ORDER BY memory_key
+         |LIMIT 50 OFFSET 2""".stripMargin),
 
     "m4_stats" -> (Cte +
       """SELECT count(*) AS total_memories,

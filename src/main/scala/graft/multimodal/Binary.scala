@@ -83,23 +83,35 @@ object Binary {
   /** STUB frame decoder: a real implementation would seek keyframes and
     * decode pixels; fixed-size byte windows with integer stats stand in.
     * The 1->N explode shape (one asset -> many sampled frames) is the
-    * real contract a video pipeline needs. */
-  private[graft] def sampleFrames(r: MediaRecord): Seq[FrameRow] =
+    * real contract a video pipeline needs. Arbitrary binary payloads are
+    * fine HERE; only the oracle-gated mm2 query constrains them (below). */
+  private[graft] def sampleFrames(r: MediaRecord): Seq[FrameRow] = {
     r.payload.grouped(FrameBytes).zipWithIndex.collect {
       case (chunk, i) if i % FrameStride == 0 =>
         FrameRow(r.doc_id, i, chunk.length,
           chunk.map(b => (b & 0xFF).toLong).sum,
           chunk.map(b => b & 0xFF).max)
     }.toSeq
+  }
 
   /** F2: frame sampling — every FrameStride-th FrameBytes window of each
     * payload, emitted as one row per sampled frame. Same partition-local
     * batched execution as mm1; output grows by the sampling factor, never
-    * by the full decode. */
+    * by the full decode.
+    *
+    * Oracle-parity guard: this side windows BYTES while the DuckDB oracle
+    * windows CHARACTERS — they agree only when byte == code point, so a
+    * non-ASCII payload fails LOUDLY here instead of silently diverging on
+    * frame boundaries/stats. (sampleFrames itself stays binary-clean.) */
   def mm2FrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaRecords(spark, dir)
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap(sampleFrames)))
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { r =>
+        require(r.payload.forall(_ >= 0),
+          s"mm2 assumes ASCII payloads (char-windowing oracle); " +
+            s"doc_id=${r.doc_id} has non-ASCII bytes")
+        sampleFrames(r)
+      }))
       .toDF()
       .orderBy("doc_id", "frame_no")
   }

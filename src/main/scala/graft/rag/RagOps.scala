@@ -135,18 +135,34 @@ object RagOps {
         col("lang"), col("source"))
       .orderBy("doc_id")
 
-  /** B12: rag_update_document — content replacement re-derives hash,
-    * length, and word count, stamps updated_at (rag_tools.py:
-    * rag_update_document; re-embedding is the r9 pipeline's job). */
-  def r12UpdateDocument(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .filter(col("doc_id") % 91 === 0)
+  /** B12: rag_update_document — BOTH reference branches (rag/database/
+    * documents.py:113-151): a content update re-derives hash/length/word
+    * count and re-embeds; a METADATA-ONLY update swaps the metadata fields
+    * (lang, source here) wholesale while every content-derived field is
+    * carried from the existing row untouched and no re-embed happens
+    * (`embedding = ... if content is not None`). Both stamp updated_at;
+    * created_at/content survive either way. One probe set per branch;
+    * content-update precedence on the (rare) overlap. */
+  def r12UpdateDocument(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stamp = lit("2024-01-31 00:00:00").cast("timestamp")
+    val content = docs.filter(col("doc_id") % 91 === 0)
       .withColumn("new_text", concat(lit("updated: "), col("text")))
-      .select(col("doc_id"), md5(col("new_text")).as("content_hash"),
+      .select(col("doc_id"), lit("content").as("update_kind"),
+        md5(col("new_text")).as("content_hash"),
         length(col("new_text")).as("content_length"),
         size(split(col("new_text"), " ")).cast("long").as("word_count"),
-        lit("2024-01-31 00:00:00").cast("timestamp").as("updated_at"))
-      .orderBy("doc_id")
+        col("lang"), col("source"),
+        lit(true).as("reembedded"), stamp.as("updated_at"))
+    val meta = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") % 91 =!= 0)
+      .select(col("doc_id"), lit("metadata").as("update_kind"),
+        md5(col("text")).as("content_hash"),
+        length(col("text")).as("content_length"),
+        size(split(col("text"), " ")).cast("long").as("word_count"),
+        lit("en").as("lang"), concat(lit("curated/"), col("source")).as("source"),
+        lit(false).as("reembedded"), stamp.as("updated_at"))
+    content.unionByName(meta).orderBy("doc_id")
+  }
 
   /** B13: rag_delete_document (reference: rag/database/documents.py:170 —
     * delete by id, idempotent on missing ids). Batch form: a small delete-id
@@ -256,11 +272,22 @@ object RagOps {
         |FROM documents WHERE doc_id % 83 = 0 ORDER BY doc_id""".stripMargin,
 
     "r12_update_document" ->
-      """SELECT doc_id, md5('updated: ' || text) AS content_hash,
+      """SELECT doc_id, 'content' AS update_kind,
+        |  md5('updated: ' || text) AS content_hash,
         |  length('updated: ' || text) AS content_length,
         |  len(string_split('updated: ' || text, ' ')) AS word_count,
+        |  lang, source, TRUE AS reembedded,
         |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
-        |FROM documents WHERE doc_id % 91 = 0 ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id % 91 = 0
+        |UNION ALL
+        |SELECT doc_id, 'metadata' AS update_kind,
+        |  md5(text) AS content_hash,
+        |  length(text) AS content_length,
+        |  len(string_split(text, ' ')) AS word_count,
+        |  'en' AS lang, 'curated/' || source AS source, FALSE AS reembedded,
+        |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
+        |FROM documents WHERE doc_id % 97 = 0 AND doc_id % 91 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "r13_delete_documents" ->
       """SELECT doc_id, md5(text) AS content_hash, length(text) AS content_length

@@ -9,8 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.functions.Vec
 
 /** Structured Streaming operators (SURVEY.md §2.H) — the streaming analog of
-  * the reference's SSE event feeds (/root/reference/mcp_synaptic/sse/ —
-  * document/memory change + expiration events).
+  * the reference's SSE event feed (/root/reference/mcp_synaptic/core/server.py
+  * SSE endpoints + config/settings.py SSE settings — document/memory change
+  * and expiration events).
   *
   * Both transforms take the input DataFrame/Dataset as a parameter so they
   * run identically over `readStream` sources in production and MemoryStream
@@ -45,9 +46,14 @@ object Streams {
     * Window functions aren't allowed on streaming frames, so top-k is a
     * watermarked streaming AGGREGATION: collect the (similarity, id) pairs
     * per query and sort/slice inside the aggregate — per-query candidate
-    * sets are bounded by the threshold filter before the shuffle. The
-    * stream-static join never shuffles the corpus; at scale it is the same
-    * broadcast scan as the batch path, executed per micro-batch.
+    * sets are bounded by the threshold filter before the shuffle.
+    *
+    * Join sides at scale: the MICRO-BATCH of queries is the broadcast side;
+    * the static corpus is scanned in place and never moves (a 100 TB corpus
+    * can neither broadcast nor re-shuffle per micro-batch — the earlier
+    * `broadcast(corpus)` shape OOMs the driver at scale). Each micro-batch
+    * is then one corpus scan with the handful of live queries replicated to
+    * every task — the same side assignment as the batch brute-force path.
     *
     * @param queries streaming frame: (query_id long, ts timestamp,
     *                qv array&lt;float&gt;)
@@ -61,7 +67,7 @@ object Streams {
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))),
       lit(0.0)), 6)
-    q.join(broadcast(corpus), col("vec_id") =!= col("query_id"))
+    broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
       .withColumn("similarity", sim)
       .filter(col("similarity") >= threshold)
       .groupBy(col("query_id"), col("ts"))

@@ -19,6 +19,19 @@ class DedupSpec extends SparkSpec {
     assert(sim.filter(col("hamming") > 3).count() == 0)
   }
 
+  test("simhash chunk blocking is pigeonhole-complete at multiple configs") {
+    // hamming <= 3 bits over c equal chunks leaves >= 1 chunk equal for any
+    // c > 3 — so 4x15-bit and 6x10-bit blocking must enumerate EXACTLY the
+    // same near-dup pairs (neither is a sample of the other)
+    val c4 = Dedup.d3SimhashChunked(spark, Sf, chunkCount = 4).collect().map(_.toSeq).toSet
+    val c6 = Dedup.d3SimhashChunked(spark, Sf, chunkCount = 6).collect().map(_.toSeq).toSet
+    assert(c4.nonEmpty, "fixture must exercise at least one near-dup pair")
+    assert(c4 == c6, "chunk configs disagree - pigeonhole completeness broken")
+    // a config that can't guarantee completeness must be rejected loudly
+    intercept[IllegalArgumentException](Dedup.d3SimhashChunked(spark, Sf, chunkCount = 3))
+    intercept[IllegalArgumentException](Dedup.d3SimhashChunked(spark, Sf, chunkCount = 7))
+  }
+
   test("exact dedup partitions the corpus") {
     val d1 = Dedup.d1ExactDup(spark, Sf)
     val total = d1.agg(sum(col("n_docs"))).collect()(0).getLong(0)

@@ -34,6 +34,8 @@ def main(old_path, new_path, threshold_pct=50.0):
         o, n = old.get(name), new.get(name)
         if o is None or n is None:
             rows.append((name, o, n, "added" if o is None else "REMOVED"))
+            if n is None:  # a silently dropped query is a regression, not a win
+                regressions.append(name)
             continue
         if n < 0:
             rows.append((name, o, n, "FAILED"))
@@ -51,7 +53,8 @@ def main(old_path, new_path, threshold_pct=50.0):
         print(f"{name:28s} {os_} -> {ns_}  {note}")
     tot_o = sum(v for v in old.values() if v > 0)
     tot_n = sum(v for v in new.values() if v > 0)
-    print(f"\ntotal {tot_o:.1f}s -> {tot_n:.1f}s ({100*(tot_n-tot_o)/tot_o:+.0f}%)")
+    pct_s = f" ({100*(tot_n-tot_o)/tot_o:+.0f}%)" if tot_o > 0 else ""
+    print(f"\ntotal {tot_o:.1f}s -> {tot_n:.1f}s{pct_s}")
     if regressions:
         print(f"REGRESSIONS: {', '.join(regressions)}")
         return 1
