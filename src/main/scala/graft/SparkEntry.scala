@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Queries
+import graft.analytics.{EventOps, Queries}
 import graft.ann.{Ann, KmeansIvf, Pq}
 import graft.dedup.Dedup
 import graft.memory.MemoryOps
@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++
     TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Pq.queries ++
-    KmeansIvf.queries ++ Binary.queries ++ Map(
+    KmeansIvf.queries ++ Binary.queries ++ EventOps.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
@@ -49,7 +49,8 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
     MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++
-    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Binary.oracle ++ Map(
+    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Binary.oracle ++
+    EventOps.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

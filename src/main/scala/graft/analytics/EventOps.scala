@@ -1,0 +1,160 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-series operators (SURVEY.md §2.G, time-series extensions) — the
+  * two join/segmentation shapes every telemetry/training-data pipeline
+  * needs and vanilla SQL joins do badly at scale:
+  *
+  *  - AS-OF JOIN: for each purchase, the user's most recent prior-or-equal
+  *    click. The naive formulation is an inequality join (quadratic per
+  *    user); Spark has no native as-of operator. The scalable shape used
+  *    here is the tagged-union window: union both streams, ONE shuffle on
+  *    user_id, one in-partition sort by (ts, tag, event_id), and a running
+  *    `max(click_ts)` over preceding rows — linear per user, no pair
+  *    explosion, AQE-skew-splittable. (DuckDB validates via its native
+  *    ASOF LEFT JOIN — same semantics, independent implementation.)
+  *
+  *  - SESSIONIZATION: gap>30min session splits per user via lag + running
+  *    sum of boundary flags — the standard two-window formulation, same
+  *    single shuffle, then a per-(user, session) aggregate. Session ids
+  *    are per-user ordinals (not global), so the operator never needs a
+  *    global sort at any corpus size.
+  *
+  * Both orderings include event_id as the final tie-break, so results are
+  * bit-stable at any shuffle order (SURVEY.md §5).
+  */
+object EventOps {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** e1: as-of join — purchases matched to the user's latest click with
+    * click_ts <= purchase_ts (left: unmatched purchases keep nulls). */
+  def e1AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      // clicks sort BEFORE purchases at equal ts (tag 0 < 1), giving the
+      // ASOF `>=` bound: an equal-ts click is visible to the purchase row
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_click_ts", max(when(col("tag") === 0, col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Session gap bound: a >30 minute silence starts a new session. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** e2: sessionization — per-user ordinal sessions with start/end/count/
+    * value rollup. */
+  def e2Sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+
+  /** The sessionization core over ANY (user_id, event_id, ts, value) frame
+    * — shared by the batch query e2 and the streaming-equivalence spec
+    * (Streams.sessionCounts must produce the same sessions). */
+  private[graft] def sessionize(events: DataFrame): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wo))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("is_new")).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** e3: sketch aggregates graded against exact answers — the 100 TB path
+    * for distinct counts and percentiles is a MERGEABLE fixed-size sketch
+    * (HLL registers / quantile summaries), not an exact shuffle of every
+    * key: partial sketches combine map-side and never grow with
+    * cardinality. Like a3/a6 grade ANN recall, this query MEASURES its own
+    * sketch error instead of assuming it: each engine computes its own
+    * sketch AND its own exact value, and emits whether the sketch landed in
+    * the ±10% band — bit-identical booleans cross-engine without requiring
+    * the (implementation-specific) sketch values themselves to match. */
+  def e3SketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val exactUsers = countDistinct(col("user_id"))
+    val hll = approx_count_distinct(col("user_id"), 0.05)
+    def bandOk(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      approx >= exact * 0.9 && approx <= exact * 1.1
+    ev.agg(
+      count(lit(1)).as("n_events"),
+      exactUsers.as("exact_users"),
+      bandOk(hll.cast("double"), exactUsers.cast("double")).as("hll_ok"),
+      bandOk(percentile_approx(col("value"), lit(0.5), lit(10000)),
+        expr("percentile(value, 0.5)")).as("p50_ok"),
+      bandOk(percentile_approx(col("value"), lit(0.95), lit(10000)),
+        expr("percentile(value, 0.95)")).as("p95_ok"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_asof_join"   -> ((s, d) => e1AsofJoin(s, d)),
+    "e2_sessions"    -> ((s, d) => e2Sessions(s, d)),
+    "e3_sketch_stats" -> ((s, d) => e3SketchStats(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "e2_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER w AS prev_ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "e3_sketch_stats" ->
+      """SELECT count(*) AS n_events,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |    BETWEEN count(DISTINCT user_id) * 0.9 AND count(DISTINCT user_id) * 1.1 AS hll_ok,
+        |  approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.5) * 0.9 AND quantile_cont(value, 0.5) * 1.1 AS p50_ok,
+        |  approx_quantile(value, 0.95)
+        |    BETWEEN quantile_cont(value, 0.95) * 0.9 AND quantile_cont(value, 0.95) * 1.1 AS p95_ok
+        |FROM events""".stripMargin,
+  )
+}

@@ -367,6 +367,110 @@ object Queries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q2: cheapest-offer-per-group (TPC-H Q2's argmin shape, adapted — no
+    * partsupp table, so the "offer" is a lineitem's unit price). For each
+    * brand, the single lineitem with the lowest unit price and its
+    * supplier. The scale pattern is the point of this query: argmin via
+    * `min_by(payload, struct(keys...))` is a plain aggregate — map-side
+    * partial, one exchange on the 25 brands, NO row_number window (which
+    * would sort the whole fact table). Ties break on the full
+    * (unit_price, suppkey, orderkey, linenumber) struct, so the winner is
+    * bit-stable at any shuffle order; unit_price is one IEEE division per
+    * row, identical in any engine. Supplier names join AFTER the argmin —
+    * 25 rows, broadcast. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val ord = struct(col("unit_price"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val win = li.groupBy(col("p_brand"))
+      .agg(min_by(struct(col("l_suppkey"), col("unit_price")), ord).as("w"))
+      .select(col("p_brand"), col("w.l_suppkey").as("s_suppkey"),
+        col("w.unit_price").as("min_unit_price"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey").as("sk"), col("s_name"))
+    win.join(broadcast(supp), col("s_suppkey") === col("sk"))
+      .select("p_brand", "s_suppkey", "s_name", "min_unit_price")
+      .orderBy("p_brand")
+  }
+
+  /** q11: revenue-share HAVING (TPC-H Q11 shape) — suppliers whose revenue
+    * exceeds a fixed fraction of GLOBAL revenue. Both sides of the
+    * comparison are the same exact e4-integer sum (cents × (100-disc), as
+    * q15), and the share test is a cross-multiplied integer compare
+    * (rev*800 > total) — no division, no doubles, bit-stable. The global
+    * total is a 1-row broadcast; per-supplier revenue is ONE partial-agg
+    * exchange. The same revenue relation feeds both aggregates — Spark
+    * reuses the scan (ReusedExchange at scale). */
+  def q11Share(spark: SparkSession, dir: String): DataFrame = {
+    val revE4 = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))).cast("decimal(20,0)")
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revE4).cast("decimal(38,0)").as("rev_e4"))
+    val total = perSupp.agg(sum(col("rev_e4")).as("total_e4"))
+    perSupp.crossJoin(broadcast(total))
+      .filter(col("rev_e4") * 800 > col("total_e4"))
+      .select(col("l_suppkey"), (col("rev_e4").cast("double") / 1e4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+  }
+
+  /** q12: late-shipment priority split (TPC-H Q12 shape, adapted — no
+    * l_shipmode column, so the split key is l_returnflag). One fact-fact
+    * join on orderkey, then conditional aggregation: counts of
+    * high/low-priority orders among lines shipped >60 days after the order
+    * date. sum(CASE WHEN..1..0) is a codegen'd integer aggregate — partial
+    * map-side, a 3-row result, and the answer is shuffle-order-proof by
+    * construction. */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q21: waiting-orders blame (TPC-H Q21 shape, adapted: "late" =
+    * shipped >90 days after the order date, since the schema carries no
+    * commit/receipt dates). A supplier is counted when it shipped late into
+    * a finished multi-supplier order where NO other supplier was late —
+    * the classic EXISTS + NOT-EXISTS pair, expressed as left_semi +
+    * left_anti self-joins on the fact table. All three legs shuffle on
+    * l_orderkey only (ids + one boolean — no payload), AQE-skew-splittable;
+    * the count result then broadcasts against supplier for names. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val l1 = li.filter(col("late"))
+    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = l1.select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    val blamed = l1
+      .join(others,
+        col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
+        "left_anti")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    blamed.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {

@@ -20,12 +20,30 @@ object Warehouse {
 
   /** Write bucketed+sorted by `keyCol` into the session warehouse. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-                    buckets: Int = 32): Unit =
+                    buckets: Int = 32): Unit = {
+    dropStale(df.sparkSession, table)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .saveAsTable(table)
+  }
+
+  /** Remove a stale managed-table location left by a previous session: the
+    * in-memory catalog forgets tables on JVM exit but their parquet files
+    * stay, and saveAsTable refuses to create a table over an existing
+    * location it doesn't own (LOCATION_ALREADY_EXISTS). */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val root = new java.io.File(if (wh.getScheme == null) wh.toString else wh.getPath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(root, table.toLowerCase)
+    if (loc.exists()) rm(loc)
+  }
 
   /** Write partitioned by a low-cardinality column (e.g. IVF list_id). */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =

@@ -78,6 +78,24 @@ object Streams {
         transform(col("raw"), e => -e.getField("negsim")).as("topk_sims"))
   }
 
+  /** H6: streaming sessionization — Structured Streaming's native
+    * `session_window` (gap-merged state-store sessions per user), the
+    * streaming form of the batch e2Sessions operator. State is one
+    * in-flight session per active user, closed and emitted once the
+    * watermark passes its gap — so state size is O(active users), not
+    * O(events), at any stream volume. The spec proves the emitted sessions
+    * match the batch lag+running-sum formulation on the same data
+    * (session_window end = last_ts + gap, so the spec compares on
+    * (user, start, n_events)). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
+
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
   case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)
   /** status: "active" on each update, "expired" when the TTL timeout fires. */

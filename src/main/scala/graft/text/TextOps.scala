@@ -122,12 +122,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** E6: corpus vocabulary — term + document frequency for the top-100
+    * tokens. The canonical word-count shape: explode is a codegen'd
+    * generator (no HOF lambda), the token groupBy partial-aggregates
+    * map-side so the exchange carries one row per distinct token per
+    * partition (vocabulary-sized, NOT corpus-sized), and the top-k is a
+    * TakeOrderedAndProject — no global sort. df uses the two-phase
+    * count-distinct expand; ordering ties break on the token string, so
+    * the cut at rank 100 is bit-stable. */
+  def t6Vocab(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid"      -> ((s, d) => t1LangId(s, d)),
     "t2_quality"     -> ((s, d) => t2Quality(s, d)),
     "t3_tokens"      -> ((s, d) => t3Tokens(s, d)),
     "t4_fingerprint" -> ((s, d) => t4Fingerprint(s, d)),
     "t5_keep_filter" -> ((s, d) => t5KeepFilter(s, d)),
+    "t6_vocab"       -> ((s, d) => t6Vocab(s, d)),
   )
 
   private def hitsSql(stops: Seq[String]): String =
@@ -215,5 +232,10 @@ object TextOps {
          |      w -> ${DetHash.h56Sql("'fp:' || w")} % 1000000007),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t6_vocab" ->
+      """SELECT w AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY tf DESC, token LIMIT 100""".stripMargin,
   )
 }

@@ -92,6 +92,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H6: streaming session windows match the batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users; u1 has a 31-min gap (two sessions), u2 one session; events
+    // arrive out of order within the batch
+    val fixture = Seq(
+      (1L, 1L, ts(5), 2.0), (1L, 2L, ts(1), 1.0), (1L, 3L, ts(40), 3.0),
+      (2L, 4L, ts(2), 4.0), (2L, 5L, ts(20), 5.0))
+    val batchDf = fixture.toDF("user_id", "event_id", "ts", "value")
+    val expected = graft.analytics.EventOps.sessionize(batchDf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Long]("n_events"))).toSet
+
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val out = Streams.sessionCounts(
+      input.toDF().toDF("user_id", "event_id", "ts", "value"),
+      gap = "30 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("h6_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(fixture)
+      q.processAllAvailable()
+      // advance the watermark past every session's close (last session ends
+      // at 00:40 + 30min gap = 01:10) so all sessions emit
+      input.addData((9L, 99L, Timestamp.valueOf("2024-01-01 02:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("h6_sessions").collect()
+        .filter(_.getAs[Long]("user_id") != 9L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("H2: same-timestamp events retain the highest event_id's data (deterministic)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
