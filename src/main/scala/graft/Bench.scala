@@ -32,7 +32,8 @@ object Bench {
     })
     // Per-query median over n runs: this VM's run-to-run noise is ±50%, so
     // single-run timings flag phantom regressions. n=1 keeps the old shape.
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    // A malformed env value degrades to the default instead of aborting.
+    val n = sys.env.get("SPARK_GRAFT_BENCH_N").flatMap(_.toIntOption).getOrElse(3).max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
@@ -50,14 +51,29 @@ object Bench {
       val dt =
         if (good.isEmpty) times.head // all failed: keep the negative marker
         else good(good.size / 2)     // upper median of the successful runs
-      name -> dt
+      (name, dt, times.count(_ < 0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses the JSON line out of the LAST 2000 chars of stdout
+    // (BENCH_r04 "parsed": null — the line outgrew the window at 73 queries
+    // with 9-decimal doubles). Per-query values print at 10 ms resolution
+    // (noise here is ±50%, so extra digits were pure overflow risk) and the
+    // sf field is the basename, keeping the whole line well under the tail
+    // window even as the query count grows.
+    def fmt(v: Double): String = {
+      val a = math.abs(v)
+      if (a >= 100) f"$v%.0f" else if (a >= 10) f"$v%.1f" else f"$v%.2f"
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry negative markers: exclude them from the headline
-    // total (summing them in would make a failure look like a speedup)
-    val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total (summing them in would make a failure look like a speedup); a
+    // query that failed on ANY run also lands in "flaky" with its failure
+    // count, so partial failures are visible in the JSON, not just stderr.
+    val total = results.collect { case (_, v, _) if v > 0 => v }.sum
+    val flaky = results.collect { case (k, _, f) if f > 0 => "\"" + k + "\":" + f }
+    val flakyField = if (flaky.isEmpty) "" else flaky.mkString(",\"flaky\":{", ",", "}")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$flakyField,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -7,6 +7,7 @@ import graft.ann.{Ann, KmeansIvf, Pq}
 import graft.dedup.Dedup
 import graft.memory.MemoryOps
 import graft.multimodal.Binary
+import graft.pipeline.Pipeline
 import graft.rag.{Embed, RagOps, Search}
 import graft.text.TextOps
 
@@ -26,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++
     TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Pq.queries ++
-    KmeansIvf.queries ++ Binary.queries ++ EventOps.queries ++ Map(
+    KmeansIvf.queries ++ Binary.queries ++ EventOps.queries ++ Pipeline.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
@@ -44,13 +45,18 @@ object SparkEntry {
     "q15_topsupp"   -> ((s, dir) => Queries.q15TopSupplier(s, dir)),
     "q17_smallqty"  -> ((s, dir) => Queries.q17SmallQty(s, dir)),
     "q19_disjunct"  -> ((s, dir) => Queries.q19Disjunctive(s, dir)),
+    "q2_mincost"    -> ((s, dir) => Queries.q2MinCost(s, dir)),
+    "q11_share"     -> ((s, dir) => Queries.q11Share(s, dir)),
+    "q12_priority"  -> ((s, dir) => Queries.q12Priority(s, dir)),
+    "q21_waiting"   -> ((s, dir) => Queries.q21Waiting(s, dir)),
+    "q20_dominant"  -> ((s, dir) => Queries.q20Dominant(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
     MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++
     TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Binary.oracle ++
-    EventOps.oracle ++ Map(
+    EventOps.oracle ++ Pipeline.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -258,5 +264,80 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 50""".stripMargin,
+
+    "q2_mincost" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_suppkey, l_orderkey, l_linenumber,
+        |    l_extendedprice / l_quantity AS unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), w AS (
+        |  SELECT p_brand, l_suppkey AS s_suppkey, unit_price AS min_unit_price,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY unit_price, l_suppkey, l_orderkey, l_linenumber) AS rn
+        |  FROM li
+        |)
+        |SELECT p_brand, w.s_suppkey AS s_suppkey, s_name, min_unit_price
+        |FROM w JOIN supplier ON w.s_suppkey = supplier.s_suppkey
+        |WHERE rn = 1
+        |ORDER BY p_brand""".stripMargin,
+
+    "q11_share" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS DECIMAL(20,0))) AS HUGEINT) AS rev_e4
+        |  FROM lineitem GROUP BY l_suppkey
+        |), tot AS (
+        |  SELECT CAST(sum(rev_e4) AS HUGEINT) AS total_e4 FROM rev
+        |)
+        |SELECT l_suppkey, CAST(rev_e4 AS DOUBLE) / 1e4 AS revenue
+        |FROM rev, tot
+        |WHERE rev_e4 * 800 > total_e4
+        |ORDER BY revenue DESC, l_suppkey""".stripMargin,
+
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), l1 AS (SELECT * FROM li WHERE late)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li o2
+        |    WHERE o2.l_orderkey = l1.l_orderkey AND o2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 o3
+        |    WHERE o3.l_orderkey = l1.l_orderkey AND o3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q20_dominant" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |), ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS ps_qty
+        |  FROM li GROUP BY 1, 2
+        |), p AS (
+        |  SELECT l_partkey, CAST(sum(ps_qty) AS BIGINT) AS p_qty FROM ps GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominant_parts
+        |FROM ps JOIN p USING (l_partkey) JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE ps_qty * 2 > p_qty
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY n_dominant_parts DESC, s_suppkey
+        |LIMIT 25""".stripMargin,
   )
 }

@@ -90,14 +90,23 @@ object EventOps {
     * cardinality. Like a3/a6 grade ANN recall, this query MEASURES its own
     * sketch error instead of assuming it: each engine computes its own
     * sketch AND its own exact value, and emits whether the sketch landed in
-    * the ±10% band — bit-identical booleans cross-engine without requiring
-    * the (implementation-specific) sketch values themselves to match. */
+    * the ±15% band — bit-identical booleans cross-engine without requiring
+    * the (implementation-specific) sketch values themselves to match. The
+    * band is sized so membership can only flip if a sketch implementation
+    * is broken, not on ordinary sketch noise: Spark's HLL runs at rsd=0.02
+    * (±15% = 7.5σ) and DuckDB's at its fixed ~1.6% error (~9σ), and both
+    * engines' rank-error quantile summaries (accuracy 10000 ≈ 0.01% rank
+    * error) sit orders of magnitude inside it — so each engine's
+    * own-sketch-vs-own-exact boolean is deterministically `true` for any
+    * non-adversarial distribution, and the cross-engine hash is stable.
+    * EventOpsSpec additionally asserts the Spark sketch errors are <5%,
+    * monitoring the actual margin. */
   def e3SketchStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val exactUsers = countDistinct(col("user_id"))
-    val hll = approx_count_distinct(col("user_id"), 0.05)
+    val hll = approx_count_distinct(col("user_id"), 0.02)
     def bandOk(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-      approx >= exact * 0.9 && approx <= exact * 1.1
+      approx >= exact * 0.85 && approx <= exact * 1.15
     ev.agg(
       count(lit(1)).as("n_events"),
       exactUsers.as("exact_users"),
@@ -150,11 +159,11 @@ object EventOps {
       """SELECT count(*) AS n_events,
         |  count(DISTINCT user_id) AS exact_users,
         |  CAST(approx_count_distinct(user_id) AS DOUBLE)
-        |    BETWEEN count(DISTINCT user_id) * 0.9 AND count(DISTINCT user_id) * 1.1 AS hll_ok,
+        |    BETWEEN count(DISTINCT user_id) * 0.85 AND count(DISTINCT user_id) * 1.15 AS hll_ok,
         |  approx_quantile(value, 0.5)
-        |    BETWEEN quantile_cont(value, 0.5) * 0.9 AND quantile_cont(value, 0.5) * 1.1 AS p50_ok,
+        |    BETWEEN quantile_cont(value, 0.5) * 0.85 AND quantile_cont(value, 0.5) * 1.15 AS p50_ok,
         |  approx_quantile(value, 0.95)
-        |    BETWEEN quantile_cont(value, 0.95) * 0.9 AND quantile_cont(value, 0.95) * 1.1 AS p95_ok
+        |    BETWEEN quantile_cont(value, 0.95) * 0.85 AND quantile_cont(value, 0.95) * 1.15 AS p95_ok
         |FROM events""".stripMargin,
   )
 }

@@ -471,6 +471,34 @@ object Queries {
       .limit(20)
   }
 
+  /** q20: dominant-supplier parts (TPC-H Q20's nested-aggregate shape,
+    * adapted — no partsupp/availqty, so "excess stock" becomes "dominant
+    * share": a supplier dominates a part when its 1996 shipped quantity
+    * exceeds half the part's total 1996 shipped quantity). Two aggregates
+    * at different granularities over the SAME filtered scan — Catalyst
+    * reuses the shuffle (ReusedExchange: the per-(part,supplier) aggregate
+    * re-aggregates to per-part without rescanning) — then an integer
+    * cross-multiplied share test (qty*2 > total: no division), a count per
+    * supplier, and a broadcast name join. Quantities are exact longs, so
+    * every comparison is bit-stable at any shuffle order. */
+  def q20Dominant(spark: SparkSession, dir: String): DataFrame = {
+    val li96 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("qty"))
+    val perPS = li96.groupBy("l_partkey", "l_suppkey").agg(sum("qty").as("ps_qty"))
+    val perP = perPS.groupBy("l_partkey").agg(sum("ps_qty").as("p_qty"))
+    val dominant = perPS.join(perP, "l_partkey")
+      .filter(col("ps_qty") * 2 > col("p_qty"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    dominant.groupBy("l_suppkey").agg(count(lit(1)).as("n_dominant_parts"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_dominant_parts")
+      .orderBy(col("n_dominant_parts").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
   /** q8: events rollup per type per day — the batch shape of the streaming
     * windowed count (SURVEY.md §2.H1). */
   def q8Rollup(spark: SparkSession, dir: String): DataFrame = {

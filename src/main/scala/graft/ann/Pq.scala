@@ -88,7 +88,7 @@ object Pq {
     * otherwise re-encode the corpus four+ times per run. (The k-means path
     * a9 trains its own codebook per call and keeps the inline encode.) */
   private def codesTable(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
-    val t = s"graft_pqcodes_${math.abs(dir.hashCode.toLong)}"
+    val t = s"graft_pqcodes_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writeBucketed(encode(e, codebook(e)), t, "vec_id")

@@ -63,7 +63,7 @@ object Dedup {
     * codegen fusion, see §6 notes); a written bucketed table is the shape a
     * real cluster uses, and the write amortizes across every consumer. */
   private def shingleIndex3(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_sh3_${math.abs(dir.hashCode.toLong)}"
+    val t = s"graft_sh3_${Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         Warehouse.writeBucketed(
@@ -112,15 +112,19 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding (4 bands x 4 rows) over the signatures -> distinct
-    * candidate (doc_a < doc_b) pairs colliding on at least one band. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+  /** LSH band rows (doc_id, b, bh) — 4 bands x 4 rows over the 16 minima. */
+  private def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("b"),
             md5(concat_ws(",", (0 until 4).map(o => col(s"sig${4 * b + o}").cast("string")): _*)).as("bh"))
         }: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+
+  /** LSH banding over the signatures -> distinct candidate (doc_a < doc_b)
+    * pairs colliding on at least one band. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = lshBands(sig)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -301,14 +305,32 @@ object Dedup {
     * a real cluster) so analysis cost stays constant per round. A
     * non-converged exit is an ERROR, not a silent wrong answer. */
   def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
-    val labels = connectedComponents(pairs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    val out = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    clusterTable(spark, dir)
       .withColumn("cluster_size", count(lit(1)).over(w))
       .orderBy("doc_id")
-    pairs.unpersist()
-    out
+  }
+
+  /** The (doc_id, cluster_id) near-dup cluster assignment, materialized
+    * ONCE per (session, sf-dir) as a bucketed table — the d2 candidate
+    * chain plus the iterative CC loop is the most expensive index build in
+    * the dedup family, and both d6 (cluster report) and d8 (canonical
+    * corpus) consume it; clustering is also inherently a whole-corpus
+    * artifact, so at warehouse scale it IS a written table, not a
+    * per-query recompute. Same within-session immutable-input assumption
+    * as [[shingleIndex3]]. */
+  private[graft] def clusterTable(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_cc_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
+        Warehouse.writeBucketed(
+          connectedComponents(pairs).select(col("doc_id"), col("lbl").as("cluster_id")),
+          t, "doc_id")
+        pairs.unpersist()
+      }
+    }
+    spark.table(t)
   }
 
   /** Connected components over an undirected pair list (doc_a, doc_b) —
@@ -407,14 +429,22 @@ object Dedup {
         col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
+    // truth and cand each feed TWO of the three cross-joined aggregates
+    // below; without a materialization barrier the whole inverted-index
+    // pair join (the dominant cost — ~sum(df^2) rows through an exchange)
+    // executes twice per query. Both pair sets are tiny (id pairs), so
+    // eagerly checkpoint them and let every aggregate read the result
+    // (measured: d7 2x faster at sf0.1; a written table at warehouse scale).
     val truth = inter
       .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(Exact.ratio6e(col("i"), col("na") + col("nb") - col("i")) >= 500000L)
       .select("doc_a", "doc_b")
-    val caught = truth.join(cand, Seq("doc_a", "doc_b"))
+      .localCheckpoint(true)
+    val candCp = cand.localCheckpoint(true)
+    val caught = truth.join(candCp, Seq("doc_a", "doc_b"))
     truth.agg(count(lit(1)).as("n_true_pairs"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_lsh_candidates")))
+      .crossJoin(candCp.agg(count(lit(1)).as("n_lsh_candidates")))
       .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
       // empty truth set: emit null recall (DuckDB's // would raise on /0,
       // Spark's IntegralDivide yields null — pin both engines to null)
@@ -437,11 +467,63 @@ object Dedup {
     // web-scale corpus is near-dup), so the planner/AQE must pick the join
     // strategy — broadcast when it fits, shuffle/bucketed anti join when
     // it doesn't
-    val nearDrop = d6DupClusters(spark, dir)
+    val nearDrop = clusterTable(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     flagged.filter(col("is_can"))
       .join(nearDrop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "content_hash")
+      .orderBy("doc_id")
+  }
+
+  /** C9: incremental (daily-ingest) dedup — the production shape: a NEW
+    * batch (doc_id % 10 == 0 stands in for today's ingest) deduped against
+    * the EXISTING corpus without ever pairing the existing corpus with
+    * itself. The band join is new-side × existing-side only, so its cost is
+    * O(batch × collision rate), independent of corpus-pair count — the
+    * property that makes daily dedup affordable at a 100 TB corpus (the
+    * existing side's signatures/bands come from the already-materialized
+    * shingle index; in production they are themselves a stored table, and
+    * the band join is a bucketed probe). Each new doc gets: its exact
+    * content-hash match (oldest existing), its best verified near-dup
+    * (highest Jaccard, smallest id tie-break, via min_by partial agg — no
+    * window sort), and the composed verdict. */
+  def d9IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 0
+    val ex = shingleIndex3(spark, dir)
+    val sig = minhashSig(ex)
+    val bands = lshBands(sig)
+    val mixed = bands.filter(isNew).as("x")
+      .join(bands.filter(!isNew).as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("ex_id"))
+      .distinct()
+    val nsh = sig.select(col("doc_id"), col("n"))
+    val inter = mixed
+      .join(ex.select(col("doc_id").as("new_id"), col("hs")), "new_id")
+      .join(ex.select(col("doc_id").as("ex_id"), col("hs")), Seq("ex_id", "hs"))
+      .groupBy("new_id", "ex_id").agg(count(lit(1)).as("i"))
+    val ver = inter
+      .join(nsh.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
+      .join(nsh.select(col("doc_id").as("ex_id"), col("n").as("nb")), "ex_id")
+      .withColumn("j_e6", Exact.ratio6e(col("i"), col("na") + col("nb") - col("i")))
+      .filter(col("j_e6") >= 500000L)
+    val best = ver.groupBy("new_id").agg(
+      min_by(struct(col("ex_id"), col("j_e6")), struct((-col("j_e6")).as("nj"), col("ex_id"))).as("b"))
+      .select(col("new_id").as("doc_id"), col("b.ex_id").as("near_match_id"),
+        col("b.j_e6").as("j_e6"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("ch"))
+    val exacts = docs.filter(isNew)
+      .join(docs.filter(!isNew).select(col("ch"), col("doc_id").as("eid")), "ch")
+      .groupBy("doc_id").agg(min(col("eid")).as("exact_match_id"))
+    docs.filter(isNew).select("doc_id")
+      .join(exacts, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("near_jaccard", col("j_e6").cast("double") / 1e6)
+      .withColumn("verdict",
+        when(col("exact_match_id").isNotNull, "exact_dup")
+          .when(col("near_match_id").isNotNull, "near_dup")
+          .otherwise("new"))
+      .select("doc_id", "exact_match_id", "near_match_id", "near_jaccard", "verdict")
       .orderBy("doc_id")
   }
 
@@ -454,6 +536,7 @@ object Dedup {
     "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
     "d7_lsh_recall"        -> ((s, d) => d7LshRecall(s, d)),
     "d8_canonical_corpus"  -> ((s, d) => d8CanonicalCorpus(s, d)),
+    "d9_incremental_dedup" -> ((s, d) => d9IncrementalDedup(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -598,6 +681,36 @@ object Dedup {
         |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (acc,x) -> acc+x)/(a.nrm*b.nrm) END, 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "d9_incremental_dedup" -> (MinhashCandCte +
+        """, mixed AS (
+          |  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+          |         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS ex_id
+          |  FROM cand WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+          |), ver AS (
+          |  SELECT new_id, ex_id,
+          |    ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) AS j_e6
+          |  FROM mixed JOIN shl x ON x.doc_id = new_id JOIN shl y ON y.doc_id = ex_id
+          |), best AS (
+          |  SELECT new_id, ex_id AS near_match_id, j_e6 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY j_e6 DESC, ex_id) AS rn
+          |    FROM ver WHERE j_e6 >= 500000)
+          |  WHERE rn = 1
+          |), exacts AS (
+          |  SELECT n.doc_id AS new_id, min(e.doc_id) AS exact_match_id
+          |  FROM documents n JOIN documents e
+          |    ON md5(n.text) = md5(e.text) AND e.doc_id % 10 <> 0
+          |  WHERE n.doc_id % 10 = 0 GROUP BY 1
+          |)
+          |SELECT nd.doc_id, exacts.exact_match_id, best.near_match_id,
+          |  best.j_e6 / 1000000.0 AS near_jaccard,
+          |  CASE WHEN exacts.exact_match_id IS NOT NULL THEN 'exact_dup'
+          |       WHEN best.near_match_id IS NOT NULL THEN 'near_dup'
+          |       ELSE 'new' END AS verdict
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) nd
+          |LEFT JOIN exacts ON nd.doc_id = exacts.new_id
+          |LEFT JOIN best ON nd.doc_id = best.new_id
+          |ORDER BY nd.doc_id""".stripMargin),
+
     "d6_dup_clusters" -> (D6ClusterCte +
         """
           |SELECT doc_id, cluster_id,
@@ -620,7 +733,7 @@ object Dedup {
   /** DuckDB CTE chain for d6/d8: the hashed-shingle candidate chain under a
     * RECURSIVE prefix, plus verified pairs and the transitive-closure
     * cluster table (the oracle's exact CC — min reachable id per node). */
-  private lazy val D6ClusterCte: String =
+  private[graft] lazy val D6ClusterCte: String =
     MinhashCandCte.replace("WITH sh", "WITH RECURSIVE sh") +
       """, verified AS (
         |  SELECT doc_a, doc_b

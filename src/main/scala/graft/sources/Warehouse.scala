@@ -32,17 +32,28 @@ object Warehouse {
   /** Remove a stale managed-table location left by a previous session: the
     * in-memory catalog forgets tables on JVM exit but their parquet files
     * stay, and saveAsTable refuses to create a table over an existing
-    * location it doesn't own (LOCATION_ALREADY_EXISTS). */
+    * location it doesn't own (LOCATION_ALREADY_EXISTS). Deletion goes
+    * through the Hadoop FileSystem API so it works on whatever filesystem
+    * backs spark.sql.warehouse.dir (local, hdfs://, s3a://) — a
+    * java.io.File delete is a silent no-op off the local disk. */
   private def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val root = new java.io.File(if (wh.getScheme == null) wh.toString else wh.getPath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    val loc = new java.io.File(root, table.toLowerCase)
-    if (loc.exists()) rm(loc)
+    val root = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(root, table.toLowerCase)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+  }
+
+  /** Collision-safe per-data-dir table-name suffix: 64 bits of the md5 of
+    * the absolute path (a 32-bit String.hashCode collided at ~2^16 dirs —
+    * and a collision silently serves the wrong index). Within-session the
+    * input dir is assumed immutable; data changing under the same path
+    * needs a new session (or a data fingerprint in place of the path). */
+  private[graft] def tableSuffix(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
   }
 
   /** Write partitioned by a low-cardinality column (e.g. IVF list_id). */

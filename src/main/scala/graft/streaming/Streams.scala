@@ -96,6 +96,32 @@ object Streams {
         col("sw.end").as("session_end"), col("n_events"))
   }
 
+  /** H7: stream-stream interval join — each purchase matched to the same
+    * user's clicks in the preceding `horizonMinutes`. The canonical
+    * attribution shape: both sides are unbounded streams, so the join
+    * keeps a state store per side; the event-time interval bound in the
+    * join condition plus the watermarks lets the store evict a click once
+    * the watermark passes click_ts + horizon — state is O(events in one
+    * horizon), not O(stream history), at any volume. Works identically on
+    * batch frames (condition degenerates to a range join), which is what
+    * the spec compares against. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       horizonMinutes: Int = 60,
+                       watermark: String = "1 hour"): DataFrame = {
+    val c0 = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val p0 = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"))
+    val c = if (c0.isStreaming) c0.withWatermark("c_ts", watermark) else c0
+    val p = if (p0.isStreaming) p0.withWatermark("p_ts", watermark) else p0
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
   case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)
   /** status: "active" on each update, "expired" when the TTL timeout fires. */

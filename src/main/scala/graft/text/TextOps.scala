@@ -89,7 +89,15 @@ object TextOps {
     * (no FP on the decision path), so the verdict is bit-stable across
     * engines and shuffle orders; at 100 TB this is one narrow pass plus
     * the content-hash window shuffle. */
-  def t5KeepFilter(spark: SparkSession, dir: String): DataFrame = {
+  def t5KeepFilter(spark: SparkSession, dir: String): DataFrame =
+    keepSignals(spark, dir)
+      .select("doc_id", "is_canonical", "quality_ok", "tokens_ok", "lang_ok", "keep")
+      .orderBy("doc_id")
+
+  /** The per-document keep/drop signal set behind t5, with the carry
+    * columns (lang, source, n_words) the pipeline composition query (P1)
+    * aggregates over. */
+  private[graft] def keepSignals(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
     Tables.documents(spark, dir)
@@ -106,8 +114,6 @@ object TextOps {
       .withColumn("lang_ok", col("lang").isin("en", "de", "fr"))
       .withColumn("keep",
         col("is_canonical") && col("quality_ok") && col("tokens_ok") && col("lang_ok"))
-      .select("doc_id", "is_canonical", "quality_ok", "tokens_ok", "lang_ok", "keep")
-      .orderBy("doc_id")
   }
 
   /** E4: rolling polynomial hash fingerprint — in-order fold
@@ -138,6 +144,40 @@ object TextOps {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** E7: repetition scoring (the Gopher-style repetition filters): per
+    * document, the fraction of word-bigram occurrences held by the single
+    * most frequent bigram and the fraction inside any repeated (count>1)
+    * bigram — boilerplate and template spam light up both. Bigrams come
+    * from two O(n) array slices zipped and exploded (codegen generators, no
+    * interpreted HOF lambda, no window sort), hashed to 8-byte keys before
+    * the exchange; the two-level groupBy ((doc,gram) then doc) partial-
+    * aggregates map-side, so the shuffle carries one row per distinct
+    * bigram per partition. Fractions are round-half-up e6 integers
+    * (SURVEY §5.3b) and the verdict is an integer compare — bit-stable in
+    * any engine at any shuffle order. */
+  def t7Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = arrays_zip(
+      slice(ws, lit(1), size(ws) - 1).as("w1"),
+      slice(ws, lit(2), size(ws) - 1).as("w2"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"),
+        DetHash.h60(concat_ws(" ", col("p.w1"), col("p.w2"))).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("rep_c"))
+      .withColumn("top_e6", Exact.ratio6e(col("top_c"), col("n_bigrams")))
+      .withColumn("rep_e6", Exact.ratio6e(col("rep_c"), col("n_bigrams")))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("top_e6").cast("double") / 1000000.0).as("top_bigram_frac"),
+        (col("rep_e6").cast("double") / 1000000.0).as("rep_bigram_frac"),
+        (col("rep_e6") >= 300000L).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid"      -> ((s, d) => t1LangId(s, d)),
     "t2_quality"     -> ((s, d) => t2Quality(s, d)),
@@ -145,6 +185,7 @@ object TextOps {
     "t4_fingerprint" -> ((s, d) => t4Fingerprint(s, d)),
     "t5_keep_filter" -> ((s, d) => t5KeepFilter(s, d)),
     "t6_vocab"       -> ((s, d) => t6Vocab(s, d)),
+    "t7_repetition"  -> ((s, d) => t7Repetition(s, d)),
   )
 
   private def hitsSql(stops: Seq[String]): String =
@@ -237,5 +278,26 @@ object TextOps {
       """SELECT w AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "t7_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> ${DetHash.h60Sql("w[i] || ' ' || w[i+1]")})) AS g
+         |  FROM t
+         |), cnt AS (
+         |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(max(c) AS BIGINT) AS top_c,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS rep_c
+         |  FROM cnt GROUP BY 1
+         |)
+         |SELECT doc_id, n_bigrams,
+         |  ((2000000*(top_c) + (n_bigrams)) // (2*(n_bigrams))) / 1000000.0 AS top_bigram_frac,
+         |  ((2000000*(rep_c) + (n_bigrams)) // (2*(n_bigrams))) / 1000000.0 AS rep_bigram_frac,
+         |  ((2000000*(rep_c) + (n_bigrams)) // (2*(n_bigrams))) >= 300000 AS is_repetitive
+         |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

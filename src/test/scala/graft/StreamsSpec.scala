@@ -126,6 +126,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H7: stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // u1: clicks at 00:01 and 00:05, purchase at 00:30 (both attributed)
+    // and a click at 00:50 AFTER the purchase (not attributed);
+    // u2: click at 00:02 but purchase at 01:20 (outside the 60-min horizon)
+    val clicks = Seq(
+      (1L, ts(1), 101L), (1L, ts(5), 102L), (1L, ts(50), 103L),
+      (2L, ts(2), 201L))
+    val purchases = Seq((1L, ts(30), 901L), (2L, Timestamp.valueOf("2024-01-01 01:20:00"), 902L))
+    val cDf = clicks.toDF("user_id", "ts", "event_id")
+    val pDf = purchases.toDF("user_id", "ts", "event_id")
+    val expected = Streams.clickAttribution(cDf, pDf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(expected == Set((901L, 101L), (901L, 102L)))
+
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val out = Streams.clickAttribution(
+      cIn.toDF().toDF("user_id", "ts", "event_id"),
+      pIn.toDF().toDF("user_id", "ts", "event_id"),
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("h7_attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cIn.addData(clicks)
+      pIn.addData(purchases)
+      q.processAllAvailable()
+      // advance both watermarks past every event so all joined rows emit
+      cIn.addData((9L, Timestamp.valueOf("2024-01-01 03:00:00"), 999L))
+      pIn.addData((9L, Timestamp.valueOf("2024-01-01 03:00:00"), 998L))
+      q.processAllAvailable()
+      val got = spark.table("h7_attr").collect()
+        .filter(_.getAs[Long]("user_id") != 9L)
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("H2: same-timestamp events retain the highest event_id's data (deterministic)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
