@@ -438,12 +438,20 @@ object Queries {
 
   /** q21: waiting-orders blame (TPC-H Q21 shape, adapted: "late" =
     * shipped >90 days after the order date, since the schema carries no
-    * commit/receipt dates). A supplier is counted when it shipped late into
-    * a finished multi-supplier order where NO other supplier was late —
-    * the classic EXISTS + NOT-EXISTS pair, expressed as left_semi +
-    * left_anti self-joins on the fact table. All three legs shuffle on
-    * l_orderkey only (ids + one boolean — no payload), AQE-skew-splittable;
-    * the count result then broadcasts against supplier for names. */
+    * commit/receipt dates). A supplier's late LINES are counted when it
+    * shipped late into a finished multi-supplier order where NO other
+    * supplier was late.
+    *
+    * The classic EXISTS + NOT-EXISTS pair is expressed as a two-level
+    * aggregation instead of left_semi + left_anti self-joins: per
+    * (order, supplier) fold the lines (any-late flag + late-line count),
+    * then per order count suppliers and late suppliers — the blame
+    * condition "∃ another supplier ∧ ∄ another late supplier" is exactly
+    * (n_suppliers > 1 ∧ n_late_suppliers == 1), attributing the single
+    * late supplier's late-line count. Same answer as the self-join form,
+    * but the fact table is scanned ONCE instead of three times and both
+    * exchanges move (ids, flag, count) partials only — at 100 TB that's
+    * two map-side-combined shuffles vs three full sorts. */
   def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
@@ -453,18 +461,17 @@ object Queries {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select("l_orderkey", "l_suppkey", "late")
-    val l1 = li.filter(col("late"))
-    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
-    val lateOthers = l1.select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
-    val blamed = l1
-      .join(others,
-        col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
-        "left_semi")
-      .join(lateOthers,
-        col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
-        "left_anti")
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val perOrd = perSupp.groupBy("l_orderkey").agg(
+      count(lit(1)).as("n_supps"),
+      sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supps"),
+      min(when(col("supp_late"), col("l_suppkey"))).as("l_suppkey"),
+      sum(when(col("supp_late"), col("n_late_lines")).otherwise(0L)).as("blamed_lines"))
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    blamed.groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+    perOrd.filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+      .groupBy(col("l_suppkey")).agg(sum(col("blamed_lines")).as("numwait"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -26,7 +26,20 @@ import graft.rag.Search
   */
 object Ann {
 
-  def a2KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def a2KnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, sameLabel = false)
+
+  /** D10 (a10): metadata-FILTERED IVF search — the scale path behind
+    * r4_search_filtered's brute-force shape: the label equality predicate
+    * rides the probe join into the inverted-list scan, so at warehouse
+    * scale it applies inside the partition-pruned list read (predicate +
+    * partition pruning compose; the filter never materializes an unfiltered
+    * candidate set). Top-k then ranks only same-label rows — fewer
+    * candidates per probe, same two-stage plan. */
+  def a10IvfFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(spark, dir, sameLabel = true)
+
+  private def ivfTopK(spark: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
     val e = Search.corpus(spark, dir)  // vec_id, label, v, nrm
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -52,7 +65,7 @@ object Ann {
     }
     val asg = e.crossJoin(broadcast(centRow))
       .select(col("vec_id"), least(cands: _*).getField("cent_id").as("list_id"),
-        col("v"), col("nrm"))
+        col("label"), col("v"), col("nrm"))
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
@@ -61,13 +74,15 @@ object Ann {
       .join(broadcast(cent), lit(true)).withColumn("cs", cs)
       .withColumn("rn", row_number().over(wv)).filter(col("rn") <= 3)
       .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
+        col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qnrm"))
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
-    asg.join(broadcast(probes),
-        asg("list_id") === probes("list_id") && col("vec_id") =!= col("query_id"))
+    val joinCond = asg("list_id") === probes("list_id") &&
+      col("vec_id") =!= col("query_id") &&
+      (if (sameLabel) col("label") === col("qlabel") else lit(true))
+    asg.join(broadcast(probes), joinCond)
       .withColumn("similarity", sim)
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= 10)
@@ -98,39 +113,49 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_knn_ivf" -> ((s, d) => a2KnnIvf(s, d)),
     "a3_ivf_recall" -> ((s, d) => a3IvfRecall(s, d)),
+    "a10_ivf_filtered" -> ((s, d) => a10IvfFiltered(s, d)),
   )
 
   private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
 
-  /** Shared CTE chain producing the IVF ranked results (used by a2 + a3). */
-  private val IvfCte: String =
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
+  /** Shared CTE chain producing the IVF ranked results (a2 + a3 unfiltered;
+    * a10 with the label predicate inside the probe join). */
+  private def ivfCte(sameLabel: Boolean): String = {
+    val labelCond = if (sameLabel) " AND a.label = p.qlabel" else ""
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |en AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
          |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8),
          |asg0 AS (
-         |  SELECT en.vec_id, cent.cent_id, en.v, en.nrm,
+         |  SELECT en.vec_id, en.label, cent.cent_id, en.v, en.nrm,
          |    round(CASE WHEN en.nrm*cent.cnrm = 0 THEN 0.0
          |      ELSE ${dotSql("en.v", "cent.cv")}/(en.nrm*cent.cnrm) END, 6) AS cs
          |  FROM en, cent
          |), asg AS (
-         |  SELECT vec_id, cent_id AS list_id, v, nrm FROM (
+         |  SELECT vec_id, label, cent_id AS list_id, v, nrm FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
          |    FROM asg0) WHERE rn = 1
          |), probes AS (
-         |  SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, nrm AS qnrm FROM (
+         |  SELECT vec_id AS query_id, label AS qlabel, cent_id AS list_id, v AS qv, nrm AS qnrm FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
          |    FROM asg0 WHERE vec_id % 101 = 0) WHERE rn <= 3
          |), scored AS (
          |  SELECT p.query_id, a.vec_id,
          |    round(CASE WHEN p.qnrm*a.nrm = 0 THEN 0.0
          |      ELSE ${dotSql("p.qv", "a.v")}/(p.qnrm*a.nrm) END, 6) AS similarity
-         |  FROM probes p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+         |  FROM probes p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id$labelCond
          |), ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
          |  FROM scored)""".stripMargin
+  }
+  private val IvfCte: String = ivfCte(sameLabel = false)
 
   val oracle: Map[String, String] = Map(
     "a2_knn_ivf" -> (IvfCte +
+      """
+         |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin),
+
+    "a10_ivf_filtered" -> (ivfCte(sameLabel = true) +
       """
          |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin),
