@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Exact
 
 /** Event-series operators (SURVEY.md §2.G, time-series extensions) — the
   * two join/segmentation shapes every telemetry/training-data pipeline
@@ -117,10 +118,48 @@ object EventOps {
         expr("percentile(value, 0.95)")).as("p95_ok"))
   }
 
+  /** e4: conversion funnel — users progressing signup → click → purchase
+    * in event-time order (each step at-or-after the previous user's step).
+    * The ORDERED-sequence match is the part plain aggregation can't do:
+    * a running earliest-signup (then earliest-qualified-click) window
+    * marks, at every event, whether the prefix of the funnel is already
+    * satisfied — one shuffle on user_id, one in-partition sort, two
+    * stacked window passes over the same sort (no second exchange; the
+    * per-user aggregate reuses the partitioning too). Output is a single
+    * funnel-report row: stage counts + e6-exact conversion ratios
+    * ((ts, event_id) ordering makes same-timestamp prefixes bit-stable
+    * cross-engine). */
+  def e4Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("s_run",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c_run",
+        min(when(col("event_type") === "click" && col("s_run").isNotNull, col("ts"))).over(w))
+    val per = stepped.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+      min(when(col("event_type") === "click" && col("s_run").isNotNull, col("ts"))).as("t2"),
+      min(when(col("event_type") === "purchase" && col("c_run").isNotNull, col("ts"))).as("t3"))
+    per.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_signup_click"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_funnel"))
+      .withColumn("click_conv",
+        when(col("n_signup") === 0, lit(null).cast("double"))
+          .otherwise(Exact.ratio6(col("n_signup_click"), col("n_signup"))))
+      .withColumn("purchase_conv",
+        when(col("n_signup_click") === 0, lit(null).cast("double"))
+          .otherwise(Exact.ratio6(col("n_funnel"), col("n_signup_click"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_asof_join"   -> ((s, d) => e1AsofJoin(s, d)),
     "e2_sessions"    -> ((s, d) => e2Sessions(s, d)),
     "e3_sketch_stats" -> ((s, d) => e3SketchStats(s, d)),
+    "e4_funnel"      -> ((s, d) => e4Funnel(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +193,39 @@ object EventOps {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "e4_funnel" ->
+      """WITH st AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS s_run
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), st2 AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'click' AND s_run IS NOT NULL THEN ts END) OVER w AS c_run
+        |  FROM st
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'click' AND s_run IS NOT NULL THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND c_run IS NOT NULL THEN ts END) AS t3
+        |  FROM st2 GROUP BY user_id
+        |), agg AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |    CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+        |  FROM per
+        |)
+        |SELECT n_users, n_signup, n_signup_click, n_funnel,
+        |  CASE WHEN n_signup = 0 THEN NULL
+        |    ELSE ((2000000*(n_signup_click) + (n_signup)) // (2*(n_signup))) / 1000000.0 END AS click_conv,
+        |  CASE WHEN n_signup_click = 0 THEN NULL
+        |    ELSE ((2000000*(n_funnel) + (n_signup_click)) // (2*(n_signup_click))) / 1000000.0 END AS purchase_conv
+        |FROM agg""".stripMargin,
 
     "e3_sketch_stats" ->
       """SELECT count(*) AS n_events,

@@ -122,6 +122,22 @@ object Streams {
         col("click_id"), col("c_ts"))
   }
 
+  /** H8: streaming ingest dedup against the HISTORICAL corpus — the online
+    * form of d9's exact layer: arriving documents are first deduped within
+    * the stream (watermarked dropDuplicates state) and then anti-joined
+    * against the static corpus hash set, so only genuinely-new content
+    * reaches the sink. The static side never moves per micro-batch; at
+    * warehouse scale it is the bucketed content-hash table of the corpus
+    * and the anti join is a bucketed probe. */
+  def streamingIngestDedup(incoming: DataFrame, corpusHashes: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val hashed =
+      (if (incoming.isStreaming) incoming.withWatermark("ts", watermark) else incoming)
+        .withColumn("content_hash", md5(col("text")))
+        .dropDuplicates("content_hash")
+    hashed.join(corpusHashes, Seq("content_hash"), "left_anti")
+  }
+
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
   case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)
   /** status: "active" on each update, "expired" when the TTL timeout fires. */

@@ -35,4 +35,33 @@ class StreamDedupSpec extends SparkSpec {
       assert(kept == Set(1L, 2L, 4L), s"got $kept")
     } finally q.stop()
   }
+
+  test("H8: ingest dedup drops in-stream dups AND corpus-known content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // historical corpus already contains "alpha beta"
+    val corpus = Seq("alpha beta", "epsilon").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.Streams.streamingIngestDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("h8_ingest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts(1), 10L, "alpha beta"), // known in corpus -> dropped
+        (ts(2), 11L, "gamma"),      // new -> kept
+        (ts(3), 12L, "gamma"),      // in-stream dup -> dropped
+        (ts(4), 13L, "delta"))      // new -> kept
+      q.processAllAvailable()
+      val kept = spark.table("h8_ingest").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 13L), s"got $kept")
+      // batch equivalence: the same frame through the same transform
+      val batch = graft.streaming.Streams.streamingIngestDedup(
+        Seq((ts(2), 11L, "gamma"), (ts(4), 13L, "delta"), (ts(1), 10L, "alpha beta"))
+          .toDF("ts", "doc_id", "text"), corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch == Set(11L, 13L), s"batch got $batch")
+    } finally q.stop()
+  }
 }
