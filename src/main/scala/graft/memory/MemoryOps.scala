@@ -128,6 +128,23 @@ object MemoryOps {
       .offset(2)
       .limit(50)
 
+  /** A9: batch exists() (memory/manager/queries.py:63) — for each probe
+    * key, whether a LIVE (non-expired) memory holds it. The probe list is
+    * tiny and rides as a pushed `isin` predicate into the (bucketed,
+    * key-sorted at warehouse) memory scan, so only matching rows ever
+    * leave the scan; the surviving live keys broadcast back against the
+    * probe list for the boolean — the big table is never shuffled. */
+  def m9Exists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = M3bKeys.toDF("memory_key")
+    val live = memoryTable(spark, dir)
+      .filter(col("memory_key").isin(M3bKeys: _*) && !col("is_expired"))
+      .select(col("memory_key")).withColumn("key_exists", lit(true))
+    probes.join(broadcast(live), Seq("memory_key"), "left")
+      .select(col("memory_key"), coalesce(col("key_exists"), lit(false)).as("key_exists"))
+      .orderBy("memory_key")
+  }
+
   /** A4: MemoryStats — single-row aggregate (models/memory.py:MemoryStats). */
   def m4Stats(spark: SparkSession, dir: String): DataFrame =
     memoryTable(spark, dir).agg(
@@ -205,6 +222,7 @@ object MemoryOps {
     "m6_expiry_buckets"  -> ((s, d) => m6ExpiryBuckets(s, d)),
     "m7_delete_keys"     -> ((s, d) => m7DeleteKeys(s, d)),
     "m8_update_ttl"      -> ((s, d) => m8UpdateTtl(s, d)),
+    "m9_exists"          -> ((s, d) => m9Exists(s, d)),
   )
 
   /** Shared DuckDB CTE replicating the memory build (oracle side). */
@@ -275,6 +293,13 @@ object MemoryOps {
          |  AND expires_at < TIMESTAMP '2024-02-10 00:00:00'
          |ORDER BY memory_key
          |LIMIT 50 OFFSET 2""".stripMargin),
+
+    "m9_exists" -> (Cte +
+      s"""SELECT k.memory_key, coalesce(m.key_exists, false) AS key_exists
+         |FROM (SELECT unnest([${M3bKeys.map(k => s"'$k'").mkString(", ")}]) AS memory_key) k
+         |LEFT JOIN (SELECT memory_key, true AS key_exists FROM mem2 WHERE NOT is_expired) m
+         |  USING (memory_key)
+         |ORDER BY k.memory_key""".stripMargin),
 
     "m4_stats" -> (Cte +
       """SELECT count(*) AS total_memories,

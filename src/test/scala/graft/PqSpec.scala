@@ -45,6 +45,25 @@ class PqSpec extends SparkSpec {
     assert(hits > 0, "trained-codebook PQ found none of the true top-10")
   }
 
+  test("OPQ rotation is orthogonal and its rotated-PQ recall is well-formed") {
+    // R R^T = I within numerical tolerance — the property that makes the
+    // rotated recall comparable to the unrotated ground truth
+    val r = Pq.OpqRotation
+    val n = r.length
+    for (i <- 0 until n; j <- 0 until n) {
+      val dot = (0 until n).map(k => r(i)(k) * r(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"RR^T[$i][$j] = $dot")
+    }
+    val rows = Pq.a11OpqRecall(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_true") == 10L)
+      val rec = row.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("exact re-rank never lowers recall vs pure ADC") {
     val adc = Pq.a6PqRecall(spark, Sf).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
