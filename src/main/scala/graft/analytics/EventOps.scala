@@ -155,11 +155,33 @@ object EventOps {
           .otherwise(Exact.ratio6(col("n_funnel"), col("n_signup_click"))))
   }
 
+  /** e5: weekly cohort retention — users bucketed by their first-activity
+    * week, then counted once per (cohort, weeks-since-cohort) cell they
+    * were active in: the retention matrix every growth dashboard draws.
+    * Two shuffles on user_id (first-week aggregate, then the join back —
+    * co-partitioned, so AQE plans them as one lineage at scale) and a
+    * distinct that carries only (user, cohort, week) triples; offsets are
+    * exact integer day arithmetic on week-truncated timestamps. */
+  def e5Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts")
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val act = ev.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    act.groupBy(col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_asof_join"   -> ((s, d) => e1AsofJoin(s, d)),
     "e2_sessions"    -> ((s, d) => e2Sessions(s, d)),
     "e3_sketch_stats" -> ((s, d) => e3SketchStats(s, d)),
     "e4_funnel"      -> ((s, d) => e4Funnel(s, d)),
+    "e5_retention"   -> ((s, d) => e5Retention(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,6 +248,20 @@ object EventOps {
         |  CASE WHEN n_signup_click = 0 THEN NULL
         |    ELSE ((2000000*(n_funnel) + (n_signup_click)) // (2*(n_signup_click))) / 1000000.0 END AS purchase_conv
         |FROM agg""".stripMargin,
+
+    "e5_retention" ->
+      """WITH fu AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT e.user_id, fu.cohort_week, date_trunc('week', e.ts) AS w
+        |  FROM events e JOIN fu USING (user_id)
+        |)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM act GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "e3_sketch_stats" ->
       """SELECT count(*) AS n_events,

@@ -218,10 +218,14 @@ object Dedup {
     * only documents sharing at least one shingle are ever paired — the
     * shuffle is keyed by (shingle, block), never an all-pairs block product. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // the 4-gram index feeds both self-join sides and the per-doc counts —
+    // materialize it once (the explode+window chain otherwise executes 4x
+    // per query; measured ~2x faster at sf0.1, same hashes)
     val ex = shingleHashRows(
       Tables.documents(spark, dir)
         .withColumn("len_bucket", (col("n_chars") / 200).cast("long")),
       4, Seq("lang", "len_bucket"))
+      .localCheckpoint(true)
     val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("x").join(ex.as("y"),
         col("x.hs") === col("y.hs") && col("x.lang") === col("y.lang") &&
