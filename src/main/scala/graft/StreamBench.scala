@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Streaming micro-benchmark (not part of the driver contract): pushes a
+  * deterministic event load through the two stateful streaming operators
+  * and reports rows/sec — the streaming analog of graft.Bench. Run with
+  * `runMain graft.StreamBench [nEvents]`; prints ONE JSON line.
+  *
+  * What it measures (and what it can't): MemoryStream feeds micro-batches
+  * through the real state-store machinery (window aggregation state, TTL
+  * timeouts), so the number captures per-event state maintenance + planning
+  * cost — the quantity that bounds a single partition's throughput at
+  * scale. It does NOT measure source/sink IO (no kafka here) or
+  * multi-node state shuffling; those scale out with partitions.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.flatMap(_.toIntOption).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // deterministic load: n events over ~n seconds, 1000 users, 4 types
+    def ts(i: Int) = new Timestamp(1704067200000L + i * 1000L)
+    val types = Array("click", "view", "purchase", "error")
+
+    // H1: windowed counts — aggregation-state throughput
+    val in1 = MemoryStream[(Timestamp, String, Double)]
+    val q1 = Streams.windowedCounts(in1.toDF().toDF("ts", "event_type", "value"),
+        windowLen = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sb_counts")
+      .outputMode(OutputMode.Append).start()
+    val t1 = System.nanoTime()
+    (0 until n grouped 50000).foreach { batch =>
+      in1.addData(batch.map(i => (ts(i), types(i % 4), (i % 100).toDouble)))
+      q1.processAllAvailable()
+    }
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    q1.stop()
+
+    // H2: TTL state machine — per-key state + timeout throughput
+    val in2 = MemoryStream[Streams.MemEvent]
+    val q2 = Streams.ttlStateMachine(in2.toDS(), ttlSeconds = 600,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sb_ttl")
+      .outputMode(OutputMode.Append).start()
+    val t2 = System.nanoTime()
+    (0 until n grouped 50000).foreach { batch =>
+      in2.addData(batch.map(i =>
+        Streams.MemEvent(s"k${i % 1000}", ts(i), i.toLong, s"v$i")))
+      q2.processAllAvailable()
+    }
+    val sec2 = (System.nanoTime() - t2) / 1e9
+    q2.stop()
+
+    val r1 = (n / sec1).round
+    val r2 = (n / sec2).round
+    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2}""")
+    spark.stop()
+  }
+}
