@@ -81,17 +81,18 @@ object Pq {
     e.crossJoin(broadcast(cbRow)).select(col("vec_id") +: outCols: _*)
   }
 
-  /** The deterministic-codebook PQ code index, materialized ONCE per
-    * (session, sf-dir) as a bucketed parquet table — the production shape:
-    * a PQ index IS a written 8-byte-per-vector code table, built in one
-    * pass and probed by every query after; a5/a6/a7/a8 between them would
-    * otherwise re-encode the corpus four+ times per run. (The k-means path
-    * a9 trains its own codebook per call and keeps the inline encode.) */
-  private def codesTable(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
-    val t = s"graft_pqcodes_${graft.sources.Warehouse.tableSuffix(dir)}"
+  /** A PQ code index, materialized ONCE per (session, sf-dir, codebook
+    * flavor) as a bucketed parquet table — the production shape: a PQ
+    * index IS a written 8-byte-per-vector code table, built in one pass
+    * and probed by every query after; a5/a6/a7/a8 between them would
+    * otherwise re-encode the corpus four+ times per run. `prefix` keys the
+    * codebook flavor ("pqcodes" deterministic, "pqkcodes" k-means). */
+  private def codesTable(spark: SparkSession, dir: String, e: DataFrame,
+                         cb: DataFrame, prefix: String): DataFrame = {
+    val t = s"graft_${prefix}_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
-        graft.sources.Warehouse.writeBucketed(encode(e, codebook(e)), t, "vec_id")
+        graft.sources.Warehouse.writeBucketed(encode(e, cb), t, "vec_id")
     }
     spark.table(t)
   }
@@ -101,7 +102,8 @@ object Pq {
     * tie-break. */
   def a5PqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = Search.corpus(spark, dir) // vec_id, label, v, nrm
-    adcTopK(e, codebook(e), k, codesTable(spark, dir, e))
+    val cb = codebook(e)
+    adcTopK(e, cb, k, codesTable(spark, dir, e, cb, "pqcodes"))
   }
 
   /** ADC search against ANY (m, k, c, cn2) codebook — shared by the
@@ -206,13 +208,16 @@ object Pq {
     import scala.collection.parallel.CollectionConverters._
     // codebooks train on a deterministic ~25% sample — standard PQ practice
     // (a few hundred vectors per centroid suffice) and 4x less fit time.
+    // The sample is cached once: the 8 fits each make maxIter+1 passes, so
+    // without the cache the corpus parquet is re-read ~32 times.
     // The 8 per-subspace fits are INDEPENDENT small jobs whose cost at this
     // scale is dominated by job-scheduling latency, so they submit
     // concurrently (Spark's scheduler interleaves them across idle cores);
     // each fit keeps its own deterministic seed, so the trained centers —
     // and therefore the codebook rows, keyed (m, k) — are identical to the
     // sequential build at any submission order.
-    val sample = e.filter(col("vec_id") % 4 === 0)
+    val sample = e.filter(col("vec_id") % 4 === 0).select(col("v")).cache()
+    sample.count()
     val rows = (0 until M).par.flatMap { m =>
       val sub = sample.select(
         org.apache.spark.ml.functions.array_to_vector(subvec(col("v"), m)).as("features"))
@@ -224,15 +229,32 @@ object Pq {
         (m, kk, c.toArray.map(_.toFloat))
       }
     }.seq.sortBy(r => (r._1, r._2))
+    sample.unpersist()
     rows.toDF("m", "k", "c").withColumn("cn2", Vec.dotNative(col("c"), col("c")))
+  }
+
+  /** The k-means codebook, materialized ONCE per (session, sf-dir):
+    * codebook training is index-BUILD cost (in production the codebook is
+    * a written artifact versioned with the corpus), so repeated a9 queries
+    * must not re-fit 8 k-means models any more than repeated a5 queries
+    * re-encode the corpus. */
+  private def trainedCodebookTable(spark: SparkSession, dir: String,
+                                   e: DataFrame): DataFrame = {
+    val t = s"graft_pqkcb_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        graft.sources.Warehouse.writeTable(trainedCodebook(spark, e), t)
+    }
+    spark.table(t)
   }
 
   /** D9: PQ with k-means-trained codebooks (rows-only + spec): better
     * quantization than data-drawn centroids, same 8-byte index and ADC
-    * scan. */
+    * scan — codebook and code table both read from the one-time build. */
   def a9PqKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Search.corpus(spark, dir)
-    adcTopK(e, trainedCodebook(spark, e), 10)
+    val cb = trainedCodebookTable(spark, dir, e)
+    adcTopK(e, cb, 10, codesTable(spark, dir, e, cb, "pqkcodes"))
   }
 
   /** D8: recall@10 of the re-ranked PQ pipeline — shows the shortlist +

@@ -219,13 +219,18 @@ object Dedup {
     * shuffle is keyed by (shingle, block), never an all-pairs block product. */
   def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // the 4-gram index feeds both self-join sides and the per-doc counts —
-    // materialize it once (the explode+window chain otherwise executes 4x
-    // per query; measured ~2x faster at sf0.1, same hashes)
-    val ex = shingleHashRows(
-      Tables.documents(spark, dir)
-        .withColumn("len_bucket", (col("n_chars") / 200).cast("long")),
-      4, Seq("lang", "len_bucket"))
-      .localCheckpoint(true)
+    // materialized once per (session, sf-dir) like the 3-gram index (the
+    // explode+window chain otherwise executes 4x per query, per run)
+    val t4 = s"graft_sh4_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t4))
+        Warehouse.writeBucketed(
+          shingleHashRows(
+            Tables.documents(spark, dir)
+              .withColumn("len_bucket", (col("n_chars") / 200).cast("long")),
+            4, Seq("lang", "len_bucket")), t4, "doc_id")
+    }
+    val ex = spark.table(t4)
     val nsh = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("x").join(ex.as("y"),
         col("x.hs") === col("y.hs") && col("x.lang") === col("y.lang") &&

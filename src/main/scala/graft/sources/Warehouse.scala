@@ -29,6 +29,24 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Write a small unbucketed artifact table (codebooks, centroid sets). */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropStale(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Write a table partitioned by a low-cardinality column (e.g. IVF
+    * list_id). A probe set broadcast-joined on the partition key triggers
+    * dynamic partition pruning — only the probed lists are ever read,
+    * which is the physical meaning of an inverted-list index. */
+  def writePartitionedTable(df: DataFrame, table: String, partCol: String): Unit = {
+    dropStale(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .partitionBy(partCol)
+      .saveAsTable(table)
+  }
+
   /** Remove a stale managed-table location left by a previous session: the
     * in-memory catalog forgets tables on JVM exit but their parquet files
     * stay, and saveAsTable refuses to create a table over an existing
