@@ -103,13 +103,29 @@ object Dedup {
     * (x4) -> equality self-join on (band, band_hash) -> count-join verify.
     */
   /** MinHash signatures (sig0..sig15 + per-doc shingle count n) from the
-    * shingle index — the minima AND the count ride ONE groupBy shuffle. */
-  private def minhashSig(ex: DataFrame): DataFrame = {
+    * shingle index — the minima AND the count ride ONE groupBy shuffle
+    * (exchange-free on the bucketed index layout). */
+  private def minhashSigFrom(ex: DataFrame): DataFrame = {
     val hashed = ex.withColumn("h31", col("hs") % MersenneM)
     val aggs = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
       min((lit(a) * col("h31") + lit(b)) % MersenneM).as(s"sig$p")
     } :+ count(lit(1)).as("n")
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The signature table, materialized ONCE per (session, sf-dir): like
+    * the shingle index it derives deterministically from the corpus
+    * version and feeds d2, d7, and d9 (signatures, band rows, and the
+    * per-doc shingle counts all read it) — in production it is the stored
+    * output of the signature-build pass, bucketed by doc_id so the
+    * count-attach joins stay exchange-free. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_mhsig_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        Warehouse.writeBucketed(minhashSigFrom(shingleIndex3(spark, dir)), t, "doc_id")
+    }
+    spark.table(t)
   }
 
   /** LSH band rows (doc_id, b, bh) — 4 bands x 4 rows over the 16 minima. */
@@ -138,7 +154,7 @@ object Dedup {
     // warehouse table (shingleIndex3) rather than re-parsing the corpus
     // per branch.
     val ex = shingleIndex3(spark, dir)
-    val sig = minhashSig(ex)
+    val sig = minhashSig(spark, dir)
     val cand = lshCandidates(sig)
     val nsh = sig.select(col("doc_id"), col("n"))
     val inter = cand
@@ -172,6 +188,33 @@ object Dedup {
     * the 60-bit form is what the DuckDB oracle replays. */
   val D3Hamming = 3
 
+  /** The 60-bit SimHash signature table, materialized ONCE per (session,
+    * sf-dir) — one row per doc, another stored signature-build output.
+    * Per-token hash once, then ALL 60 bit-sums as map-side partial
+    * aggregates in ONE groupBy — summing +-1 per occurrence equals the
+    * count-weighted per-distinct-word sum, so no (doc, word) pre-count
+    * and, crucially, no 60x bit-explode shuffle (that shape moves 60x
+    * the token count through the exchange at 100 TB). */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_shsig_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val tok = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("h", DetHash.h60(col("w")))
+        val bitAggs = (0 until 60).map { b =>
+          sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
+        }
+        val sig = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("sig"))
+        Warehouse.writeBucketed(sig, t, "doc_id")
+      }
+    }
+    spark.table(t)
+  }
+
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     d3SimhashChunked(spark, dir, chunkCount = 4)
 
@@ -182,21 +225,7 @@ object Dedup {
         s"(pigeonhole completeness); got $chunkCount")
     val width = 60 / chunkCount
     val mask = (1L << width) - 1
-    // Per-token hash once, then ALL 60 bit-sums as map-side partial
-    // aggregates in ONE groupBy — summing +-1 per occurrence equals the
-    // count-weighted per-distinct-word sum, so no (doc, word) pre-count
-    // and, crucially, no 60x bit-explode shuffle (that shape moves 60x
-    // the token count through the exchange at 100 TB).
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", DetHash.h60(col("w")))
-    val bitAggs = (0 until 60).map { b =>
-      sum(expr(s"2 * ((h >> $b) & 1) - 1")).as(s"s$b")
-    }
-    val sig = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("sig"))
+    val sig = simhashSig(spark, dir)
     val chunks = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(chunkCount - 1))).as("c"))
       .withColumn("cv", expr(s"(sig >> ($width * c)) & $mask"))
@@ -424,7 +453,7 @@ object Dedup {
 
   def d7LshRecall(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingleIndex3(spark, dir)
-    val sig = minhashSig(ex)
+    val sig = minhashSig(spark, dir)
     val cand = lshCandidates(sig)
     val nsh = sig.select(col("doc_id"), col("n"))
     // document frequency per shingle -> keep only rare shingles in the
@@ -499,7 +528,7 @@ object Dedup {
   def d9IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % 10 === 0
     val ex = shingleIndex3(spark, dir)
-    val sig = minhashSig(ex)
+    val sig = minhashSig(spark, dir)
     val bands = lshBands(sig)
     val mixed = bands.filter(isNew).as("x")
       .join(bands.filter(!isNew).as("y"),
