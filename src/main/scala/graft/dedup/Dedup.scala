@@ -575,7 +575,43 @@ object Dedup {
     "d7_lsh_recall"        -> ((s, d) => d7LshRecall(s, d)),
     "d8_canonical_corpus"  -> ((s, d) => d8CanonicalCorpus(s, d)),
     "d9_incremental_dedup" -> ((s, d) => d9IncrementalDedup(s, d)),
+    "d10_decontamination"  -> ((s, d) => d10Decontamination(s, d)),
   )
+
+  /** C10: benchmark decontamination — the pipeline op that keeps eval data
+    * out of the training set. Eval set = doc_id % [[D10EvalMod]] == 0
+    * (stands in for a held-out benchmark); a training doc is flagged when
+    * it shares >= [[D10MinShared]] rare 3-gram shingles with an eval doc
+    * (the published n-gram-overlap decontamination recipe, e.g. GPT-3
+    * appendix C / PaLM: 8-13-gram collision => contaminated; threshold
+    * and n tuned here to corpus size). Reuses the stored shingle index;
+    * stop-shingles (df > [[D7DfCap]]) drop before the pair join exactly as
+    * in d7, so boilerplate never fans out quadratically and the join is
+    * O(eval postings x bounded df) — eval sets are tiny relative to the
+    * corpus, so at 100 TB this is a semi-join-shaped probe of the index,
+    * not a corpus self-join. */
+  val D10EvalMod = 31
+  val D10MinShared = 5
+
+  def d10Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleIndex3(spark, dir)
+    val isEval = col("doc_id") % D10EvalMod === 0
+    val rare = ex.join(
+      ex.groupBy("hs").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= D7DfCap).select("hs"),
+      Seq("hs"), "left_semi")
+    val shared = rare.filter(!isEval)
+      .select(col("doc_id").as("train_doc_id"), col("hs"))
+      .join(rare.filter(isEval).select(col("doc_id").as("eval_doc_id"), col("hs")), "hs")
+      .groupBy("train_doc_id", "eval_doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= D10MinShared)
+    val nTrain = ex.groupBy("doc_id").agg(count(lit(1)).as("n_train_grams"))
+    shared
+      .join(nTrain.withColumnRenamed("doc_id", "train_doc_id"), "train_doc_id")
+      .withColumn("overlap_e6", Exact.ratio6e(col("n_shared"), col("n_train_grams")))
+      .select("train_doc_id", "eval_doc_id", "n_shared", "n_train_grams", "overlap_e6")
+      .orderBy("train_doc_id", "eval_doc_id")
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -584,6 +620,17 @@ object Dedup {
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |)""".stripMargin
+
+  /** Sh3Cte extended with the 60-bit-hashed shingle lists (shl) and their
+    * exploded (doc_id, h) rows (shx) — mirrors shingleIndex3. */
+  private val ShxCte: String = Sh3Cte +
+    """, shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(sh,
+      |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
+      |  FROM sh
+      |), shx AS (
+      |  SELECT doc_id, unnest(hh) AS h FROM shl
       |)""".stripMargin
 
   /** Shared DuckDB CTE chain: 60-bit-hashed shingle lists -> minhash
@@ -598,14 +645,8 @@ object Dedup {
       val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
       s"WHEN $b THEN md5($cat)"
     }.mkString(" ")
-    Sh3Cte +
-      s""", shl AS (
-         |  SELECT doc_id, list_distinct(list_transform(sh,
-         |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
-         |  FROM sh
-         |), shx AS (
-         |  SELECT doc_id, unnest(hh) AS h FROM shl
-         |), h31s AS (
+    ShxCte +
+      s""", h31s AS (
          |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
          |), sig AS (
          |  SELECT doc_id,
@@ -766,6 +807,23 @@ object Dedup {
           |SELECT doc_id, lang, source, content_hash FROM flagged
           |WHERE is_can AND doc_id NOT IN (SELECT doc_id FROM drops)
           |ORDER BY doc_id""".stripMargin),
+
+    "d10_decontamination" -> (ShxCte +
+        s""", rare AS (
+           |  SELECT doc_id, h FROM shx
+           |  WHERE h IN (SELECT h FROM shx GROUP BY h HAVING count(*) <= $D7DfCap)
+           |), shared AS (
+           |  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, count(*) AS n_shared
+           |  FROM rare t JOIN rare e ON t.h = e.h
+           |    AND t.doc_id % $D10EvalMod <> 0 AND e.doc_id % $D10EvalMod = 0
+           |  GROUP BY 1, 2 HAVING count(*) >= $D10MinShared
+           |), nt AS (
+           |  SELECT doc_id, len(hh) AS n_train_grams FROM shl
+           |)
+           |SELECT train_doc_id, eval_doc_id, n_shared, n_train_grams,
+           |  CAST(${Exact.ratio6eSql("n_shared", "n_train_grams")} AS BIGINT) AS overlap_e6
+           |FROM shared JOIN nt ON nt.doc_id = train_doc_id
+           |ORDER BY train_doc_id, eval_doc_id""".stripMargin),
   )
 
   /** DuckDB CTE chain for d6/d8: the hashed-shingle candidate chain under a

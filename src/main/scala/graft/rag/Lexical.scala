@@ -1,0 +1,211 @@
+package graft.rag
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DetHash, Exact}
+import graft.sources.Warehouse
+
+/** Lexical (keyword) retrieval — BM25 and hybrid lexical+vector fusion
+  * (SURVEY.md §2.B). The reference engine searches by embedding only
+  * (rag/retrieval.py); production RAG stacks pair that with a keyword
+  * index and fuse the two rankings, so both ship here as first-class
+  * oracle-gated operators.
+  *
+  * Scale design: the inverted index is a once-per-corpus-version bucketed
+  * table keyed by the 60-bit term hash — postings joins shuffle 8-byte
+  * keys, and query-side and corpus-side reads of the same bucketed layout
+  * join exchange-free. Candidate generation drops terms with document
+  * frequency above 20% of the corpus (stopword pruning — the standard
+  * impact-pruning first step): posting lists are bounded, so the
+  * per-query join cost is O(query terms x bounded postings), never
+  * corpus-quadratic. Scoring is BM25 (Robertson/Spärck Jones, the public
+  * Okapi formulation) with per-term contributions rounded to e6 integers
+  * and summed EXACTLY as longs — no order-dependent float accumulation
+  * (SURVEY.md §5.3b).
+  */
+object Lexical {
+
+  val QueryMod = 101  // query docs: doc_id % 101 == 0 (the ANN probe set)
+  val TopK = 10
+  val QTerms = 10     // rarest query terms kept for candidate generation
+  val RrfK = 60       // reciprocal-rank-fusion constant (public default)
+  val RrfDepth = 50   // per-ranker depth fed into the fusion
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** The lexical inverted index, materialized ONCE per (session, sf-dir):
+    * one row per (term-hash, doc) carrying tf, doc length, and the term's
+    * document frequency, bucketed by term hash (the postings join key). */
+  private def lexIndex(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_lex_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val docs = Tables.documents(spark, dir)
+        val tf = docs
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .select(col("doc_id"), DetHash.h60(col("w")).as("hs"))
+          .groupBy("doc_id", "hs").agg(count(lit(1)).as("tf"))
+        val dl = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
+        val df = tf.groupBy("hs").agg(count(lit(1)).as("df"))
+        Warehouse.writeBucketed(tf.join(dl, "doc_id").join(df, "hs"), t, "hs")
+      }
+    }
+    spark.table(t)
+  }
+
+  /** Corpus size + average doc length (the BM25 normalizer), one row. */
+  private def lexStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_lexstats_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        Warehouse.writeTable(
+          Tables.documents(spark, dir)
+            .select(size(words(col("text"))).cast("long").as("dl"))
+            .agg(count(lit(1)).as("n"), avg(col("dl")).as("avglen")), t)
+    }
+    spark.table(t)
+  }
+
+  /** B14: BM25 top-k — query docs retrieve by their [[QTerms]] RAREST
+    * terms (lexical more-like-this, the keyword twin of r5). Candidate
+    * generation is query-term pruning: keeping only the lowest-df terms
+    * bounds each query's cost to QTerms posting lists — the idf mass
+    * lives in exactly those terms, and unlike a fixed df-percentage
+    * stopword cap this adapts to any vocabulary shape (a 31-word
+    * synthetic vocab and a 10M-word web vocab both yield bounded joins).
+    * Per-term contribution: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/
+    * avglen)) with k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1); each
+    * contribution rounds to an e6 long and the per-doc score is an EXACT
+    * integer sum, so the ranking is bit-stable at any shuffle order in
+    * any engine. */
+  def r14Bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val idx = lexIndex(spark, dir)
+    val st = lexStats(spark, dir)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("df"), col("hs"))
+    val qt = idx.filter(col("doc_id") % QueryMod === 0)
+      .select(col("hs"), col("doc_id").as("query_id"), col("df"))
+      .withColumn("qr", row_number().over(wq))
+      .filter(col("qr") <= QTerms)
+      .select("hs", "query_id")
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfSat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avglen")))
+    val scored = qt.join(idx, "hs")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("ce6", round(lit(1e6) * idf * tfSat).cast("long"))
+      .groupBy("query_id", "doc_id").agg(sum(col("ce6")).as("score_e6"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_e6").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score_e6", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** e6-exact reciprocal-rank contribution 1/(RrfK + rank); null rank
+    * (doc absent from that ranker's top-RrfDepth) contributes 0. */
+  private def rrf6(rank: Column): Column =
+    coalesce(Exact.ratio6e(lit(1L), lit(RrfK.toLong) + rank), lit(0L))
+
+  /** B15: hybrid search — reciprocal-rank fusion (Cormack et al. 2009) of
+    * the BM25 top-50 and the cosine-kNN top-50 over the same query set.
+    * RRF needs only ranks, so the fused score is a sum of two e6-exact
+    * reciprocals — pure integer arithmetic, no score normalization across
+    * incomparable scales, bit-stable in both engines. */
+  def r15HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = r14Bm25TopK(spark, dir, k = RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rl"))
+    val vec = Search.knn(spark, dir, col("vec_id") % QueryMod === 0, k = RrfDepth,
+        threshold = -1.0, clampZero = false, sameLabel = false)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6", rrf6(col("rl")) + rrf6(col("rv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "doc_id", "rrf_e6", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r14_bm25_topk"  -> ((s, d) => r14Bm25TopK(s, d)),
+    "r15_hybrid_rrf" -> ((s, d) => r15HybridRrf(s, d)),
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** BM25 CTE chain up to a ranked list (query_id, doc_id, score_e6, rnk).
+    * Mirrors lexIndex + r14Bm25TopK with the identical expression tree so
+    * the doubles match bit-for-bit before the e6 round. */
+  private def bm25Cte(depth: Int): String =
+    s"""tok AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hs
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |), tfx AS (
+       |  SELECT doc_id, hs, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dlx AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n, avg(dl) AS avglen FROM dlx
+       |), dfx AS (
+       |  SELECT hs, count(*) AS df FROM tfx GROUP BY 1
+       |), qsel AS (
+       |  SELECT hs, doc_id AS query_id FROM (
+       |    SELECT q.doc_id, q.hs,
+       |      row_number() OVER (PARTITION BY q.doc_id ORDER BY df, q.hs) AS qr
+       |    FROM tfx q JOIN dfx ON dfx.hs = q.hs
+       |    WHERE q.doc_id % $QueryMod = 0)
+       |  WHERE qr <= $QTerms
+       |), contrib AS (
+       |  SELECT s.query_id, t.doc_id AS doc_id,
+       |    CAST(round(1e6 * ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |      ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / avglen)))) AS BIGINT) AS ce6
+       |  FROM qsel s
+       |  JOIN tfx t ON t.hs = s.hs AND t.doc_id <> s.query_id
+       |  JOIN dfx ON dfx.hs = s.hs
+       |  JOIN dlx l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats
+       |), bm25 AS (
+       |  SELECT query_id, doc_id, score_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rnk
+       |  FROM (SELECT query_id, doc_id, CAST(sum(ce6) AS BIGINT) AS score_e6
+       |        FROM contrib GROUP BY 1, 2)
+       |  QUALIFY rnk <= $depth
+       |)""".stripMargin
+
+  private def rrf6Sql(rank: String): String =
+    s"coalesce(CAST(${Exact.ratio6eSql("1", s"($RrfK + $rank)")} AS BIGINT), 0)"
+
+  val oracle: Map[String, String] = Map(
+    "r14_bm25_topk" ->
+      s"""WITH ${bm25Cte(TopK)}
+         |SELECT query_id, doc_id, score_e6, rnk FROM bm25 ORDER BY query_id, rnk""".stripMargin,
+
+    "r15_hybrid_rrf" ->
+      (Search.CorpusCte + s""", ${bm25Cte(RrfDepth)}, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id % $QueryMod = 0
+         |), vscored AS (
+         |  SELECT q.query_id, en.vec_id AS doc_id,
+         |    round(CASE WHEN q.qnrm*en.nrm = 0 THEN 0.0
+         |      ELSE (${Search.dotSql("q.qv", "en.v")})/(q.qnrm*en.nrm) END, 6) AS similarity
+         |  FROM q JOIN en ON en.vec_id <> q.query_id
+         |), vranked AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, doc_id) AS rnk
+         |  FROM vscored QUALIFY rnk <= $RrfDepth
+         |), fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    ${rrf6Sql("l.rnk")} + ${rrf6Sql("v.rnk")} AS rrf_e6
+         |  FROM bm25 l FULL OUTER JOIN vranked v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+         |)
+         |SELECT query_id, doc_id, rrf_e6, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rnk
+         |  FROM fused)
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin),
+  )
+}
