@@ -176,7 +176,7 @@ object Pq {
 
   /** recall@10 of an approximate result set vs exact brute force over the
     * same query set — shared by a6 (pure ADC) and a8 (re-ranked). */
-  private def recallVsBruteForce(spark: SparkSession, dir: String,
+  private[ann] def recallVsBruteForce(spark: SparkSession, dir: String,
                                  approx: DataFrame): DataFrame = {
     val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
       threshold = -1.0, clampZero = false, sameLabel = false)
@@ -391,7 +391,7 @@ object Pq {
   /** Shared recall-vs-brute-force SQL tail: joins `approxRel`
     * (query_id, vec_id) against the exact top-10 (mirror of
     * recallVsBruteForce — change the recall definition in ONE place). */
-  private def recallTailSql(approxRel: String): String =
+  private[ann] def recallTailSql(approxRel: String): String =
     s"""
        |, bfs AS (
        |  SELECT q.vec_id AS query_id, en2.vec_id,

@@ -451,18 +451,32 @@ object Dedup {
     * pair-count groupBy) is unchanged and never all-pairs. */
   val D7DfCap = 100
 
+  /** The df-capped (stop-shingle-free) inverted index, materialized ONCE
+    * per (session, sf-dir) and BUCKETED BY SHINGLE HASH — the join key of
+    * every consumer: d7's exhaustive truth join and d10's decontamination
+    * probe both self/semi-join it on hs, so the bucketed layout makes
+    * those joins exchange-free. One groupBy (df) + one semi join at build
+    * time, amortized across consumers. */
+  private def rareShingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_rare3_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val ex = shingleIndex3(spark, dir)
+        Warehouse.writeBucketed(
+          ex.join(
+            ex.groupBy("hs").agg(count(lit(1)).as("df"))
+              .filter(col("df") <= D7DfCap).select("hs"),
+            Seq("hs"), "left_semi"), t, "hs")
+      }
+    }
+    spark.table(t)
+  }
+
   def d7LshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleIndex3(spark, dir)
     val sig = minhashSig(spark, dir)
     val cand = lshCandidates(sig)
     val nsh = sig.select(col("doc_id"), col("n"))
-    // document frequency per shingle -> keep only rare shingles in the
-    // inverted index the truth join runs over (one groupBy + one window-free
-    // semi join, both keyed by the 8-byte shingle hash)
-    val rare = ex.join(
-      ex.groupBy("hs").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= D7DfCap).select("hs"),
-      Seq("hs"), "left_semi")
+    val rare = rareShingleIndex(spark, dir)
     val inter = rare.as("x").join(rare.as("y"),
         col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -596,10 +610,7 @@ object Dedup {
   def d10Decontamination(spark: SparkSession, dir: String): DataFrame = {
     val ex = shingleIndex3(spark, dir)
     val isEval = col("doc_id") % D10EvalMod === 0
-    val rare = ex.join(
-      ex.groupBy("hs").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= D7DfCap).select("hs"),
-      Seq("hs"), "left_semi")
+    val rare = rareShingleIndex(spark, dir)
     val shared = rare.filter(!isEval)
       .select(col("doc_id").as("train_doc_id"), col("hs"))
       .join(rare.filter(isEval).select(col("doc_id").as("eval_doc_id"), col("hs")), "hs")
