@@ -39,18 +39,20 @@ object Ann {
   def a10IvfFiltered(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(spark, dir, sameLabel = true)
 
-  private def ivfTopK(spark: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
-    val e = Search.corpus(spark, dir)  // vec_id, label, v, nrm
-    val cent = e.filter(col("vec_id") < 8)
+  private def centroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // Corpus-side list assignment is ROW-LOCAL: the 8 centroids are pivoted
-    // into one broadcast row and the argmax (rounded cosine desc, cent_id
-    // tie-break) is a `least()` over (-cs, cent_id) structs — a narrow
-    // codegen'd map with NO exchange over the 100 TB side. (Negating the
-    // rounded cosine flips the order; Spark's double compare treats -0.0 and
-    // 0.0 as equal, exactly like the previous `.desc` sort and the oracle.)
-    // Only the tiny probe set still takes the explode + window path, because
-    // it needs the top-NPROBE centroids, not just the argmax.
+
+  /** Corpus-side list assignment — ROW-LOCAL: the 8 centroids are pivoted
+    * into one broadcast row and the argmax (rounded cosine desc, cent_id
+    * tie-break) is a `least()` over (-cs, cent_id) structs — a narrow
+    * codegen'd map with NO exchange over the 100 TB side. (Negating the
+    * rounded cosine flips the order; Spark's double compare treats -0.0 and
+    * 0.0 as equal, exactly like a `.desc` sort and the oracle.)
+    * Returns (vec_id, list_id, label, v, nrm). Shared with the IVFPQ
+    * composed index ([[Pq.a13IvfPqTopK]]). */
+  private[ann] def listAssignment(e: DataFrame): DataFrame = {
+    val cent = centroids(e)
     val centAggs = (0 until 8).map(i =>
       max(when(col("cent_id") === i, struct(col("cv"), col("cnrm")))).as(s"ct$i"))
     val centRow = cent.groupBy().agg(centAggs.head, centAggs.tail: _*)
@@ -63,18 +65,32 @@ object Ann {
         negate(csOf(ct.getField("cv"), ct.getField("cnrm"))).as("ncs"),
         lit(i.toLong).as("cent_id")))
     }
-    val asg = e.crossJoin(broadcast(centRow))
+    e.crossJoin(broadcast(centRow))
       .select(col("vec_id"), least(cands: _*).getField("cent_id").as("list_id"),
         col("label"), col("v"), col("nrm"))
+  }
+
+  /** The probe set: each query's top-NPROBE centroids by rounded cosine.
+    * Only the tiny probe set takes the explode + window path, because it
+    * needs the top-nprobe centroids, not just the argmax.
+    * Returns (query_id, list_id, qlabel, qv, qnrm). */
+  private[ann] def listProbes(e: DataFrame, nprobe: Int = 3): DataFrame = {
+    val cent = centroids(e)
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
     val wv = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    val probes = e.filter(col("vec_id") % 101 === 0)
+    e.filter(col("vec_id") % 101 === 0)
       .join(broadcast(cent), lit(true)).withColumn("cs", cs)
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") <= 3)
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"),
         col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qnrm"))
+  }
+
+  private def ivfTopK(spark: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
+    val e = Search.corpus(spark, dir)  // vec_id, label, v, nrm
+    val asg = listAssignment(e)
+    val probes = listProbes(e)
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)

@@ -109,36 +109,45 @@ object Pq {
   /** ADC search against ANY (m, k, c, cn2) codebook — shared by the
     * deterministic (a5, pre-encoded `codesOpt` index) and k-means-trained
     * (a9, inline encode) paths. */
-  private def adcTopK(e: DataFrame, cb: DataFrame, k: Int,
-                      codesOpt: DataFrame = null): DataFrame = {
-    val codes = Option(codesOpt).getOrElse(encode(e, cb))
+  /** Per-query ADC lookup tables (query_id, qnrm, l0..l7): for each m a
+    * map k -> dot(q_sub_m, centroid). The slice offset depends on m, so
+    * qd is a CASE chain over m. LUT maps are keyed BY k (not array
+    * position): robust to a sparse centroid id range — codes always come
+    * from the same codebook, so the lookup can't silently shift the way a
+    * positional element_at could. */
+  private def queryLut(e: DataFrame, cb: DataFrame): DataFrame = {
     val probes = e.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // per-query LUT: for each m an array of K dot products, ordered by k.
-    // The slice offset depends on m, so qd is a CASE chain over m.
     val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qv"), m), col("c"))))
       .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
         when(col("m") === m, d).otherwise(acc)
       }
-    // LUT maps keyed BY k (not array position): robust to a sparse centroid
-    // id range — codes always come from the same codebook, so the lookup
-    // can't silently shift the way a positional element_at could.
     val lutAggs = (0 until M).map { m =>
       map_from_entries(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))).as(s"l$m")
     }
-    val lut = probes.join(broadcast(cb), lit(true))
+    probes.join(broadcast(cb), lit(true))
       .withColumn("qd", qd)
       .groupBy(col("query_id"), col("qnrm"))
       .agg(lutAggs.head, lutAggs.tail: _*)
-    // scoring: 8 map lookups + left-to-right sums on both engines
+  }
+
+  /** ADC similarity from a scored (codes x lut) row: 8 map lookups +
+    * left-to-right sums on both engines. */
+  private def adcSim: Column = {
     val approx = (0 until M).map(m =>
       element_at(col(s"l$m"), col(s"code$m"))).reduce(_ + _)
     val rn2 = (0 until M).map(m => col(s"cn$m")).reduce(_ + _)
-    val sim = round(
+    round(
       when(col("qnrm") * sqrt(rn2) === 0.0, 0.0).otherwise(approx / (col("qnrm") * sqrt(rn2))), 6)
+  }
+
+  private def adcTopK(e: DataFrame, cb: DataFrame, k: Int,
+                      codesOpt: DataFrame = null): DataFrame = {
+    val codes = Option(codesOpt).getOrElse(encode(e, cb))
+    val lut = queryLut(e, cb)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
-      .withColumn("similarity", sim)
+      .withColumn("similarity", adcSim)
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "similarity", "rnk")
@@ -303,7 +312,54 @@ object Pq {
     recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
   }
 
+  /** The IVFPQ index table: PQ codes + coarse IVF list assignment,
+    * written PARTITIONED BY list_id once per (session, sf-dir) — the
+    * FAISS `IVFx,PQy` layout as physical parquet: the inverted lists ARE
+    * partitions, the in-list payload is 8 bytes of codes per vector, and
+    * a probe reads nprobe/nlists of the data via partition pruning. */
+  private def ivfPqTable(spark: SparkSession, dir: String, e: DataFrame,
+                         cb: DataFrame): DataFrame = {
+    val t = s"graft_ivfpq_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        graft.sources.Warehouse.writePartitionedTable(
+          encode(e, cb).join(Ann.listAssignment(e).select("vec_id", "list_id"), "vec_id"),
+          t, "list_id")
+    }
+    spark.table(t)
+  }
+
+  /** D13 (a13): composed IVF+PQ — the canonical billion-scale ANN index
+    * (Jégou et al. 2011, the FAISS IVFPQ default): coarse quantizer
+    * prunes to nprobe inverted lists, PQ codes score candidates via ADC.
+    * At 100 TB a query touches nprobe/nlists of an 8-byte-per-vector
+    * table — both prunings compose (partition pruning x code compression)
+    * and no raw vector is ever read at query time. */
+  def a13IvfPqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    val cb = codebook(e)
+    val codes = ivfPqTable(spark, dir, e, cb)
+    val probe = Ann.listProbes(e).select(col("query_id"), col("list_id"))
+      .join(queryLut(e, cb), "query_id")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    codes.join(broadcast(probe),
+        codes("list_id") === probe("list_id") && col("vec_id") =!= col("query_id"))
+      .withColumn("similarity", adcSim)
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** D14 (a14): IVFPQ recall@10 vs exact brute force — the compounded
+    * loss of both approximations (list pruning x code quantization),
+    * measured instead of assumed. */
+  def a14IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBruteForce(spark, dir, a13IvfPqTopK(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_ivfpq_topk" -> ((s, d) => a13IvfPqTopK(s, d)),
+    "a14_ivfpq_recall" -> ((s, d) => a14IvfPqRecall(s, d)),
     "a5_pq_topk" -> ((s, d) => a5PqTopK(s, d)),
     "a6_pq_recall" -> ((s, d) => a6PqRecall(s, d)),
     "a7_pq_rerank" -> ((s, d) => a7PqRerank(s, d)),
@@ -323,14 +379,16 @@ object Pq {
   /** Shared CTE chain to the ranked PQ results (mirrors codebook + encode +
     * LUT scoring; every multi-term sum written left-to-right like the Spark
     * side so the rounded similarity is bit-identical). */
-  private lazy val PqCte: String = {
+  /** CTE chain to the ranked ADC results (mirrors codebook + encode + LUT
+    * scoring; every multi-term sum written left-to-right like the Spark
+    * side so the rounded similarity is bit-identical). `extraCtes` injects
+    * additional CTEs (IVF assignment for a13) and `scoredFromWhere`
+    * replaces the candidate-generation FROM/WHERE of the scoring stage. */
+  private def pqCteWith(extraCtes: String, scoredFromWhere: String): String = {
     val codePivot = (0 until M).map(m =>
       s"max(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n        ")
     val cnPivot = (0 until M).map(m =>
       s"max(CASE WHEN m = $m THEN cn2 END) AS cnp$m").mkString(",\n        ")
-    val lutJoins = (0 until M).map(m =>
-      s"JOIN lut l$m ON l$m.query_id = p.query_id AND l$m.m = $m AND l$m.k = s.code$m")
-      .mkString("\n  ")
     val approx = (0 until M).map(m => s"l$m.qd").mkString(" + ")
     val rn2 = (0 until M).map(m => s"s.cnp$m").mkString(" + ")
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -360,17 +418,52 @@ object Pq {
        |), lut AS (
        |  SELECT p.query_id, c.m, c.k, ${dotSql(subSql("p.qv", "c.m"), "c.c")} AS qd
        |  FROM probes p, cbn c
-       |), scored AS (
+       |)$extraCtes, scored AS (
        |  SELECT p.query_id, s.vec_id,
        |    round(CASE WHEN p.qnrm * sqrt($rn2) = 0 THEN 0.0
        |      ELSE ($approx) / (p.qnrm * sqrt($rn2)) END, 6) AS similarity
-       |  FROM cp s CROSS JOIN probes p
-       |  $lutJoins
-       |  WHERE s.vec_id <> p.query_id
+       |  $scoredFromWhere
        |), ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
        |  FROM scored)""".stripMargin
   }
+
+  /** The ADC lut joins of the scoring stage (shared by every variant). */
+  private lazy val LutJoinsSql: String = (0 until M).map(m =>
+    s"JOIN lut l$m ON l$m.query_id = p.query_id AND l$m.m = $m AND l$m.k = s.code$m")
+    .mkString("\n  ")
+
+  private lazy val PqCte: String = pqCteWith("",
+    s"""FROM cp s CROSS JOIN probes p
+       |  $LutJoinsSql
+       |  WHERE s.vec_id <> p.query_id""".stripMargin)
+
+  /** a13's oracle: PQ CTEs + the IVF coarse assignment/probe CTEs (same
+    * formulation as Ann's oracle, label-free), scoring restricted to
+    * (query, list) probe pairs. */
+  private lazy val IvfPqCte: String = pqCteWith(
+    s""", cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < 8
+       |), asg0 AS (
+       |  SELECT en.vec_id, cent.cent_id,
+       |    round(CASE WHEN en.nrm*cent.cnrm = 0 THEN 0.0
+       |      ELSE ${dotSql("en.v", "cent.cv")}/(en.nrm*cent.cnrm) END, 6) AS cs
+       |  FROM en, cent
+       |), asg AS (
+       |  SELECT vec_id, cent_id AS list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM asg0) WHERE rn = 1
+       |), plist AS (
+       |  SELECT vec_id AS query_id, cent_id AS list_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM asg0 WHERE vec_id % 101 = 0) WHERE rn <= 3
+       |)""".stripMargin,
+    s"""FROM plist pl
+       |  JOIN probes p ON p.query_id = pl.query_id
+       |  JOIN asg a ON a.list_id = pl.list_id
+       |  JOIN cp s ON s.vec_id = a.vec_id
+       |  $LutJoinsSql
+       |  WHERE s.vec_id <> p.query_id""".stripMargin)
 
   /** ADC shortlist (R=50) -> exact cosine re-rank (appended after PqCte). */
   private lazy val RerankCte: String =
@@ -430,6 +523,17 @@ object Pq {
         |, rr10 AS (
         |  SELECT query_id, vec_id FROM rranked WHERE rnk <= 10
         |)""".stripMargin + recallTailSql("rr10")),
+
+    "a13_ivfpq_topk" -> (IvfPqCte +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin),
+
+    "a14_ivfpq_recall" -> (IvfPqCte +
+      """
+        |, ivfpq AS (
+        |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
+        |)""".stripMargin + recallTailSql("ivfpq")),
 
     "a6_pq_recall" -> (PqCte +
       """

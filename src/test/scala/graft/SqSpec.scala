@@ -4,6 +4,26 @@ import graft.ann.Sq
 
 class SqSpec extends SparkSpec {
 
+  test("D13/D14: IVFPQ prunes inverted-list partitions and measures recall") {
+    val topk = graft.ann.Pq.a13IvfPqTopK(spark, Sf)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"IVFPQ probe must partition-prune the list table:\n${plan.take(2000)}")
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 10)
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // compounded approximation can only lose candidates vs pure PQ at the
+    // same k: IVFPQ recall <= PQ recall would NOT hold per query (list
+    // pruning changes candidate sets), but recall must stay a valid ratio
+    graft.ann.Pq.a14IvfPqRecall(spark, Sf).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(1) == 10L)
+    }
+  }
+
   test("D12: SQ8 codes stay in 0..255 and recall beats the PQ floor") {
     val topk = Sq.sqTopK(spark, Sf).collect()
     assert(topk.nonEmpty)
