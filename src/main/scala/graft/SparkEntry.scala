@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.memory.MemoryOps
 import graft.multimodal.Binary
 import graft.pipeline.Pipeline
-import graft.rag.{Embed, Lexical, Mmr, RagOps, Search}
+import graft.rag.{Chunking, Embed, Lexical, Mmr, RagOps, Search}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -25,7 +25,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++ Lexical.queries ++ Mmr.queries ++
+    MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++ Lexical.queries ++ Mmr.queries ++ Chunking.queries ++
     TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Pq.queries ++
     KmeansIvf.queries ++ Sq.queries ++ Binary.queries ++ EventOps.queries ++ Pipeline.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
@@ -54,7 +54,7 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
-    MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++ Lexical.oracle ++
+    MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++ Lexical.oracle ++ Chunking.oracle ++
     TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Sq.oracle ++ Binary.oracle ++
     EventOps.oracle ++ Pipeline.oracle ++ Map(
     "q1_agg" ->

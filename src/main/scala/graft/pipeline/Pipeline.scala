@@ -41,8 +41,39 @@ object Pipeline {
       .orderBy("lang", "source")
   }
 
+  /** P2: deterministic token-budget rebalancing — the data-MIXING op
+    * (proportional capping, the DoReMi-lite recipe every pretraining
+    * pipeline runs): each language is downsampled toward an equal share
+    * of the total token budget. rate(L) = min(1, (T/n) / tokens(L)) in
+    * exact e6 integers; a document survives iff a salted 60-bit hash of
+    * its id lands under the rate — stateless Bernoulli, reproducible in
+    * any engine at any shuffle order, no reservoir state.
+    *
+    * Scale shape: two lang-cardinality aggregates (map-side partial),
+    * the rate table broadcast back, and the sample itself is ONE narrow
+    * stateless filter pass over the corpus — nothing shuffles the 100 TB
+    * side, and re-running yields the identical sample (auditable data
+    * lineage, unlike rand()-based sampling). */
+  def p2BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    val tot = t.agg(sum("n_words").cast("long").as("T"),
+      countDistinct("lang").as("n"))
+    val tl = t.groupBy("lang").agg(sum("n_words").cast("long").as("tl"))
+    val rates = tl.crossJoin(broadcast(tot))
+      .withColumn("rate_e6",
+        least(lit(1000000L), Exact.ratio6e(col("T"), col("n") * col("tl"))))
+      .select("lang", "rate_e6")
+    t.join(broadcast(rates), "lang")
+      .filter(graft.functions.DetHash.h60(
+        concat(lit("p2"), col("doc_id").cast("string"))) % 1000000L < col("rate_e6"))
+      .select("doc_id", "lang", "n_words", "rate_e6")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
+    "p2_balanced_sample" -> ((s, d) => p2BalancedSample(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -77,5 +108,25 @@ object Pipeline {
         |  ((2000000*(n_tokens) + (CAST(sum(n_tokens) OVER () AS BIGINT)))
         |    // (2*(CAST(sum(n_tokens) OVER () AS BIGINT)))) / 1000000.0 AS token_share
         |FROM grp ORDER BY lang, source""").stripMargin,
+
+    "p2_balanced_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), tot AS (
+         |  SELECT CAST(sum(n_words) AS BIGINT) AS T, count(DISTINCT lang) AS n FROM t
+         |), tl AS (
+         |  SELECT lang, CAST(sum(n_words) AS BIGINT) AS tl FROM t GROUP BY 1
+         |), rates AS (
+         |  SELECT lang,
+         |    CAST(least(1000000, ${Exact.ratio6eSql("T", "n * tl")}) AS BIGINT) AS rate_e6
+         |  FROM tl, tot
+         |)
+         |SELECT doc_id, t.lang, n_words, rate_e6
+         |FROM t JOIN rates ON rates.lang = t.lang
+         |WHERE CAST('0x' || substr(md5('p2' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |  % 1000000 < rate_e6
+         |ORDER BY doc_id""".stripMargin,
   )
 }
