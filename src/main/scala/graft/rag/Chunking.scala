@@ -41,8 +41,57 @@ object Chunking {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** B18: chunk-level retrieval — the composed ingest path end to end:
+    * chunk (r17) -> feature-hash embed (r9's embedder) -> search. Scoring
+    * is a SPARSE cosine: query and chunk signed-count features join on
+    * bucket equality and the dot product is an EXACT integer sum (so is
+    * each side's squared norm) — doubles appear only in the final
+    * round(dot/(|q||c|), 6). This is the inverted-index sparse-vector
+    * join IR engines run: cost is bounded by shared active buckets, no
+    * dense 64-wide math per pair, bit-stable at any shuffle order.
+    * Chunks of the query's own document are excluded; top-5 per query. */
+  def r18ChunkSearch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("len", size(col("ws")).cast("long"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("len") - 1, lit(Stride.toLong))).as("start_pos"))
+      .select(col("doc_id"), (col("start_pos") / Stride).cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("ws"), col("start_pos").cast("int") + 1, lit(ChunkWords))).as("ctext"))
+    val cf = Embed.features(
+        chunks.withColumn("ck", concat_ws("#", col("doc_id"), col("chunk_id"))), "ck", "ctext")
+      .join(chunks.select(concat_ws("#", col("doc_id"), col("chunk_id")).as("ck"),
+        col("doc_id"), col("chunk_id")).distinct(), "ck")
+    val qf = Embed.features(
+      Tables.documents(spark, dir).filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"), col("text")), "query_id", "text")
+    val q2 = qf.groupBy("query_id").agg(sum(col("s") * col("s")).as("q2"))
+    val c2 = cf.groupBy("doc_id", "chunk_id").agg(sum(col("s") * col("s")).as("c2"))
+    val dot = qf.select(col("query_id"), col("bucket"), col("s").as("sq"))
+      .join(cf.select(col("doc_id"), col("chunk_id"), col("bucket"), col("s").as("sc")),
+        "bucket")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "chunk_id")
+      .agg(sum(col("sq") * col("sc")).as("dp"))
+    val sim = round(
+      when(col("q2") * col("c2") === 0, 0.0)
+        .otherwise(col("dp").cast("double") /
+          (sqrt(col("q2").cast("double")) * sqrt(col("c2").cast("double")))), 6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("doc_id"), col("chunk_id"))
+    dot.join(q2, "query_id").join(c2, Seq("doc_id", "chunk_id"))
+      .withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "chunk_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r17_chunking" -> ((s, d) => r17Chunking(s, d)),
+    "r18_chunk_search" -> ((s, d) => r18ChunkSearch(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -62,5 +111,54 @@ object Chunking {
          |  CAST(len(cw) AS BIGINT) AS n_chunk_words,
          |  md5(array_to_string(cw, ' ')) AS chunk_hash
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "r18_chunk_search" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, ws, unnest(range(0, len, $Stride)) AS start_pos FROM t
+         |), ch AS (
+         |  SELECT doc_id, start_pos // $Stride AS chunk_id,
+         |    list_slice(ws, start_pos + 1, least(start_pos + $ChunkWords, len(ws))) AS cw
+         |  FROM st
+         |), ctok AS (
+         |  SELECT doc_id, chunk_id, ${graft.functions.DetHash.h60Sql("'fh:' || w")} AS h
+         |  FROM (SELECT doc_id, chunk_id, unnest(cw) AS w FROM ch)
+         |), cf AS (
+         |  SELECT doc_id, chunk_id, CAST(h % ${Embed.Dim} AS INT) AS bucket,
+         |    sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM ctok GROUP BY 1, 2, 3
+         |), qtok AS (
+         |  SELECT doc_id AS query_id, ${graft.functions.DetHash.h60Sql("'fh:' || w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE doc_id % 101 = 0)
+         |), qf AS (
+         |  SELECT query_id, CAST(h % ${Embed.Dim} AS INT) AS bucket,
+         |    sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM qtok GROUP BY 1, 2
+         |), q2 AS (
+         |  SELECT query_id, CAST(sum(s*s) AS BIGINT) AS q2 FROM qf GROUP BY 1
+         |), c2 AS (
+         |  SELECT doc_id, chunk_id, CAST(sum(s*s) AS BIGINT) AS c2 FROM cf GROUP BY 1, 2
+         |), dp AS (
+         |  SELECT q.query_id, c.doc_id, c.chunk_id, CAST(sum(q.s * c.s) AS BIGINT) AS dp
+         |  FROM qf q JOIN cf c ON c.bucket = q.bucket AND c.doc_id <> q.query_id
+         |  GROUP BY 1, 2, 3
+         |), scored AS (
+         |  SELECT dp.query_id, dp.doc_id, dp.chunk_id,
+         |    round(CASE WHEN q2.q2 * c2.c2 = 0 THEN 0.0
+         |      ELSE CAST(dp.dp AS DOUBLE) /
+         |        (sqrt(CAST(q2.q2 AS DOUBLE)) * sqrt(CAST(c2.c2 AS DOUBLE))) END, 6) AS similarity
+         |  FROM dp
+         |  JOIN q2 ON q2.query_id = dp.query_id
+         |  JOIN c2 ON c2.doc_id = dp.doc_id AND c2.chunk_id = dp.chunk_id
+         |)
+         |SELECT query_id, doc_id, chunk_id, similarity, rnk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY similarity DESC, doc_id, chunk_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }
