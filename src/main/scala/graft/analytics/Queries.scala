@@ -256,9 +256,13 @@ object Queries {
   /** q18: large-volume orders (TPC-H Q18 shape) — aggregate-HAVING as a
     * filter then join back: the big-order key set is derived with one
     * groupBy over lineitem, and only matching orders/customers join in.
-    * At scale the key set is small post-filter (broadcast), so the
-    * expensive side is a single aggregation pass — never a join of the
-    * unfiltered facts. Quantity sums compare in exact integer units. */
+    * The HAVING key set's size is a runtime quantity (threshold-dependent
+    * selectivity), so the join is deliberately UN-hinted: AQE sees the
+    * aggregate's actual output size and broadcasts when it fits, falling
+    * back to a shuffle join when a loose threshold makes the set large —
+    * a plan-time broadcast() hint would OOM there. The expensive side
+    * stays a single aggregation pass — never a join of the unfiltered
+    * facts. Quantity sums compare in exact integer units. */
   def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
@@ -267,7 +271,7 @@ object Queries {
     val ord = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
-    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
