@@ -24,22 +24,27 @@ object Chunking {
   val ChunkWords = 32
   val Stride = 24
 
-  def r17Chunking(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  /** Stateless chunk rows from any (doc_id, text, carry...) frame —
+    * generator + projections only, so it runs unchanged on a STREAMING
+    * DataFrame (the H10 online ingest) and the batch r17 path. */
+  def chunkRows(df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val t = df
+      .select(col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("ws"): _*)
       .withColumn("len", size(col("ws")).cast("long"))
-    t.select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0L), col("len") - 1, lit(Stride.toLong))).as("start_pos"))
-      .withColumn("cw",
-        slice(col("ws"), col("start_pos").cast("int") + 1, lit(ChunkWords)))
-      .select(
+    val cw = slice(col("ws"), col("start_pos").cast("int") + 1, lit(ChunkWords))
+    t.select(col("doc_id") +: carry.map(col) :+ col("ws") :+
+        explode(sequence(lit(0L), col("len") - 1, lit(Stride.toLong))).as("start_pos"): _*)
+      .select(Seq(
         col("doc_id"),
         (col("start_pos") / Stride).cast("long").as("chunk_id"),
         col("start_pos"),
-        size(col("cw")).cast("long").as("n_chunk_words"),
-        md5(concat_ws(" ", col("cw"))).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
+        size(cw).cast("long").as("n_chunk_words"),
+        md5(concat_ws(" ", cw)).as("chunk_hash")) ++ carry.map(col): _*)
   }
+
+  def r17Chunking(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(Tables.documents(spark, dir))
+      .orderBy("doc_id", "chunk_id")
 
   /** B18: chunk-level retrieval — the composed ingest path end to end:
     * chunk (r17) -> feature-hash embed (r9's embedder) -> search. Scoring

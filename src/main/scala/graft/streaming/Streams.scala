@@ -138,6 +138,21 @@ object Streams {
     hashed.join(corpusHashes, Seq("content_hash"), "left_anti")
   }
 
+  /** H10: streaming chunk ingest — the online form of the r17->r18 ingest
+    * path: arriving documents chunk STATELESSLY (generator + projections,
+    * [[graft.rag.Chunking.chunkRows]] runs unchanged on the stream), then
+    * boilerplate suppression dedups chunks by content hash within the
+    * watermark — repeated chunks (headers, disclaimers, re-ingested docs)
+    * never reach the index. State is bounded by the watermark horizon at
+    * chunk granularity; the chunker itself holds no state, so the stage
+    * scales with input rate, not corpus size. */
+  def streamingChunkIngest(incoming: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val chunked = graft.rag.Chunking.chunkRows(incoming, carry = Seq("ts"))
+    (if (chunked.isStreaming) chunked.withWatermark("ts", watermark) else chunked)
+      .dropDuplicates("chunk_hash")
+  }
+
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
   case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)
   /** status: "active" on each update, "expired" when the TTL timeout fires. */

@@ -36,6 +36,35 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H10: streaming chunk ingest chunks statelessly and suppresses repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words50 = (0 until 50).map(i => s"w$i").mkString(" ")
+    val other = (0 until 30).map(i => s"x$i").mkString(" ")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.Streams.streamingChunkIngest(
+      input.toDF().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("h10_chunks")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 1L, words50), (ts(2), 2L, other))
+      q.processAllAvailable()
+      // doc 3 repeats doc 1's text -> all its chunks are boilerplate dups
+      input.addData((ts(3), 3L, words50))
+      q.processAllAvailable()
+      val rows = spark.table("h10_chunks").collect()
+      // 50 words -> chunks at 0/24/48; 30 words -> chunks at 0/24
+      assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L), s"doc 3 must be suppressed")
+      assert(rows.count(_.getLong(0) == 1L) == 3)
+      assert(rows.count(_.getLong(0) == 2L) == 2)
+      // batch equivalence: same chunk hashes as the batch chunker
+      val batch = graft.rag.Chunking.chunkRows(
+        Seq((1L, words50), (2L, other)).toDF("doc_id", "text"))
+        .select("chunk_hash").collect().map(_.getString(0)).toSet
+      assert(rows.map(_.getString(4)).toSet == batch)
+    } finally q.stop()
+  }
+
   test("H8: ingest dedup drops in-stream dups AND corpus-known content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
