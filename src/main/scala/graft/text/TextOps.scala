@@ -178,7 +178,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc bigram occurrence rows (doc_id, g, w1g) — g = h60("w1 w2"),
+    * w1g = h60(w1); one row per POSITION (not distinct). */
+  private def bigramRows(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = arrays_zip(
+      slice(ws, lit(1), size(ws) - 1).as("w1"),
+      slice(ws, lit(2), size(ws) - 1).as("w2"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"),
+        DetHash.h60(concat_ws(" ", col("p.w1"), col("p.w2"))).as("g"),
+        DetHash.h60(col("p.w1")).as("w1g"))
+  }
+
+  /** The corpus bigram LM, materialized ONCE per (session, sf-dir):
+    * (g, c12, c1) — bigram count and its first-word context count, the
+    * denominator pre-joined so scoring is a single equality join on the
+    * 8-byte gram hash. The LM is a corpus-version artifact exactly like
+    * the shingle and postings indexes. */
+  private def lmTable(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_lm2_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val rows = bigramRows(spark, dir)
+        val big = rows.groupBy("g").agg(count(lit(1)).as("c12"),
+          max(col("w1g")).as("w1g"))
+        val uni = rows.groupBy("w1g").agg(count(lit(1)).as("c1"))
+        graft.sources.Warehouse.writeBucketed(
+          big.join(uni, "w1g").select("g", "c12", "c1"), t, "g")
+      }
+    }
+    spark.table(t)
+  }
+
+  /** E8 (t8): bigram-LM quality scoring — the CCNet-style model-based
+    * filter: score each document by its average bigram log-probability
+    * under a count LM trained on the corpus itself (self-trained, so
+    * every bigram has c12 >= 1 — no smoothing needed). Per-occurrence
+    * log P(w2|w1) = ln(c12/c1) rounds to an e6 long; the per-doc total
+    * is an EXACT integer sum and the keep verdict is an integer
+    * cross-multiply (mean lp >= -3.0), so the result is bit-stable at
+    * any shuffle order. Gibberish/rare-sequence docs score low; repeated
+    * boilerplate scores suspiciously high — both ends are filter signals.
+    * Scale shape: the LM is one materialized groupBy artifact; scoring is
+    * a narrow generator + one equality join on the 8-byte gram hash +
+    * one per-doc partial aggregate. */
+  def t8LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val lm = lmTable(spark, dir)
+    val lpE6 = round(lit(1e6) *
+      log(col("c12").cast("double") / col("c1"))).cast("long")
+    bigramRows(spark, dir)
+      .join(lm, "g")
+      .withColumn("lp_e6", lpE6)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_e6")).as("sum_lp_e6"))
+      .withColumn("lm_keep", col("sum_lp_e6") >= lit(-3000000L) * col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "sum_lp_e6", "lm_keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_lm_score"    -> ((s, d) => t8LmScore(s, d)),
     "t1_langid"      -> ((s, d) => t1LangId(s, d)),
     "t2_quality"     -> ((s, d) => t2Quality(s, d)),
     "t3_tokens"      -> ((s, d) => t3Tokens(s, d)),
@@ -278,6 +339,32 @@ object TextOps {
       """SELECT w AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "t8_lm_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> ${DetHash.h60Sql("w[i] || ' ' || w[i+1]")})) AS g,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> ${DetHash.h60Sql("w[i]")})) AS w1g
+         |  FROM t
+         |), big AS (
+         |  SELECT g, count(*) AS c12, max(w1g) AS w1g FROM bg GROUP BY g
+         |), uni AS (
+         |  SELECT w1g, count(*) AS c1 FROM bg GROUP BY w1g
+         |), lm AS (
+         |  SELECT g, c12, c1 FROM big JOIN uni ON uni.w1g = big.w1g
+         |), scored AS (
+         |  SELECT bg.doc_id,
+         |    CAST(round(1e6 * ln(CAST(c12 AS DOUBLE) / c1)) AS BIGINT) AS lp_e6
+         |  FROM bg JOIN lm ON lm.g = bg.g
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6,
+         |  CAST(sum(lp_e6) AS BIGINT) >= -3000000 * count(*) AS lm_keep
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t7_repetition" ->
       s"""WITH t AS (
