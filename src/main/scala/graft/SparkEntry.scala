@@ -50,6 +50,7 @@ object SparkEntry {
     "q12_priority"  -> ((s, dir) => Queries.q12Priority(s, dir)),
     "q21_waiting"   -> ((s, dir) => Queries.q21Waiting(s, dir)),
     "q20_dominant"  -> ((s, dir) => Queries.q20Dominant(s, dir)),
+    "q23_incremental_agg" -> ((s, dir) => Queries.q23IncrementalAgg(s, dir)),
   )
 
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
@@ -58,6 +59,18 @@ object SparkEntry {
     TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Sq.oracle ++ Binary.oracle ++
     EventOps.oracle ++ Pipeline.oracle ++ Map(
     "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS DECIMAL(20,0))) AS DOUBLE) / 1e4 AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT)) AS DECIMAL(20,0))) AS DOUBLE) / 1e6 AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q23_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,

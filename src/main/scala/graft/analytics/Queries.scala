@@ -253,6 +253,51 @@ object Queries {
         dsum(col("c_acctbal")).as("total_acctbal"))
   }
 
+  /** q23: incremental aggregate maintenance — the TPC-H refresh-stream
+    * analog and the materialized-view pattern every warehouse runs: the
+    * q1 report is kept as a STORED partial-state MV over the base data
+    * (decimal sums + counts per group — all mergeable states), and a
+    * delta batch (l_orderkey % 10 == 0 stands in for today's ingest, as
+    * d9) folds in by aggregating ONLY the delta and merging states. The
+    * registered result = merge(storedMV(base), partials(delta)); the
+    * ORACLE recomputes from the full fact table — a pass proves
+    * merge == recompute to the last bit (decimal partials are exact, so
+    * merge order cannot drift). At 100 TB the daily refresh costs
+    * O(delta) + a group-cardinality merge instead of a full-fact scan. */
+  def q23IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discC  = round(col("l_discount") * 100).cast("long")
+    val taxC   = round(col("l_tax") * 100).cast("long")
+    val discPriceE4 = (priceC * (lit(100L) - discC)).cast("decimal(20,0)")
+    val chargeE6 = (priceC * (lit(100L) - discC) * (lit(100L) + taxC)).cast("decimal(20,0)")
+    val isDelta = col("l_orderkey") % 10 === 0
+    def partials(df: DataFrame): DataFrame = df
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).as("p_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("p_base"),
+        sum(discPriceE4).as("p_disc"),
+        sum(chargeE6).as("p_charge"),
+        count(lit(1)).as("p_n"))
+    val t = s"graft_q1mv_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        graft.sources.Warehouse.writeTable(
+          partials(Tables.lineitem(spark, dir).filter(!isDelta)), t)
+    }
+    spark.table(t)
+      .unionByName(partials(Tables.lineitem(spark, dir).filter(isDelta)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_base")).cast("double").as("sum_base_price"),
+        (sum(col("p_disc")).cast("double") / 1e4).as("sum_disc_price"),
+        (sum(col("p_charge")).cast("double") / 1e6).as("sum_charge"),
+        sum(col("p_n")).cast("long").as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** q18: large-volume orders (TPC-H Q18 shape) — aggregate-HAVING as a
     * filter then join back: the big-order key set is derived with one
     * groupBy over lineitem, and only matching orders/customers join in.
