@@ -176,7 +176,33 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Fixed scoring instant for e6 (after the corpus horizon; SURVEY §5.5:
+    * NOW is pinned so both engines decay identically). */
+  val DecayNowUs: Long = 1706745600000000L // 2024-02-01T00:00:00Z
+  val HalfLifeUs: Double = 6.048e11        // 7 days
+
+  /** e6: exponentially time-decayed engagement — the feature-pipeline
+    * scoring shape (recency-weighted activity): each event contributes
+    * value * 2^(-age/halflife) at a PINNED scoring instant, contributions
+    * round to e6 longs and the per-user total is an EXACT integer sum —
+    * bit-stable at any shuffle order, unlike summing raw decayed doubles.
+    * One narrow scan + one user-keyed partial aggregate; at 100 TB the
+    * decay weight is a per-row map-side expression, and because the decay
+    * is exponential, yesterday's scores refresh by one multiply —
+    * score(t+dt) = score(t) * 2^(-dt/halflife) + new events — the same
+    * merge-don't-recompute property q23 demonstrates for sums. */
+  def e6Decay(spark: SparkSession, dir: String): DataFrame = {
+    val age = (lit(DecayNowUs) - unix_micros(col("ts"))).cast("double") / lit(HalfLifeUs)
+    val contribE6 = round(lit(1e6) * col("value") * pow(lit(0.5), age)).cast("long")
+    Tables.events(spark, dir)
+      .withColumn("c_e6", contribE6)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c_e6")).as("decay_e6"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_decay"       -> ((s, d) => e6Decay(s, d)),
     "e1_asof_join"   -> ((s, d) => e1AsofJoin(s, d)),
     "e2_sessions"    -> ((s, d) => e2Sessions(s, d)),
     "e3_sketch_stats" -> ((s, d) => e3SketchStats(s, d)),
@@ -185,6 +211,13 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e6_decay" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CAST(round(1e6 * value *
+         |    pow(0.5, CAST($DecayNowUs - epoch_us(ts) AS DOUBLE) / 6.048e11)) AS BIGINT))
+         |    AS BIGINT) AS decay_e6
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "e1_asof_join" ->
       """WITH c AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click'
