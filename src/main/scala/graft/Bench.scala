@@ -59,9 +59,12 @@ object Bench {
     // (noise here is ±50%, so extra digits were pure overflow risk) and the
     // sf field is the basename, keeping the whole line well under the tail
     // window even as the query count grows.
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
     def fmt(v: Double): String = {
       val a = math.abs(v)
-      if (a >= 100) f"$v%.0f" else if (a >= 10) f"$v%.1f" else f"$v%.2f"
+      val p = if (a >= 100) "%.0f" else if (a >= 10) "%.1f" else "%.2f"
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

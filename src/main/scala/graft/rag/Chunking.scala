@@ -26,20 +26,27 @@ object Chunking {
 
   /** Stateless chunk rows from any (doc_id, text, carry...) frame —
     * generator + projections only, so it runs unchanged on a STREAMING
-    * DataFrame (the H10 online ingest) and the batch r17 path. */
-  def chunkRows(df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    * DataFrame (the H10 online ingest) and the batch r17 path. The ONE
+    * place chunk boundaries are defined: r17, r18's feature index, and
+    * H10 all read chunk identity from here, so they cannot drift.
+    * `withText = true` additionally emits the chunk text (`ctext`) for
+    * downstream embedding. */
+  def chunkRows(df: DataFrame, carry: Seq[String] = Nil,
+                withText: Boolean = false): DataFrame = {
     val t = df
       .select(col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("ws"): _*)
       .withColumn("len", size(col("ws")).cast("long"))
     val cw = slice(col("ws"), col("start_pos").cast("int") + 1, lit(ChunkWords))
+    val base = Seq(
+      col("doc_id"),
+      (col("start_pos") / Stride).cast("long").as("chunk_id"),
+      col("start_pos"),
+      size(cw).cast("long").as("n_chunk_words"),
+      md5(concat_ws(" ", cw)).as("chunk_hash"))
+    val textCol = if (withText) Seq(concat_ws(" ", cw).as("ctext")) else Nil
     t.select(col("doc_id") +: carry.map(col) :+ col("ws") :+
         explode(sequence(lit(0L), col("len") - 1, lit(Stride.toLong))).as("start_pos"): _*)
-      .select(Seq(
-        col("doc_id"),
-        (col("start_pos") / Stride).cast("long").as("chunk_id"),
-        col("start_pos"),
-        size(cw).cast("long").as("n_chunk_words"),
-        md5(concat_ws(" ", cw)).as("chunk_hash")) ++ carry.map(col): _*)
+      .select(base ++ textCol ++ carry.map(col): _*)
   }
 
   def r17Chunking(spark: SparkSession, dir: String): DataFrame =
@@ -80,19 +87,13 @@ object Chunking {
     val t = s"graft_chunkfeat_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
-        val chunks = Tables.documents(spark, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .withColumn("len", size(col("ws")).cast("long"))
-          .select(col("doc_id"), col("ws"),
-            explode(sequence(lit(0L), col("len") - 1, lit(Stride.toLong))).as("start_pos"))
-          .select(col("doc_id"), (col("start_pos") / Stride).cast("long").as("chunk_id"),
-            concat_ws(" ",
-              slice(col("ws"), col("start_pos").cast("int") + 1, lit(ChunkWords))).as("ctext"))
-        val cf = Embed.features(
-            chunks.withColumn("ck", concat_ws("#", col("doc_id"), col("chunk_id"))),
-            "ck", "ctext")
-          .join(chunks.select(concat_ws("#", col("doc_id"), col("chunk_id")).as("ck"),
-            col("doc_id"), col("chunk_id")).distinct(), "ck")
+        // the (doc_id, chunk_id) pair rides through Embed.features' single
+        // id column as a synthesized key, split back after — no re-join
+        val chunks = chunkRows(Tables.documents(spark, dir), withText = true)
+          .select(concat_ws("#", col("doc_id"), col("chunk_id")).as("ck"), col("ctext"))
+        val cf = Embed.features(chunks, "ck", "ctext")
+          .withColumn("doc_id", split_part(col("ck"), lit("#"), lit(1)).cast("long"))
+          .withColumn("chunk_id", split_part(col("ck"), lit("#"), lit(2)).cast("long"))
         graft.sources.Warehouse.writeBucketed(
           densify(cf, Seq("doc_id", "chunk_id")), t, "doc_id")
       }

@@ -17,12 +17,13 @@ import graft.sources.Warehouse
   * Scale design: the inverted index is a once-per-corpus-version bucketed
   * table keyed by the 60-bit term hash — postings joins shuffle 8-byte
   * keys, and query-side and corpus-side reads of the same bucketed layout
-  * join exchange-free. Candidate generation drops terms with document
-  * frequency above 20% of the corpus (stopword pruning — the standard
-  * impact-pruning first step): posting lists are bounded, so the
-  * per-query join cost is O(query terms x bounded postings), never
-  * corpus-quadratic. Scoring is BM25 (Robertson/Spärck Jones, the public
-  * Okapi formulation) with per-term contributions rounded to e6 integers
+  * join exchange-free. Candidate generation is QUERY-TERM PRUNING: each
+  * query keeps only its [[QTerms]] rarest terms, so the per-query join
+  * cost is bounded by those terms' posting lists (the idf mass lives in
+  * exactly the rare terms) — never corpus-quadratic, and adaptive to any
+  * vocabulary shape where a fixed df-percentage stopword cap is not.
+  * Scoring is BM25 (Robertson/Spärck Jones, the public Okapi
+  * formulation) with per-term contributions rounded to e6 integers
   * and summed EXACTLY as longs — no order-dependent float accumulation
   * (SURVEY.md §5.3b).
   */

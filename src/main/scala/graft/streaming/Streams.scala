@@ -124,18 +124,30 @@ object Streams {
 
   /** H8: streaming ingest dedup against the HISTORICAL corpus — the online
     * form of d9's exact layer: arriving documents are first deduped within
-    * the stream (watermarked dropDuplicates state) and then anti-joined
-    * against the static corpus hash set, so only genuinely-new content
-    * reaches the sink. The static side never moves per micro-batch; at
-    * warehouse scale it is the bucketed content-hash table of the corpus
-    * and the anti join is a bucketed probe. */
+    * the stream and then anti-joined against the static corpus hash set,
+    * so only genuinely-new content reaches the sink. The static side never
+    * moves per micro-batch; at warehouse scale it is the bucketed
+    * content-hash table of the corpus and the anti join is a bucketed
+    * probe.
+    *
+    * State bound: `dropDuplicatesWithinWatermark` — a plain
+    * `dropDuplicates("content_hash")` would keep one state row per
+    * distinct hash FOREVER (the watermark only purges dedup state when
+    * the event-time column is part of the key), an unbounded store on a
+    * long-running ingest. The within-watermark variant evicts each hash
+    * once the watermark passes it, trading "suppress re-ingests forever"
+    * for "suppress re-ingests inside the horizon" — the corpus anti join
+    * below is what durably suppresses OLD content, so the horizon only
+    * needs to cover in-flight duplicates. */
   def streamingIngestDedup(incoming: DataFrame, corpusHashes: DataFrame,
                            watermark: String = "10 minutes"): DataFrame = {
-    val hashed =
-      (if (incoming.isStreaming) incoming.withWatermark("ts", watermark) else incoming)
-        .withColumn("content_hash", md5(col("text")))
-        .dropDuplicates("content_hash")
-    hashed.join(corpusHashes, Seq("content_hash"), "left_anti")
+    val hashed = incoming.withColumn("content_hash", md5(col("text")))
+    val deduped =
+      if (hashed.isStreaming)
+        hashed.withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark("content_hash")
+      else hashed.dropDuplicates("content_hash")
+    deduped.join(corpusHashes, Seq("content_hash"), "left_anti")
   }
 
   /** H10: streaming chunk ingest — the online form of the r17->r18 ingest
@@ -143,14 +155,20 @@ object Streams {
     * [[graft.rag.Chunking.chunkRows]] runs unchanged on the stream), then
     * boilerplate suppression dedups chunks by content hash within the
     * watermark — repeated chunks (headers, disclaimers, re-ingested docs)
-    * never reach the index. State is bounded by the watermark horizon at
-    * chunk granularity; the chunker itself holds no state, so the stage
-    * scales with input rate, not corpus size. */
+    * inside the horizon never reach the index. State really is bounded:
+    * `dropDuplicatesWithinWatermark` evicts a hash once the watermark
+    * passes it (a plain key-only dropDuplicates would grow one state row
+    * per distinct chunk forever); durable cross-horizon suppression
+    * belongs to the downstream index merge, as in H8. The chunker itself
+    * holds no state, so the stage scales with input rate, not corpus
+    * size. */
   def streamingChunkIngest(incoming: DataFrame,
                            watermark: String = "10 minutes"): DataFrame = {
     val chunked = graft.rag.Chunking.chunkRows(incoming, carry = Seq("ts"))
-    (if (chunked.isStreaming) chunked.withWatermark("ts", watermark) else chunked)
-      .dropDuplicates("chunk_hash")
+    if (chunked.isStreaming)
+      chunked.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("chunk_hash")
+    else chunked.dropDuplicates("chunk_hash")
   }
 
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
