@@ -82,19 +82,25 @@ object Lexical {
     * contribution rounds to an e6 long and the per-doc score is an EXACT
     * integer sum, so the ranking is bit-stable at any shuffle order in
     * any engine. */
-  def r14Bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val idx = lexIndex(spark, dir)
-    val st = lexStats(spark, dir)
+  /** Each query's [[QTerms]] rarest terms as (hs, query_id) rows. */
+  private def rarestTerms(idx: DataFrame): DataFrame = {
     val wq = Window.partitionBy(col("query_id")).orderBy(col("df"), col("hs"))
-    val qt = idx.filter(col("doc_id") % QueryMod === 0)
+    idx.filter(col("doc_id") % QueryMod === 0)
       .select(col("hs"), col("doc_id").as("query_id"), col("df"))
       .withColumn("qr", row_number().over(wq))
       .filter(col("qr") <= QTerms)
       .select("hs", "query_id")
+  }
+
+  /** BM25-score an arbitrary (hs, query_id) term set against the postings
+    * index; top-k per query. Shared by r14 (rarest terms) and r19 (rarest
+    * + feedback-expanded terms). */
+  private def scoreTerms(terms: DataFrame, idx: DataFrame, st: DataFrame,
+                         k: Int): DataFrame = {
     val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfSat = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avglen")))
-    val scored = qt.join(idx, "hs")
+    val scored = terms.join(idx, "hs")
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(st))
       .withColumn("ce6", round(lit(1e6) * idf * tfSat).cast("long"))
@@ -104,6 +110,39 @@ object Lexical {
       .filter(col("rnk") <= k)
       .select("query_id", "doc_id", "score_e6", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  def r14Bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val idx = lexIndex(spark, dir)
+    scoreTerms(rarestTerms(idx), idx, lexStats(spark, dir), k)
+  }
+
+  val PrfDocs = 10   // feedback depth: pass-1 top docs per query
+  val PrfTerms = 5   // expansion terms drawn from the feedback docs
+
+  /** B19: pseudo-relevance feedback (RM3-style two-pass retrieval): the
+    * pass-1 BM25 top-[[PrfDocs]] act as implicit relevance judgments;
+    * their [[PrfTerms]] strongest terms (by total tf, df-rarity then hash
+    * tie-breaks — exact integers, fully deterministic) expand the query,
+    * and pass 2 rescores with the union term set. The classic lexical
+    * recall lever when queries underspecify. Scale shape: pass 1 is r14;
+    * expansion statistics touch only (feedback docs x their terms) rows;
+    * pass 2 is the same bounded postings join with QTerms+PrfTerms terms
+    * per query. */
+  def r19PrfSearch(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val idx = lexIndex(spark, dir)
+    val st = lexStats(spark, dir)
+    val qsel = rarestTerms(idx)
+    val fb = scoreTerms(qsel, idx, st, PrfDocs).select("query_id", "doc_id")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("ftf").desc, col("df"), col("hs"))
+    val exp = fb.join(idx.select(col("doc_id"), col("hs"), col("tf"), col("df")), "doc_id")
+      .join(qsel, Seq("query_id", "hs"), "left_anti")
+      .groupBy("query_id", "hs").agg(sum(col("tf")).as("ftf"), max(col("df")).as("df"))
+      .withColumn("er", row_number().over(we))
+      .filter(col("er") <= PrfTerms)
+      .select("hs", "query_id")
+    scoreTerms(qsel.unionByName(exp), idx, st, k)
   }
 
   /** e6-exact reciprocal-rank contribution 1/(RrfK + rank); null rank
@@ -134,13 +173,36 @@ object Lexical {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r14_bm25_topk"  -> ((s, d) => r14Bm25TopK(s, d)),
     "r15_hybrid_rrf" -> ((s, d) => r15HybridRrf(s, d)),
+    "r19_prf_search" -> ((s, d) => r19PrfSearch(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle
 
+  /** The per-(term-set row, posting) BM25 contribution + ranked top-`depth`
+    * pair of CTEs, scoring the (hs, query_id) rows of `termsRel` —
+    * identical expression tree to scoreTerms so the doubles match
+    * bit-for-bit before the e6 round. */
+  private def scoreSql(termsRel: String, contribName: String,
+                       rankedName: String, depth: Int): String =
+    s"""$contribName AS (
+       |  SELECT s.query_id, t.doc_id AS doc_id,
+       |    CAST(round(1e6 * ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |      ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / avglen)))) AS BIGINT) AS ce6
+       |  FROM $termsRel s
+       |  JOIN tfx t ON t.hs = s.hs AND t.doc_id <> s.query_id
+       |  JOIN dfx ON dfx.hs = s.hs
+       |  JOIN dlx l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats
+       |), $rankedName AS (
+       |  SELECT query_id, doc_id, score_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rnk
+       |  FROM (SELECT query_id, doc_id, CAST(sum(ce6) AS BIGINT) AS score_e6
+       |        FROM $contribName GROUP BY 1, 2)
+       |  QUALIFY rnk <= $depth
+       |)""".stripMargin
+
   /** BM25 CTE chain up to a ranked list (query_id, doc_id, score_e6, rnk).
-    * Mirrors lexIndex + r14Bm25TopK with the identical expression tree so
-    * the doubles match bit-for-bit before the e6 round. */
+    * Mirrors lexIndex + r14Bm25TopK. */
   private def bm25Cte(depth: Int): String =
     s"""tok AS (
        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hs
@@ -160,22 +222,7 @@ object Lexical {
        |    FROM tfx q JOIN dfx ON dfx.hs = q.hs
        |    WHERE q.doc_id % $QueryMod = 0)
        |  WHERE qr <= $QTerms
-       |), contrib AS (
-       |  SELECT s.query_id, t.doc_id AS doc_id,
-       |    CAST(round(1e6 * ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-       |      ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / avglen)))) AS BIGINT) AS ce6
-       |  FROM qsel s
-       |  JOIN tfx t ON t.hs = s.hs AND t.doc_id <> s.query_id
-       |  JOIN dfx ON dfx.hs = s.hs
-       |  JOIN dlx l ON l.doc_id = t.doc_id
-       |  CROSS JOIN stats
-       |), bm25 AS (
-       |  SELECT query_id, doc_id, score_e6,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rnk
-       |  FROM (SELECT query_id, doc_id, CAST(sum(ce6) AS BIGINT) AS score_e6
-       |        FROM contrib GROUP BY 1, 2)
-       |  QUALIFY rnk <= $depth
-       |)""".stripMargin
+       |), ${scoreSql("qsel", "contrib", "bm25", depth)}""".stripMargin
 
   private def rrf6Sql(rank: String): String =
     s"coalesce(CAST(${Exact.ratio6eSql("1", s"($RrfK + $rank)")} AS BIGINT), 0)"
@@ -184,6 +231,27 @@ object Lexical {
     "r14_bm25_topk" ->
       s"""WITH ${bm25Cte(TopK)}
          |SELECT query_id, doc_id, score_e6, rnk FROM bm25 ORDER BY query_id, rnk""".stripMargin,
+
+    "r19_prf_search" ->
+      s"""WITH ${bm25Cte(PrfDocs)}, fb AS (
+         |  SELECT query_id, doc_id FROM bm25
+         |), expc AS (
+         |  SELECT f.query_id, t.hs, CAST(sum(t.tf) AS BIGINT) AS ftf, max(dfx.df) AS df
+         |  FROM fb f
+         |  JOIN tfx t ON t.doc_id = f.doc_id
+         |  JOIN dfx ON dfx.hs = t.hs
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM qsel q WHERE q.query_id = f.query_id AND q.hs = t.hs)
+         |  GROUP BY 1, 2
+         |), expsel AS (
+         |  SELECT hs, query_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ftf DESC, df, hs) AS er
+         |    FROM expc) WHERE er <= $PrfTerms
+         |), terms2 AS (
+         |  SELECT hs, query_id FROM qsel UNION ALL SELECT hs, query_id FROM expsel
+         |), ${scoreSql("terms2", "contrib2", "prf", TopK)}
+         |SELECT query_id, doc_id, score_e6, rnk FROM prf ORDER BY query_id, rnk""".stripMargin,
 
     "r15_hybrid_rrf" ->
       (Search.CorpusCte + s""", ${bm25Cte(RrfDepth)}, q AS (

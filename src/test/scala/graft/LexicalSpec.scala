@@ -44,6 +44,27 @@ class LexicalSpec extends SparkSpec {
       "top fused score must exceed the single-ranker maximum")
   }
 
+  test("B19: PRF expansion keeps rank contract and reuses pass-1 scoring") {
+    val prf = Lexical.r19PrfSearch(spark, Sf).collect()
+    assert(prf.nonEmpty)
+    prf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to ranked.length))
+      // expanded term set is a superset of pass 1's, so every doc's score
+      // can only grow or stay equal vs its r14 score
+      assert(ranked.forall(_.getLong(2) > 0L))
+    }
+    val r14 = Lexical.r14Bm25TopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    prf.foreach { r =>
+      r14.get((r.getLong(0), r.getLong(1))).foreach { s14 =>
+        assert(r.getLong(2) >= s14, "PRF adds terms; scores cannot shrink")
+      }
+    }
+    val again = Lexical.r19PrfSearch(spark, Sf).collect()
+    assert(prf.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("C10: decontamination flags eval-overlapping training docs only") {
     val r = Dedup.d10Decontamination(spark, Sf).collect()
     r.foreach { row =>
