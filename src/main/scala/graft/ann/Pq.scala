@@ -289,8 +289,8 @@ object Pq {
     * interpreted-HOF map is fine for this corpus; a production 100 TB
     * index build would run the same R as a batched native GEMM inside
     * mapPartitions (rotation is one-time build cost, never query cost). */
-  private def rotate(v: Column): Column =
-    transform(typedlit(OpqRotation), row => Vec.dotNative(v, row))
+  private def rotate(v: Column, m: Seq[Seq[Double]] = OpqRotation): Column =
+    transform(typedlit(m), row => Vec.dotNative(v, row))
 
   /** D11 (a11): OPQ-style rotated PQ, recall-graded — the standard fix
     * when PQ's fixed 8-dim subspace splits straddle correlated dims: an
@@ -310,6 +310,36 @@ object Pq {
     val e = Search.corpus(spark, dir)
     val er = e.select(col("vec_id"), col("label"), rotate(col("v")).as("v"), col("nrm"))
     recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
+  }
+
+  /** D15 (a15): LEARNED OPQ rotation — the data-trained counterpart of
+    * a11's random rotation (the "R from data" half of Ge et al. 2013):
+    * R = the corpus' principal components (RowMatrix PCA — distributed
+    * covariance + driver-side 64x64 eigendecomposition), so the rotated
+    * coordinates are decorrelated and variance concentrates in leading
+    * dims before the 8-dim subspace split. PCA matrices are orthogonal,
+    * so recall against the UNROTATED brute-force truth remains valid.
+    * Rows-only + spec (eigendecomposition is not SQL-reproducible; the
+    * spec asserts orthogonality of the learned R and a recall floor).
+    * Training is one distributed covariance pass — index-build cost. */
+  def a15OpqPcaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    val er = e.select(col("vec_id"), col("label"),
+      rotate(col("v"), pcaRotation(spark, dir)).as("v"), col("nrm"))
+    recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
+  }
+
+  /** The learned rotation R = P^T (row j = component j); also used by the
+    * orthogonality spec. One distributed covariance pass + a driver-side
+    * 64x64 eigendecomposition. */
+  private[graft] def pcaRotation(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val e = Search.corpus(spark, dir)
+    val pc = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+      e.select(col("v")).rdd.map { r =>
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          r.getSeq[Float](0).map(_.toDouble).toArray)
+      }).computePrincipalComponents(64)
+    Seq.tabulate(64)(j => Seq.tabulate(64)(i => pc(i, j)))
   }
 
   /** The IVFPQ index table: PQ codes + coarse IVF list assignment,
@@ -366,6 +396,7 @@ object Pq {
     "a8_pq_rerank_recall" -> ((s, d) => a8PqRerankRecall(s, d)),
     "a9_pq_kmeans" -> ((s, d) => a9PqKmeansTopK(s, d)),
     "a11_opq_recall" -> ((s, d) => a11OpqRecall(s, d)),
+    "a15_opq_pca_recall" -> ((s, d) => a15OpqPcaRecall(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle

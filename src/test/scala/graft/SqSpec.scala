@@ -24,6 +24,22 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("D15: PCA OPQ rotation is orthogonal and recall stays valid") {
+    val r = graft.ann.Pq.pcaRotation(spark, Sf)
+    // R R^T = I within numerical tolerance => cosine-preserving
+    for (i <- 0 until 64; j <- 0 until 64) {
+      val dot = (0 until 64).map(k => r(i)(k) * r(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8, s"R R^T deviates at ($i,$j): $dot")
+    }
+    val rec = graft.ann.Pq.a15OpqPcaRecall(spark, Sf).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { row =>
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+      assert(row.getLong(1) == 10L)
+    }
+  }
+
   test("D12: SQ8 codes stay in 0..255 and recall beats the PQ floor") {
     val topk = Sq.sqTopK(spark, Sf).collect()
     assert(topk.nonEmpty)
