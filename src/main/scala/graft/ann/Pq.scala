@@ -313,15 +313,17 @@ object Pq {
   }
 
   /** D15 (a15): LEARNED OPQ rotation — the data-trained counterpart of
-    * a11's random rotation (the "R from data" half of Ge et al. 2013):
-    * R = the corpus' principal components (RowMatrix PCA — distributed
-    * covariance + driver-side 64x64 eigendecomposition), so the rotated
-    * coordinates are decorrelated and variance concentrates in leading
-    * dims before the 8-dim subspace split. PCA matrices are orthogonal,
-    * so recall against the UNROTATED brute-force truth remains valid.
-    * Rows-only + spec (eigendecomposition is not SQL-reproducible; the
-    * spec asserts orthogonality of the learned R and a recall floor).
-    * Training is one distributed covariance pass — index-build cost. */
+    * a11's random rotation (the parametric solution of Ge et al. 2013):
+    * PCA decorrelates the coordinates, then EIGENVALUE ALLOCATION
+    * distributes the decorrelated dims across the M subspaces so their
+    * variance products balance — raw PCA alone would sort all variance
+    * into subvector 0, overloading one 16-centroid subquantizer while
+    * the rest encode noise (the degenerate case the paper corrects).
+    * Both steps only permute/rotate orthonormal rows, so R stays
+    * orthogonal and recall against the UNROTATED brute-force truth
+    * remains valid. Rows-only + spec (eigendecomposition is not
+    * SQL-reproducible; the spec asserts orthogonality of R and a
+    * non-vacuous mean-recall floor). */
   def a15OpqPcaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Search.corpus(spark, dir)
     val er = e.select(col("vec_id"), col("label"),
@@ -329,18 +331,38 @@ object Pq {
     recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
   }
 
-  /** The learned rotation R = P^T (row j = component j); also used by the
-    * orthogonality spec. One distributed covariance pass + a driver-side
-    * 64x64 eigendecomposition. */
-  private[graft] def pcaRotation(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
-    val e = Search.corpus(spark, dir)
-    val pc = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
-      e.select(col("v")).rdd.map { r =>
-        org.apache.spark.mllib.linalg.Vectors.dense(
-          r.getSeq[Float](0).map(_.toDouble).toArray)
-      }).computePrincipalComponents(64)
-    Seq.tabulate(64)(j => Seq.tabulate(64)(i => pc(i, j)))
-  }
+  /** The learned rotation, memoized per (session, data-dir) like every
+    * other build artifact here (training is one distributed covariance
+    * pass + a driver-side 64x64 eigendecomposition — index-build cost,
+    * which must not be re-paid inside each timed query run).
+    *
+    * Rows are ordered by the balanced allocation: subspace m's D slots
+    * hold the eigencomponents greedily assigned to bucket m (descending
+    * eigenvalue, always into the non-full bucket with the smallest
+    * log-variance product, lowest bucket id on ties — deterministic). */
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  private[graft] def pcaRotation(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    pcaCache.getOrElseUpdate(graft.sources.Warehouse.tableSuffix(dir), {
+      val e = Search.corpus(spark, dir)
+      val (pc, varExp) = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+        e.select(col("v")).rdd.map { r =>
+          org.apache.spark.mllib.linalg.Vectors.dense(
+            r.getSeq[Float](0).map(_.toDouble).toArray)
+        }).computePrincipalComponentsAndExplainedVariance(64)
+      // components arrive sorted by explained variance descending
+      val bucketOf = Array.fill(M)(List.empty[Int])
+      val logProd = Array.fill(M)(0.0)
+      (0 until 64).foreach { j =>
+        val m = (0 until M).filter(bucketOf(_).length < D)
+          .minBy(b => (logProd(b), b))
+        bucketOf(m) = bucketOf(m) :+ j
+        logProd(m) += math.log(math.max(varExp(j), 1e-12))
+      }
+      val order = bucketOf.toSeq.flatten // output dim -> component index
+      Seq.tabulate(64)(o => Seq.tabulate(64)(i => pc(i, order(o))))
+    })
 
   /** The IVFPQ index table: PQ codes + coarse IVF list assignment,
     * written PARTITIONED BY list_id once per (session, sf-dir) — the

@@ -38,6 +38,11 @@ class SqSpec extends SparkSpec {
       assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
       assert(row.getLong(1) == 10L)
     }
+    // non-vacuous quality floor: a broken rotation (transposed R,
+    // mis-indexed components) collapses recall to ~0 even while staying
+    // orthogonal; the working pipeline clears this comfortably
+    val mean = rec.map(_.getDouble(3)).sum / rec.length
+    assert(mean >= 0.05, s"mean rotated-PQ recall $mean below floor")
   }
 
   test("D12: SQ8 codes stay in 0..255 and recall beats the PQ floor") {
