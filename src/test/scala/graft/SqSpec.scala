@@ -24,6 +24,19 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("D16: residual IVFPQ prunes lists and returns valid rankings") {
+    val topk = graft.ann.IvfPqR.a16IvfPqResidualTopK(spark, Sf)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"residual-IVFPQ probe must partition-prune:\n${plan.take(2000)}")
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 10)
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
+
   test("D15: PCA OPQ rotation is orthogonal and recall stays valid") {
     val r = graft.ann.Pq.pcaRotation(spark, Sf)
     // R R^T = I within numerical tolerance => cosine-preserving
