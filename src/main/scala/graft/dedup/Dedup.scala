@@ -622,7 +622,6 @@ object Dedup {
   val D10MinShared = 5
 
   def d10Decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleIndex3(spark, dir)
     val isEval = col("doc_id") % D10EvalMod === 0
     val rare = rareShingleIndex(spark, dir)
     val shared = rare.filter(!isEval)
@@ -630,7 +629,10 @@ object Dedup {
       .join(rare.filter(isEval).select(col("doc_id").as("eval_doc_id"), col("hs")), "hs")
       .groupBy("train_doc_id", "eval_doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= D10MinShared)
-    val nTrain = ex.groupBy("doc_id").agg(count(lit(1)).as("n_train_grams"))
+    // per-doc distinct-gram totals already ride the signature table's n
+    // column — no per-run re-aggregation of the shingle index
+    val nTrain = minhashSig(spark, dir)
+      .select(col("doc_id"), col("n").as("n_train_grams"))
     shared
       .join(nTrain.withColumnRenamed("doc_id", "train_doc_id"), "train_doc_id")
       .withColumn("overlap_e6", Exact.ratio6e(col("n_shared"), col("n_train_grams")))

@@ -65,6 +65,33 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H10: dedup state is EVICTED once the watermark passes a hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = (0 until 30).map(i => s"y$i").mkString(" ")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.Streams.streamingChunkIngest(
+      input.toDF().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("h10_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(1), 1L, text))
+      q.processAllAvailable()
+      // advance the watermark far past ts(1) + the 10-minute horizon
+      input.addData((ts(40), 2L, "unrelated words here"))
+      q.processAllAvailable()
+      // the SAME content re-arrives after eviction: with bounded state it
+      // re-emits (the old hash is gone); unbounded dropDuplicates state
+      // would suppress it forever
+      input.addData((ts(45), 3L, text))
+      q.processAllAvailable()
+      val byDoc = spark.table("h10_evict").collect().groupBy(_.getLong(0))
+      assert(byDoc.contains(1L) && byDoc.contains(3L),
+        s"post-eviction re-ingest must re-emit; got docs ${byDoc.keySet}")
+      assert(byDoc(1L).length == byDoc(3L).length)
+    } finally q.stop()
+  }
+
   test("H8: ingest dedup drops in-stream dups AND corpus-known content") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
