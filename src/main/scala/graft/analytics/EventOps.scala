@@ -201,7 +201,26 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** e7: semi-structured JSON extraction — the event-pipeline staple:
+    * `props` is a JSON string column; the typed value extracts with the
+    * codegen'd `get_json_object` path (no UDF, no per-row parser object)
+    * and aggregates per event type as exact integers. At 100 TB the
+    * extraction is a narrow map fused into the scan stage — schema-on-read
+    * without a pre-parse ETL hop. */
+  def e7JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_json_props"  -> ((s, d) => e7JsonProps(s, d)),
     "e6_decay"       -> ((s, d) => e6Decay(s, d)),
     "e1_asof_join"   -> ((s, d) => e1AsofJoin(s, d)),
     "e2_sessions"    -> ((s, d) => e2Sessions(s, d)),
@@ -211,6 +230,14 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e7_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "e6_decay" ->
       s"""SELECT user_id, count(*) AS n_events,
          |  CAST(sum(CAST(round(1e6 * value *
