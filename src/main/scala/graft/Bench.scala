@@ -31,11 +31,26 @@ object Bench {
         System.err.println(s"[bench] warmup FAILED: ${String.valueOf(e.getMessage).take(200)}")
     })
     // Per-query median over n runs: this VM's run-to-run noise is ±50%, so
-    // single-run timings flag phantom regressions. n=1 keeps the old shape.
+    // single-run timings flag phantom regressions.
     // A malformed env value degrades to the default instead of aborting.
     val n = sys.env.get("SPARK_GRAFT_BENCH_N").flatMap(_.toIntOption).getOrElse(3).max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to n).map { _ =>
+    // Fixed run order — the flagship q1_agg first (its number was drifting
+    // with hash-map iteration order), then alphabetical, so round-over-round
+    // comparisons see each query in the same session state every time.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      "q1_agg" +: all.filterNot(_ == "q1_agg")
+    }
+    // Each query runs once COLD first — that run pays any once-per-corpus
+    // index build (IVF/PQ code tables, BM25 postings, signature tables,
+    // bigram LM...) the query's lazy `*Table` helpers materialize — and
+    // then n measured runs whose median is steady-state probe cost only.
+    // Build cost is reported separately (`cold` map / cold_total), never
+    // folded into the per-query medians: "build once, probe forever" is
+    // the 100 TB contract, so the two numbers must not be conflated.
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      def run(): Double = {
         val t0 = System.nanoTime()
         // a failed query must be VISIBLE: stderr log + negative timing (a
         // silent catch once hid an analysis error as a fast "result")
@@ -47,18 +62,14 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
+      val cold = run()
+      val times = (1 to n).map(_ => run())
       val good = times.filter(_ > 0).sorted
       val dt =
         if (good.isEmpty) times.head // all failed: keep the negative marker
         else good(good.size / 2)     // upper median of the successful runs
-      (name, dt, times.count(_ < 0))
+      (name, dt, cold, times.count(_ < 0))
     }
-    // The driver parses the JSON line out of the LAST 2000 chars of stdout
-    // (BENCH_r04 "parsed": null — the line outgrew the window at 73 queries
-    // with 9-decimal doubles). Per-query values print at 10 ms resolution
-    // (noise here is ±50%, so extra digits were pure overflow risk) and the
-    // sf field is the basename, keeping the whole line well under the tail
-    // window even as the query count grows.
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
     def fmt(v: Double): String = {
@@ -66,17 +77,41 @@ object Bench {
       val p = if (a >= 100) "%.0f" else if (a >= 10) "%.1f" else "%.2f"
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry negative markers: exclude them from the headline
     // total (summing them in would make a failure look like a speedup); a
     // query that failed on ANY run also lands in "flaky" with its failure
     // count, so partial failures are visible in the JSON, not just stderr.
-    val total = results.collect { case (_, v, _) if v > 0 => v }.sum
-    val flaky = results.collect { case (k, _, f) if f > 0 => "\"" + k + "\":" + f }
+    val total = results.collect { case (_, v, _, _) if v > 0 => v }.sum
+    val coldTotal = results.collect { case (_, _, c, _) if c > 0 => c }.sum
+    // Cold (build-paying) times are reported only where they matter — first
+    // run >2x the median — which is exactly the set of index-building
+    // queries; listing all ~100 would double the line for pure noise.
+    val colds = results.collect { case (k, v, c, _) if c > 0 && v > 0 && c > 2 * v =>
+      "\"" + k + "\":" + fmt(c)
+    }
+    val coldField = if (colds.isEmpty) "" else colds.mkString(",\"cold\":{", ",", "}")
+    val flaky = results.collect { case (k, _, _, f) if f > 0 => "\"" + k + "\":" + f }
     val flakyField = if (flaky.isEmpty) "" else flaky.mkString(",\"flaky\":{", ",", "}")
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$flakyField,"sf":"$sfName"}""")
+    // Two stdout lines. The first carries everything (per-query medians,
+    // build-paying cold times, flaky counts) for humans and the repo log;
+    // at ~100 queries it exceeds the 2000-char stdout tail the driver
+    // parses, so a SHORT final line repeats the headline fields — the
+    // driver's tail window always contains it whole, whatever the query
+    // count grows to. The full detail is also written to BENCH_FULL.json
+    // next to the build so the per-query numbers survive the truncation.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query detail: ${p.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

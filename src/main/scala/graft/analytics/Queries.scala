@@ -421,21 +421,35 @@ object Queries {
     * brand, the single lineitem with the lowest unit price and its
     * supplier. The scale pattern is the point of this query: argmin via
     * `min_by(payload, struct(keys...))` is a plain aggregate — map-side
-    * partial, one exchange on the 25 brands, NO row_number window (which
-    * would sort the whole fact table). Ties break on the full
-    * (unit_price, suppkey, orderkey, linenumber) struct, so the winner is
-    * bit-stable at any shuffle order; unit_price is one IEEE division per
-    * row, identical in any engine. Supplier names join AFTER the argmin —
-    * 25 rows, broadcast. */
+    * partial, one exchange, NO row_number window (which would sort the
+    * whole fact table).
+    *
+    * Two aggregation levels, deliberately: `min_by`/`min(struct)` carry a
+    * struct-typed buffer, which HashAggregate's fixed-width UnsafeRow map
+    * cannot hold, so a single-level struct argmin silently plans as
+    * SortAggregate — a full per-partition sort of the joined fact table
+    * (measured 5 s at sf0.1, 6× its siblings). Instead level 1 folds to
+    * min(unit_price) per (brand, supplier) — a primitive double buffer, so
+    * it IS a map-side-combined HashAggregate — leaving ~|brands|×|suppliers|
+    * rows, and only level 2 runs the struct argmin, on that tiny relation.
+    * Projected to the output columns (brand, suppkey, price) this is the
+    * same winner as the row-level argmin: the deeper (orderkey, linenumber)
+    * tie-breaks never reached the output, and min over (price, suppkey) of
+    * per-supplier minima equals the row-level lexicographic min. Doubles
+    * compare totally (no NaN here: price>0, qty>0), so the answer is
+    * bit-stable at any shuffle order. Supplier names join AFTER the
+    * argmin — 25 rows, broadcast. */
   def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-    val ord = struct(col("unit_price"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
-    val win = li.groupBy(col("p_brand"))
-      .agg(min_by(struct(col("l_suppkey"), col("unit_price")), ord).as("w"))
+    val perSupp = li.groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("unit_price"))
+    val win = perSupp.groupBy(col("p_brand"))
+      .agg(min_by(struct(col("l_suppkey"), col("unit_price")),
+        struct(col("unit_price"), col("l_suppkey"))).as("w"))
       .select(col("p_brand"), col("w.l_suppkey").as("s_suppkey"),
         col("w.unit_price").as("min_unit_price"))
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey").as("sk"), col("s_name"))
