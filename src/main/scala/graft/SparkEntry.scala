@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{EventOps, Queries}
-import graft.ann.{Ann, IvfPqR, KmeansIvf, Pq, Sq}
+import graft.ann.{Ann, GraphProbe, IvfPqR, KmeansIvf, Pq, Sq}
 import graft.dedup.Dedup
 import graft.memory.MemoryOps
 import graft.multimodal.Binary
 import graft.pipeline.Pipeline
-import graft.rag.{Chunking, Embed, Lexical, Mmr, RagOps, Search}
+import graft.rag.{Chunking, CrossEncoder, Embed, Lexical, Mmr, RagOps, Search}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -25,9 +25,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++ Lexical.queries ++ Mmr.queries ++ Chunking.queries ++
+    MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++ Lexical.queries ++ Mmr.queries ++ Chunking.queries ++ CrossEncoder.queries ++
     TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Pq.queries ++
-    KmeansIvf.queries ++ Sq.queries ++ IvfPqR.queries ++ Binary.queries ++ EventOps.queries ++ Pipeline.queries ++ Map(
+    KmeansIvf.queries ++ Sq.queries ++ IvfPqR.queries ++ GraphProbe.queries ++ Binary.queries ++ EventOps.queries ++ Pipeline.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
     "q5_multijoin" -> ((s, dir) => Queries.q5MultiJoin(s, dir)),
@@ -56,7 +56,7 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
     MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++ Lexical.oracle ++ Chunking.oracle ++
-    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Sq.oracle ++ IvfPqR.oracle ++ Binary.oracle ++
+    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Sq.oracle ++ IvfPqR.oracle ++ GraphProbe.oracle ++ Binary.oracle ++
     EventOps.oracle ++ Pipeline.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -264,15 +264,18 @@ object Queries {
     * merge == recompute to the last bit (decimal partials are exact, so
     * merge order cannot drift). At 100 TB the daily refresh costs
     * O(delta) + a group-cardinality merge instead of a full-fact scan. */
-  def q23IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+  /** q1's MV partial state over any lineitem-shaped frame: decimal sums +
+    * counts per (returnflag, linestatus) — every state mergeable and EXACT,
+    * so partials folded in any order (batch delta or streaming micro-batch,
+    * [[graft.streaming.Streams]] H11) reproduce the full recompute to the
+    * bit. Shared by q23 and the streaming MV maintainer. */
+  private[graft] def q1Partials(df: DataFrame): DataFrame = {
     val priceC = round(col("l_extendedprice") * 100).cast("long")
     val discC  = round(col("l_discount") * 100).cast("long")
     val taxC   = round(col("l_tax") * 100).cast("long")
     val discPriceE4 = (priceC * (lit(100L) - discC)).cast("decimal(20,0)")
     val chargeE6 = (priceC * (lit(100L) - discC) * (lit(100L) + taxC)).cast("decimal(20,0)")
-    val isDelta = col("l_orderkey") % 10 === 0
-    def partials(df: DataFrame): DataFrame = df
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    df.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,4)")).as("p_qty"),
@@ -280,14 +283,12 @@ object Queries {
         sum(discPriceE4).as("p_disc"),
         sum(chargeE6).as("p_charge"),
         count(lit(1)).as("p_n"))
-    val t = s"graft_q1mv_${graft.sources.Warehouse.tableSuffix(dir)}"
-    synchronized {
-      if (!spark.catalog.tableExists(t))
-        graft.sources.Warehouse.writeTable(
-          partials(Tables.lineitem(spark, dir).filter(!isDelta)), t)
-    }
-    spark.table(t)
-      .unionByName(partials(Tables.lineitem(spark, dir).filter(isDelta)))
+  }
+
+  /** Merge partial-state rows (any number of partials per group) and
+    * finalize to the q1 report columns. */
+  private[graft] def q1MergeFinalize(partials: DataFrame): DataFrame =
+    partials
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("p_qty")).cast("double").as("sum_qty"),
@@ -296,6 +297,17 @@ object Queries {
         (sum(col("p_charge")).cast("double") / 1e6).as("sum_charge"),
         sum(col("p_n")).cast("long").as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def q23IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("l_orderkey") % 10 === 0
+    val t = s"graft_q1mv_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        graft.sources.Warehouse.writeTable(
+          q1Partials(Tables.lineitem(spark, dir).filter(!isDelta)), t)
+    }
+    q1MergeFinalize(spark.table(t)
+      .unionByName(q1Partials(Tables.lineitem(spark, dir).filter(isDelta))))
   }
 
   /** q18: large-volume orders (TPC-H Q18 shape) — aggregate-HAVING as a

@@ -34,15 +34,21 @@ object IvfPqR {
 
   private def vd(c: Column): Column = Vec.toDouble(c)
 
-  /** Residual frame: (vec_id, list_id, rv double[64], cv double[64]). */
+  /** Residual frame (vec_id, list_id, rv double[64], cvd double[64]) from
+    * any coarse assignment (vec_id, list_id, v) + centroid set (cent_id,
+    * cvd double[64]) — shared by the deterministic-coarse (a16) and
+    * k-means-coarse (a18) variants. */
+  private def residualFrame(asg: DataFrame, cent: DataFrame): DataFrame =
+    asg.join(broadcast(cent), col("list_id") === col("cent_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(vd(col("v")), col("cvd"), (a, b) => a - b).as("rv"),
+        col("cvd"))
+
+  /** Residual frame for the deterministic coarse quantizer (a16). */
   private def residuals(e: DataFrame): DataFrame = {
     val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    Ann.listAssignment(e)
-      .join(broadcast(cent), col("list_id") === col("cent_id"))
-      .select(col("vec_id"), col("list_id"),
-        zip_with(vd(col("v")), vd(col("cv")), (a, b) => a - b).as("rv"),
-        vd(col("cv")).as("cvd"))
+      .select(col("vec_id").as("cent_id"), vd(col("v")).as("cvd"))
+    residualFrame(Ann.listAssignment(e).select("vec_id", "list_id", "v"), cent)
   }
 
   /** Residual codebook (m, k, c double[D], cn2): the residuals of rows
@@ -61,12 +67,10 @@ object IvfPqR {
     * broadcast pivoted codebook (no explode, no exchange), as Pq.encode;
     * candidates additionally carry dot(c_list_m, cc) so rn2 assembles in
     * the same pass. */
-  private def indexTable(spark: SparkSession, dir: String, e: DataFrame,
+  private def indexTable(spark: SparkSession, t: String, res: => DataFrame,
                          rcb: DataFrame): DataFrame = {
-    val t = s"graft_ivfpqr_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
-        val res = residuals(e)
         val cbAggs = (for (m <- 0 until M; k <- 0 until K) yield
           max(when(col("m") === m && col("k") === k,
             struct(col("k"), col("c"), col("cn2")))).as(s"cb_${m}_$k")).toSeq
@@ -104,29 +108,20 @@ object IvfPqR {
     spark.table(t)
   }
 
-  /** D16 (a16): residual-IVFPQ top-10 for the standard probe set. */
-  def a16IvfPqResidualTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = Search.corpus(spark, dir)
-    val res = residuals(e)
-    val rcb = residualCodebook(res)
-    val codes = indexTable(spark, dir, e, rcb)
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // per-(query, probed list): the dot(q, c_list) offset
-    val probes = Ann.listProbes(e)
-      .select(col("query_id"), col("list_id"), col("qv"), col("qnrm"))
-      .join(broadcast(cent), col("list_id") === col("cent_id"))
-      .withColumn("qc", Vec.dotNative(vd(col("qv")), vd(col("cv"))))
-      .select("query_id", "list_id", "qv", "qnrm", "qc")
-    // per-query residual-codebook LUTs (m -> map k -> dot(q_m, cc))
-    val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(vd(col("qv")), m), col("c"))))
+  /** ADC scoring shared by a16/a18: probes carry (query_id, list_id, qvd
+    * double[64], qnrm, qc = dot(q, c_list)); codes is the encoded index.
+    * Builds the per-query residual LUTs (m -> map k -> dot(q_m, cc)),
+    * broadcasts probe×LUT, and ranks approx cosine within probed lists. */
+  private def adcTopK(codes: DataFrame, probes: DataFrame, rcb: DataFrame,
+                      k: Int): DataFrame = {
+    val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qvd"), m), col("c"))))
       .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
         when(col("m") === m, d).otherwise(acc)
       }
     val lutAggs = (0 until M).map { m =>
       map_from_entries(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))).as(s"l$m")
     }
-    val lut = probes.select(col("query_id"), col("qv")).distinct()
+    val lut = probes.select(col("query_id"), col("qvd")).distinct()
       .join(broadcast(rcb), lit(true))
       .withColumn("qd", qd)
       .groupBy(col("query_id"))
@@ -149,6 +144,64 @@ object IvfPqR {
       .orderBy("query_id", "rnk")
   }
 
+  /** D16 (a16): residual-IVFPQ top-10 for the standard probe set. */
+  def a16IvfPqResidualTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    val res = residuals(e)
+    val rcb = residualCodebook(res)
+    val codes = indexTable(spark,
+      s"graft_ivfpqr_${graft.sources.Warehouse.tableSuffix(dir)}", res, rcb)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), vd(col("v")).as("cvd"))
+    // per-(query, probed list): the dot(q, c_list) offset
+    val probes = Ann.listProbes(e)
+      .select(col("query_id"), col("list_id"), vd(col("qv")).as("qvd"), col("qnrm"))
+      .join(broadcast(cent), col("list_id") === col("cent_id"))
+      .withColumn("qc", Vec.dotNative(col("qvd"), col("cvd")))
+      .select("query_id", "list_id", "qvd", "qnrm", "qc")
+    adcTopK(codes, probes, rcb, k)
+  }
+
+  /** D18 (a18): residual IVFPQ with a LEARNED (k-means) coarse quantizer —
+    * the composition the deterministic a16 variant stands in for at oracle
+    * time: coarse lists come from [[KmeansIvf]]'s trained, partitioned
+    * index (the production build path), residual encode/ADC reuse the a16
+    * machinery unchanged. The trained centroids explain more variance than
+    * a16's first-8-vectors stand-ins, so residuals are tighter and the
+    * same 16-centroid subquantizers buy strictly more resolution — the
+    * recall gain is measured by a18_ivfpqrk_recall against the identical
+    * brute-force ground truth a17 uses. Not oracle-gated (k-means is not
+    * SQL-reproducible); spec-tested instead (IvfPqRKSpec): result shape,
+    * probe fan-out bound, and recall at-least-matching the deterministic
+    * a17 path. */
+  def a18IvfPqrKmeansTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (asg, centDf) = KmeansIvf.ivfIndex(spark, dir)
+    val cent = centDf.select(col("cent_id"), col("cv").as("cvd"), col("csq"))
+    val res = residualFrame(asg.select("vec_id", "list_id", "v"),
+      cent.select("cent_id", "cvd"))
+    val rcb = residualCodebook(res)
+    val codes = indexTable(spark,
+      s"graft_ivfpqrk_${graft.sources.Warehouse.tableSuffix(dir)}", res, rcb)
+    // probe selection: nearest trained centroids by squared L2 (a4's rule)
+    val queries = asg.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("query_id"), vd(col("v")).as("qvd"), col("nrm").as("qnrm"))
+    val d2 = Vec.dotNative(col("qvd"), col("qvd")) -
+      lit(2.0) * Vec.dotNative(col("qvd"), col("cvd")) + col("csq")
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cent_id"))
+    val probes = queries.join(broadcast(cent), lit(true))
+      .withColumn("d2", round(d2, 6))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= KmeansIvf.NProbe)
+      .withColumn("qc", Vec.dotNative(col("qvd"), col("cvd")))
+      .select(col("query_id"), col("cent_id").as("list_id"), col("qvd"), col("qnrm"), col("qc"))
+    adcTopK(codes, probes, rcb, k)
+  }
+
+  /** D18 recall: k-means-coarse residual IVFPQ vs the same brute-force
+    * ground truth as a17 — makes "learned coarse ≥ deterministic coarse"
+    * a measured number instead of a claim. */
+  def a18IvfPqrKmeansRecall(spark: SparkSession, dir: String): DataFrame =
+    Pq.recallVsBruteForce(spark, dir, a18IvfPqrKmeansTopK(spark, dir))
+
   /** D17 (a17): residual-IVFPQ recall@10 — graded against brute force so
     * the residual-vs-raw (a14) gain is a measured number. */
   def a17IvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
@@ -157,6 +210,8 @@ object IvfPqR {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a16_ivfpqr_topk" -> ((s, d) => a16IvfPqResidualTopK(s, d)),
     "a17_ivfpqr_recall" -> ((s, d) => a17IvfPqResidualRecall(s, d)),
+    "a18_ivfpqrk_topk" -> ((s, d) => a18IvfPqrKmeansTopK(s, d)),
+    "a18_ivfpqrk_recall" -> ((s, d) => a18IvfPqrKmeansRecall(s, d)),
   )
 
   // ---------------------------------------------------------------- oracle

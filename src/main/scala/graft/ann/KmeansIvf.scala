@@ -34,7 +34,7 @@ object KmeansIvf {
     * inverted lists — and the centroid table alongside it. Training
     * (k-means fit + corpus assignment) is index-build cost paid once per
     * corpus version; every a4 query after is a pruned probe. */
-  private def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ann] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sfx = graft.sources.Warehouse.tableSuffix(dir)
     val (ta, tc) = (s"graft_ivfk_$sfx", s"graft_ivfkc_$sfx")
     synchronized {

@@ -179,10 +179,21 @@ object Chunking {
          |  SELECT query_id, CAST(sum(s*s) AS BIGINT) AS q2 FROM qf GROUP BY 1
          |), c2 AS (
          |  SELECT doc_id, chunk_id, CAST(sum(s*s) AS BIGINT) AS c2 FROM cf GROUP BY 1, 2
-         |), dp AS (
+         |), dp0 AS (
          |  SELECT q.query_id, c.doc_id, c.chunk_id, CAST(sum(q.s * c.s) AS BIGINT) AS dp
          |  FROM qf q JOIN cf c ON c.bucket = q.bucket AND c.doc_id <> q.query_id
          |  GROUP BY 1, 2, 3
+         |), dp AS (
+         |  -- rank the FULL (query, chunk) candidate set, dp = 0 where no
+         |  -- bucket overlaps: the Spark side dense-scans every pair, so
+         |  -- zero-overlap pairs legitimately compete for the top-5 at
+         |  -- similarity 0 and both engines must rank the same set
+         |  SELECT a.query_id, a.doc_id, a.chunk_id, coalesce(d.dp, 0) AS dp
+         |  FROM (SELECT q.query_id, c.doc_id, c.chunk_id
+         |        FROM (SELECT DISTINCT query_id FROM qf) q
+         |        JOIN c2 c ON c.doc_id <> q.query_id) a
+         |  LEFT JOIN dp0 d ON d.query_id = a.query_id
+         |    AND d.doc_id = a.doc_id AND d.chunk_id = a.chunk_id
          |), scored AS (
          |  SELECT dp.query_id, dp.doc_id, dp.chunk_id,
          |    round(CASE WHEN q2.q2 * c2.c2 = 0 THEN 0.0

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.analytics.Queries
+import graft.streaming.Streams
+
+/** Public (Catalyst codegen requires it): one streamed lineitem delta row. */
+case class LiDelta(l_returnflag: String, l_linestatus: String, l_quantity: Double,
+                   l_extendedprice: Double, l_discount: Double, l_tax: Double,
+                   l_shipdate: Timestamp)
+
+/** H11: streaming incremental MV maintenance — every micro-batch folds
+  * into the stored q1 MV; after the stream drains, the MV must equal a
+  * full batch recompute EXACTLY (decimal partial states; no tolerance).
+  */
+class StreamMvSpec extends SparkSpec {
+
+  test("H11: stream-merged MV == batch recompute, bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val li = Tables.lineitem(spark, Sf).selectExpr(cols: _*).as[LiDelta]
+    val rows = li.collect()
+    assert(rows.length > 100)
+
+    val mvTable = "graft_h11_mv_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $mvTable")
+    val stream = MemoryStream[LiDelta]
+    val q = Streams.maintainQ1Mv(stream.toDF(), mvTable,
+      s"/tmp/graft_h11_ckpt_${System.nanoTime()}")
+    try {
+      // three uneven micro-batches (incl. the whole tail in one) — merge
+      // order and batch sizing must not matter
+      val splits = Seq(rows.slice(0, 40), rows.slice(40, 1000), rows.drop(1000))
+      splits.filter(_.nonEmpty).foreach { batch =>
+        stream.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = Queries.q1MergeFinalize(spark.table(mvTable)).collect()
+    val recomputed = Queries.q1MergeFinalize(
+      Queries.q1Partials(li.toDF())).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == recomputed.toSeq,
+      s"stream-merged MV diverged from batch recompute:\n" +
+        s"streamed=${streamed.toSeq}\nrecomputed=${recomputed.toSeq}")
+  }
+}
