@@ -71,9 +71,102 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Tokens per packed training sequence (context-window budget). */
+  val PackBudget = 256L
+
+  /** P3: sequence packing — the GPT-style "concat-and-chunk" layout every
+    * pretraining run materializes: documents are concatenated in doc_id
+    * order within a shard and sliced into fixed [[PackBudget]]-token
+    * training sequences; a document may span a boundary. The packing is
+    * pure integer window arithmetic — each doc's global token offset is a
+    * running sum, its first/last sequence ids are integer divisions — so
+    * the layout (and the boundary-crossing report, the quantity attention
+    * masking cares about) is exact and oracle-checked.
+    *
+    * Scale shape: packing is per-SHARD (source stands in for the shard
+    * key) — one exchange on the shard key, then an ordered running sum
+    * WITHIN each shard; shards pack in parallel and nothing orders the
+    * global corpus. At 100 TB shard sizing (not this operator) bounds the
+    * per-task window; the global-total-order alternative would be a full
+    * corpus sort and is exactly what this layout avoids. */
+  def p3SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val t = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    t.withColumn("tok_offset", sum(col("n_words")).over(w) - col("n_words"))
+      .withColumn("seq_first", floor(col("tok_offset") / PackBudget).cast("long"))
+      .withColumn("seq_last",
+        floor((col("tok_offset") + col("n_words") - 1) / PackBudget).cast("long"))
+      .withColumn("crosses", col("seq_last") > col("seq_first"))
+      .select("doc_id", "source", "n_words", "tok_offset", "seq_first", "seq_last", "crosses")
+      .orderBy("source", "doc_id")
+  }
+
+  /** P4: temperature-scaled language sampling (the multilingual mixing
+    * rule from XLM-R/mT5: sample share ∝ share^α, α = 0.5) — low-resource
+    * languages are upweighted RELATIVELY by sampling high-resource ones
+    * down toward the sqrt-share distribution. Target share q_L =
+    * sqrt(tokens_L)/Σ sqrt(tokens_L); keep rate r_L = min(1, q_L·T /
+    * tokens_L). sqrt is the one FP step — both engines use the IEEE
+    * correctly-rounded sqrt — immediately pinned to an e6 integer; every
+    * ratio after is exact decimal arithmetic, and the Bernoulli keep is
+    * p2's salted-hash rule (stateless, reproducible at any shuffle
+    * order, auditable lineage).
+    *
+    * Scale shape: identical to p2 — two lang-cardinality aggregates, a
+    * broadcast rate table, ONE narrow filter pass over the corpus. */
+  def p4TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    val tl = t.groupBy("lang").agg(sum("n_words").cast("long").as("tl"))
+      .withColumn("s_e6", round(sqrt(col("tl").cast("double")) * 1e6).cast("long"))
+    val tot = tl.agg(sum("tl").cast("decimal(38,0)").as("T"),
+      sum("s_e6").cast("decimal(38,0)").as("S"))
+    val rates = tl.crossJoin(broadcast(tot))
+      .withColumn("rate_e6", least(lit(1000000L),
+        Exact.ratio6e(col("s_e6").cast("decimal(38,0)") * col("T"),
+          col("S") * col("tl").cast("decimal(38,0)")).cast("long")))
+      .select("lang", "rate_e6")
+    t.join(broadcast(rates), "lang")
+      .filter(graft.functions.DetHash.h60(
+        concat(lit("p4"), col("doc_id").cast("string"))) % 1000000L < col("rate_e6"))
+      .select("doc_id", "lang", "n_words", "rate_e6")
+      .orderBy("doc_id")
+  }
+
+  /** P5: cross-split leakage audit — the data-quality gate a train/val/
+    * test split must pass BEFORE training: no near-duplicate pair may
+    * straddle two splits (a test doc whose near-dup sits in train is
+    * silent eval contamination, d10's within-corpus sibling). Split
+    * assignment is the deterministic salted-hash 80/10/10 rule (the split
+    * itself is reproducible lineage, as p2); the near-dup relation is the
+    * materialized d6 cluster table. The report lists every cluster whose
+    * members span >1 split — empty report == clean split.
+    *
+    * Scale shape: split is a stateless per-row expression over the
+    * bucketed cluster table; the audit is one partial-agg groupBy on
+    * cluster_id. Nothing touches document content — ids and hashes only. */
+  def p5SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.DetHash.h60(
+      concat(lit("split"), col("doc_id").cast("string"))) % 10L
+    val split = when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    Dedup.clusterTable(spark, dir)
+      .withColumn("split", split)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
     "p2_balanced_sample" -> ((s, d) => p2BalancedSample(s, d)),
+    "p3_sequence_packing" -> ((s, d) => p3SequencePacking(s, d)),
+    "p4_temperature_sample" -> ((s, d) => p4TemperatureSample(s, d)),
+    "p5_split_leakage" -> ((s, d) => p5SplitLeakage(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -128,5 +221,61 @@ object Pipeline {
          |WHERE CAST('0x' || substr(md5('p2' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |  % 1000000 < rate_e6
          |ORDER BY doc_id""".stripMargin,
+
+    "p3_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_words,
+         |    CAST(sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_words AS BIGINT) AS tok_offset
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_words, tok_offset,
+         |  CAST(tok_offset // $PackBudget AS BIGINT) AS seq_first,
+         |  CAST((tok_offset + n_words - 1) // $PackBudget AS BIGINT) AS seq_last,
+         |  ((tok_offset + n_words - 1) // $PackBudget) > (tok_offset // $PackBudget) AS crosses
+         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "p4_temperature_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), tl AS (
+         |  SELECT lang, CAST(sum(n_words) AS BIGINT) AS tl,
+         |    CAST(round(sqrt(CAST(sum(n_words) AS DOUBLE)) * 1e6) AS BIGINT) AS s_e6
+         |  FROM t GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(tl) AS HUGEINT) AS T, CAST(sum(s_e6) AS HUGEINT) AS S FROM tl
+         |), rates AS (
+         |  SELECT lang,
+         |    CAST(least(1000000,
+         |      ${Exact.ratio6eSql("s_e6 * T", "S * tl")}) AS BIGINT) AS rate_e6
+         |  FROM tl, tot
+         |)
+         |SELECT doc_id, t.lang, n_words, rate_e6
+         |FROM t JOIN rates ON rates.lang = t.lang
+         |WHERE CAST('0x' || substr(md5('p4' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |  % 1000000 < rate_e6
+         |ORDER BY doc_id""".stripMargin,
+
+    "p5_split_leakage" -> (Dedup.D6ClusterCte +
+      """, sp AS (
+        |  SELECT cluster_id, doc_id,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT cluster_id, doc_id,
+        |          CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |            % 10 AS b
+        |        FROM cluster)
+        |)
+        |SELECT cluster_id, count(*) AS n_docs,
+        |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |FROM sp GROUP BY cluster_id
+        |HAVING count(DISTINCT split) > 1
+        |ORDER BY cluster_id""".stripMargin),
   )
 }

@@ -59,4 +59,74 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("P3: packing is contiguous per shard and covers every token") {
+    val rows = Pipeline.p3SequencePacking(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_.getLong(0))
+      // offsets are the running sum: doc i starts where doc i-1 ended
+      var expected = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == expected,
+          s"shard $src doc ${r.getLong(0)}: offset ${r.getLong(3)} != $expected")
+        expected += r.getLong(2)
+        // sequence ids match the integer arithmetic
+        assert(r.getLong(4) == r.getLong(3) / Pipeline.PackBudget)
+        assert(r.getLong(5) == (r.getLong(3) + r.getLong(2) - 1) / Pipeline.PackBudget)
+        assert(r.getBoolean(6) == (r.getLong(5) > r.getLong(4)))
+      }
+    }
+    // some docs must cross a boundary at a 256-token budget (docs are
+    // 25-80 words, so roughly every third boundary doc crosses)
+    assert(rows.exists(_.getBoolean(6)), "no doc crosses a sequence boundary")
+  }
+
+  test("P4: temperature sampling moves shares toward sqrt-share targets") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val before = docs.groupBy("lang").agg(sum("n_words").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Pipeline.p4TemperatureSample(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // rates: bounded, and inversely ordered with language size (the
+    // sqrt rule downsamples high-resource langs harder)
+    val rates = out.map(r => r.getString(1) -> r.getLong(3)).toMap
+    rates.values.foreach(r => assert(r > 0 && r <= 1000000L))
+    val ordered = before.toSeq.sortBy(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((l1, _), (l2, _)) =>
+        assert(rates(l1) >= rates(l2),
+          s"smaller lang $l1 must keep a rate >= larger lang $l2")
+      case _ =>
+    }
+    // determinism
+    val again = Pipeline.p4TemperatureSample(spark, Sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("P5: every reported leak really spans splits; report is complete") {
+    import graft.functions.DetHash
+    val leaks = Pipeline.p5SplitLeakage(spark, Sf).collect()
+    // recompute the split rule locally and cross-check each reported row
+    def split(docId: Long): String = {
+      val b = DetHash.h60Local(s"split$docId") % 10
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    val clusters = graft.dedup.Dedup.clusterTable(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = clusters.groupBy(_._2)
+    val trueLeaks = byCluster.filter { case (_, ms) =>
+      ms.map(m => split(m._1)).distinct.size > 1
+    }
+    assert(leaks.map(_.getLong(0)).toSet == trueLeaks.keySet,
+      "report must list exactly the clusters spanning >1 split")
+    leaks.foreach { r =>
+      val members = byCluster(r.getLong(0)).map(_._1)
+      assert(r.getLong(1) == members.length)
+      val splits = members.map(split).distinct.sorted
+      assert(r.getLong(2) == splits.size)
+      assert(r.getString(3) == splits.mkString(","))
+    }
+  }
 }
