@@ -50,9 +50,15 @@ object Ann {
     * rounded cosine flips the order; Spark's double compare treats -0.0 and
     * 0.0 as equal, exactly like a `.desc` sort and the oracle.)
     * Returns (vec_id, list_id, label, v, nrm). Shared with the IVFPQ
-    * composed index ([[Pq.a13IvfPqTopK]]). */
-  private[ann] def listAssignment(e: DataFrame): DataFrame = {
-    val cent = centroids(e)
+    * composed index ([[Pq.a13IvfPqTopK]]).
+    *
+    * `centSource` (default: `e` itself) is the frame the centroids derive
+    * from — an incremental append ([[a20IncrementalIvf]]) assigns a NEW
+    * batch against the ORIGINAL index's centroid artifact, so the rows
+    * being assigned and the centroid source must be separable. */
+  private[graft] def listAssignment(e: DataFrame,
+                                  centSource: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids(centSource.getOrElse(e))
     val centAggs = (0 until 8).map(i =>
       max(when(col("cent_id") === i, struct(col("cv"), col("cnrm")))).as(s"ct$i"))
     val centRow = cent.groupBy().agg(centAggs.head, centAggs.tail: _*)
@@ -126,10 +132,45 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Split rule for the incremental-index scenario: every 13th vector is
+    * "today's ingest"; the rest are the already-indexed corpus. */
+  private[graft] val A20NewBatch = col("vec_id") % 13 === 0
+
+  /** D20 (a20): incremental IVF index maintenance — the d9 analog for the
+    * ANN family: a new vector batch is assigned against the ORIGINAL
+    * index's centroid artifact (no retrain, no touch of existing lists)
+    * and appended to the per-list partitions. Assignment is row-local
+    * (broadcast centroids), so the refresh costs O(batch) — never
+    * O(corpus) — and, because each row's list depends only on (row,
+    * centroids), the appended index is IDENTICAL to a full rebuild
+    * (IncrementalIvfSpec proves table equality; the oracle checks the
+    * per-list growth report). At 100 TB: the append is a partition-wise
+    * parquet write into the existing list_id layout; centroid retrain is
+    * a separate, versioned re-INDEX decision, exactly as in FAISS/Milvus
+    * deployments. */
+  def a20IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    // existing index: the pre-ingest corpus assigned at original build
+    // time (centroids = the versioned artifact, derived from the full
+    // centroid id rule either way — vec_id < 8)
+    val existing = listAssignment(e.filter(!A20NewBatch), Some(e))
+    // the incremental step: ONLY the new batch flows through assignment
+    val appended = listAssignment(e.filter(A20NewBatch), Some(e))
+    existing.groupBy("list_id").agg(count(lit(1)).as("n_existing"))
+      .join(appended.groupBy("list_id").agg(count(lit(1)).as("n_new")),
+        Seq("list_id"), "full_outer")
+      .select(col("list_id"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_existing") + col("n_new"))
+      .orderBy("list_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_knn_ivf" -> ((s, d) => a2KnnIvf(s, d)),
     "a3_ivf_recall" -> ((s, d) => a3IvfRecall(s, d)),
     "a10_ivf_filtered" -> ((s, d) => a10IvfFiltered(s, d)),
+    "a20_incremental_ivf" -> ((s, d) => a20IncrementalIvf(s, d)),
   )
 
   private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
@@ -175,6 +216,14 @@ object Ann {
       """
          |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin),
+
+    "a20_incremental_ivf" -> (IvfCte +
+      """
+         |SELECT list_id,
+         |  CAST(sum(CASE WHEN vec_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+         |  CAST(sum(CASE WHEN vec_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(count(*) AS BIGINT) AS n_total
+         |FROM asg GROUP BY list_id ORDER BY list_id""".stripMargin),
 
     "a3_ivf_recall" -> (IvfCte +
       s"""

@@ -604,7 +604,34 @@ object Dedup {
     "d8_canonical_corpus"  -> ((s, d) => d8CanonicalCorpus(s, d)),
     "d9_incremental_dedup" -> ((s, d) => d9IncrementalDedup(s, d)),
     "d10_decontamination"  -> ((s, d) => d10Decontamination(s, d)),
+    "d11_dup_text_fraction" -> ((s, d) => d11DupTextFraction(s, d)),
   )
+
+  /** C11: duplicate-text fraction — the per-document substring-duplication
+    * metric from Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): the share of a document's 3-gram shingles
+    * that occur in at least one OTHER document. Where d2/d6 decide
+    * KEEP/DROP at document granularity, this grades how much of each
+    * surviving document is boilerplate — the signal substring-level dedup
+    * and quality-weighted sampling consume.
+    *
+    * Scale shape: document frequency per shingle hash is one partial-agg
+    * groupBy over the materialized shingle index (8-byte keys); the
+    * cross-document test is df >= 2 — no pair join of any kind, cost
+    * O(index) regardless of duplication structure. The per-doc fold is
+    * the index's bucketed doc_id layout re-aggregated after the df join;
+    * the fraction is e6-exact. */
+  def d11DupTextFraction(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleIndex3(spark, dir)
+    val df = ex.groupBy("hs").agg(count(lit(1)).as("df"))
+    ex.join(df, "hs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        graft.functions.Exact.ratio6(col("n_dup_shingles"), col("n_shingles")))
+      .orderBy("doc_id")
+  }
 
   /** C10: benchmark decontamination — the pipeline op that keeps eval data
     * out of the training set. Eval set = doc_id % [[D10EvalMod]] == 0
@@ -834,6 +861,18 @@ object Dedup {
           |SELECT doc_id, lang, source, content_hash FROM flagged
           |WHERE is_can AND doc_id NOT IN (SELECT doc_id FROM drops)
           |ORDER BY doc_id""".stripMargin),
+
+    "d11_dup_text_fraction" -> (ShxCte +
+      s"""
+         |, dfh AS (
+         |  SELECT h, count(*) AS df FROM shx GROUP BY h
+         |)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+         |  ${graft.functions.Exact.ratio6Sql(
+             "sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END)", "count(*)")} AS dup_frac
+         |FROM shx s JOIN dfh ON dfh.h = s.h
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
 
     "d10_decontamination" -> (ShxCte +
         s""", rare AS (
