@@ -78,5 +78,37 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
 
+  /** I6: small-file compaction of a partitioned parquet dataset — the
+    * warehouse maintenance op every streaming/incremental ingest needs:
+    * micro-batch appends leave each partition directory littered with
+    * per-batch files, and at 100 TB the scan-planning + open() overhead of
+    * millions of small files dominates query latency long before data
+    * volume does.
+    *
+    * One hash repartition on the partition column routes every partition
+    * value to exactly ONE task, so the rewrite emits exactly one file per
+    * partition directory (row content and the partition layout — and
+    * therefore partition pruning — are untouched; SourcesSpec asserts all
+    * three). The rewritten tree is staged beside the original and swapped
+    * in with two FS renames — the smallest non-transactional swap window;
+    * a production deployment gets the atomic version of this from a table
+    * format's (Delta/Iceberg) OPTIMIZE, which this models on plain
+    * parquet. */
+  def compactPartitioned(spark: SparkSession, path: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit
+    spark.read.parquet(path)
+      .repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true): Unit
+    if (!fs.rename(dst, old) || !fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    fs.delete(old, true): Unit
+  }
+
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

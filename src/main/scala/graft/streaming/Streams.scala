@@ -171,6 +171,12 @@ object Streams {
     else chunked.dropDuplicates("chunk_hash")
   }
 
+  /** One lineitem-shaped delta row (the H11 MV stream's input schema;
+    * public — Catalyst codegen requires it). */
+  case class LiDelta(l_returnflag: String, l_linestatus: String, l_quantity: Double,
+                     l_extendedprice: Double, l_discount: Double, l_tax: Double,
+                     l_shipdate: Timestamp)
+
   /** Fixed merged-state schema for the q1 MV: every merge round re-sums
     * decimals, and Spark widens sum() output precision per level — without
     * pinning the types the table schema would drift batch to batch and

@@ -82,6 +82,35 @@ class SourcesSpec extends SparkSpec {
     assert(backCsv.count() == docs.count())
   }
 
+  test("I6: compaction collapses fragmented partitions to one file each") {
+    val ev = Tables.events(spark, Sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Files.createTempDirectory("graft_compact").toString + "/events"
+    // simulate micro-batch litter: 16 files per day directory
+    ev.repartition(16).write.partitionBy("day").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val rowsBefore = before.collect().map(_.toSeq).toSet
+    def filesPerDay: Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerDay.values.forall(_ > 1), s"setup should fragment: $filesPerDay")
+
+    Warehouse.compactPartitioned(spark, dir, "day")
+
+    val fpd = filesPerDay
+    assert(fpd.nonEmpty && fpd.values.forall(_ == 1),
+      s"every partition dir must hold exactly one file: $fpd")
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.toSeq).toSet == rowsBefore, "rows must survive")
+    // pruning is intact after the rewrite
+    val plan = after.filter(col("day") === "2024-01-03")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+  }
+
   test("documents survive an ORC round-trip with pushdown intact") {
     val docs = Tables.documents(spark, Sf)
     val odir = Files.createTempDirectory("graft_orc").toString + "/docs"

@@ -6,11 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.analytics.Queries
 import graft.streaming.Streams
-
-/** Public (Catalyst codegen requires it): one streamed lineitem delta row. */
-case class LiDelta(l_returnflag: String, l_linestatus: String, l_quantity: Double,
-                   l_extendedprice: Double, l_discount: Double, l_tax: Double,
-                   l_shipdate: Timestamp)
+import graft.streaming.Streams.LiDelta
 
 /** H11: streaming incremental MV maintenance — every micro-batch folds
   * into the stored q1 MV; after the stream drains, the MV must equal a
