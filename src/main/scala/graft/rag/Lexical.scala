@@ -95,22 +95,33 @@ object Lexical {
   /** BM25-score an arbitrary (hs, query_id) term set against the postings
     * index; top-k per query. Shared by r14 (rarest terms) and r19 (rarest
     * + feedback-expanded terms). */
-  private def scoreTerms(terms: DataFrame, idx: DataFrame, st: DataFrame,
-                         k: Int): DataFrame = {
+  /** Per-(query, doc) summed BM25 contributions for a term set — the
+    * pre-ranking half of scoreTerms. Per-term contributions round to e6
+    * longs and sum EXACTLY, so partial sums from disjoint term sets merge
+    * associatively (what r19 exploits to score each term set once). */
+  private def termScores(terms: DataFrame, idx: DataFrame, st: DataFrame): DataFrame = {
     val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfSat = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avglen")))
-    val scored = terms.join(idx, "hs")
+    terms.join(idx, "hs")
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(st))
       .withColumn("ce6", round(lit(1e6) * idf * tfSat).cast("long"))
       .groupBy("query_id", "doc_id").agg(sum(col("ce6")).as("score_e6"))
+  }
+
+  /** Rank (query_id, doc_id, score_e6) rows: top-k per query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_e6").desc, col("doc_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "doc_id", "score_e6", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  private def scoreTerms(terms: DataFrame, idx: DataFrame, st: DataFrame,
+                         k: Int): DataFrame =
+    rankTopK(termScores(terms, idx, st), k)
 
   def r14Bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val idx = lexIndex(spark, dir)
@@ -127,13 +138,20 @@ object Lexical {
     * and pass 2 rescores with the union term set. The classic lexical
     * recall lever when queries underspecify. Scale shape: pass 1 is r14;
     * expansion statistics touch only (feedback docs x their terms) rows;
-    * pass 2 is the same bounded postings join with QTerms+PrfTerms terms
-    * per query. */
+    * pass 2 scores ONLY the PrfTerms expansion terms and merges their
+    * exact-integer partial sums with the materialized pass-1 scores
+    * (contributions are additive over disjoint term sets, so this equals
+    * rescoring the union — without walking the qsel posting lists a
+    * second time; the r6 rewrite, same hashes). */
   def r19PrfSearch(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val idx = lexIndex(spark, dir)
     val st = lexStats(spark, dir)
     val qsel = rarestTerms(idx)
-    val fb = scoreTerms(qsel, idx, st, PrfDocs).select("query_id", "doc_id")
+    // pass-1 partial sums, materialized once (bounded: candidate pairs of
+    // QTerms rare-term posting lists per query) — ranked for feedback AND
+    // merged into the final score
+    val c1 = termScores(qsel, idx, st).localCheckpoint()
+    val fb = rankTopK(c1, PrfDocs).select("query_id", "doc_id")
     val we = Window.partitionBy(col("query_id"))
       .orderBy(col("ftf").desc, col("df"), col("hs"))
     val exp = fb.join(idx.select(col("doc_id"), col("hs"), col("tf"), col("df")), "doc_id")
@@ -142,7 +160,8 @@ object Lexical {
       .withColumn("er", row_number().over(we))
       .filter(col("er") <= PrfTerms)
       .select("hs", "query_id")
-    scoreTerms(qsel.unionByName(exp), idx, st, k)
+    rankTopK(c1.unionByName(termScores(exp, idx, st))
+      .groupBy("query_id", "doc_id").agg(sum(col("score_e6")).as("score_e6")), k)
   }
 
   /** e6-exact reciprocal-rank contribution 1/(RrfK + rank); null rank
