@@ -68,7 +68,9 @@ object Bench {
       val dt =
         if (good.isEmpty) times.head // all failed: keep the negative marker
         else good(good.size / 2)     // upper median of the successful runs
-      (name, dt, cold, times.count(_ < 0))
+      // the cold run counts toward flaky too: a build-path failure that
+      // warm retries paper over must not vanish from the JSON
+      (name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0))
     }
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
@@ -86,9 +88,10 @@ object Bench {
     val total = results.collect { case (_, v, _, _) if v > 0 => v }.sum
     val coldTotal = results.collect { case (_, _, c, _) if c > 0 => c }.sum
     // Cold (build-paying) times are reported only where they matter — first
-    // run >2x the median — which is exactly the set of index-building
-    // queries; listing all ~100 would double the line for pure noise.
-    val colds = results.collect { case (k, v, c, _) if c > 0 && v > 0 && c > 2 * v =>
+    // run >2x the median (the index-building queries; listing all ~100
+    // would double the line for pure noise) — plus any FAILED cold, which
+    // keeps its negative marker so a broken build path stays visible.
+    val colds = results.collect { case (k, v, c, _) if v > 0 && (c < 0 || c > 2 * v) =>
       "\"" + k + "\":" + fmt(c)
     }
     val coldField = if (colds.isEmpty) "" else colds.mkString(",\"cold\":{", ",", "}")

@@ -78,15 +78,22 @@ object StreamBench {
     val q3 = Streams.maintainQ1Mv(in3.toDF(), mvTable,
       s"/tmp/graft_sbench_ckpt_${System.nanoTime()}")
     val nMv = n / 10 // the merge path is heavier per row; keep runtime bounded
+    // ship dates must land INSIDE q1Partials' l_shipdate <= 1998-09-02
+    // window — the 2024-based ts() above would filter every delta out and
+    // the "merge" would fold empty partials into an empty MV forever
+    def shipTs(i: Int) = new Timestamp(820454400000L + (i % 80000000) * 1000L) // 1996+
     val t3 = System.nanoTime()
     (0 until nMv grouped 20000).foreach { batch =>
       in3.addData(batch.map(i => Streams.LiDelta(flags(i % 3), flags((i / 3) % 2),
         (i % 50).toDouble, (i % 1000).toDouble, (i % 10) / 100.0,
-        (i % 8) / 100.0, ts(i))))
+        (i % 8) / 100.0, shipTs(i))))
       q3.processAllAvailable()
     }
     val sec3 = (System.nanoTime() - t3) / 1e9
     q3.stop()
+    // guard: the load must actually reach the MV (see the shipTs note)
+    val mvGroups = spark.table(mvTable).count()
+    require(mvGroups > 0, "StreamBench MV load was filtered out entirely")
 
     val r1 = (n / sec1).round
     val r2 = (n / sec2).round

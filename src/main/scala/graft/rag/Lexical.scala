@@ -92,9 +92,6 @@ object Lexical {
       .select("hs", "query_id")
   }
 
-  /** BM25-score an arbitrary (hs, query_id) term set against the postings
-    * index; top-k per query. Shared by r14 (rarest terms) and r19 (rarest
-    * + feedback-expanded terms). */
   /** Per-(query, doc) summed BM25 contributions for a term set — the
     * pre-ranking half of scoreTerms. Per-term contributions round to e6
     * longs and sum EXACTLY, so partial sums from disjoint term sets merge
@@ -119,6 +116,9 @@ object Lexical {
       .orderBy("query_id", "rnk")
   }
 
+  /** BM25-score an arbitrary (hs, query_id) term set against the postings
+    * index; top-k per query. Shared by r14 (rarest terms) and r19 (which
+    * additionally merges partial sums across term sets). */
   private def scoreTerms(terms: DataFrame, idx: DataFrame, st: DataFrame,
                          k: Int): DataFrame =
     rankTopK(termScores(terms, idx, st), k)

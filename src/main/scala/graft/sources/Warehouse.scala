@@ -105,8 +105,14 @@ object Warehouse {
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true): Unit
-    if (!fs.rename(dst, old) || !fs.rename(tmp, dst))
+    if (!fs.rename(dst, old))
       throw new java.io.IOException(s"compaction swap failed for $path")
+    if (!fs.rename(tmp, dst)) {
+      // roll the original back into place rather than leaving no dataset
+      // at `path` while an intact copy sits under __old
+      fs.rename(old, dst): Unit
+      throw new java.io.IOException(s"compaction swap failed for $path (rolled back)")
+    }
     fs.delete(old, true): Unit
   }
 

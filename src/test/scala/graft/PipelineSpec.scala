@@ -96,10 +96,17 @@ class PipelineSpec extends SparkSpec {
     val ordered = before.toSeq.sortBy(_._2)
     ordered.sliding(2).foreach {
       case Seq((l1, _), (l2, _)) =>
-        assert(rates(l1) >= rates(l2),
-          s"smaller lang $l1 must keep a rate >= larger lang $l2")
+        // a language can legitimately vanish from the sample (every doc
+        // hashed above its keep rate); only compare rates both present
+        (rates.get(l1), rates.get(l2)) match {
+          case (Some(r1), Some(r2)) =>
+            assert(r1 >= r2, s"smaller lang $l1 must keep a rate >= larger lang $l2")
+          case _ =>
+        }
       case _ =>
     }
+    // but the sample as a whole must retain most languages
+    assert(rates.size >= before.size - 1, s"too many languages vanished: ${rates.keySet}")
     // determinism
     val again = Pipeline.p4TemperatureSample(spark, Sf).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
