@@ -219,7 +219,28 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** e8: next-event transition matrix — the first-order Markov view of
+    * user behavior (the input to session-flow dashboards and
+    * next-event-prediction baselines): for each ordered per-user event
+    * pair, count (event_type -> next_type) and its e6-exact share of the
+    * source type's outgoing transitions. One shuffle on user_id for the
+    * lead() ordering (the same exchange e2's sessionization uses), then a
+    * |types|² aggregate — the matrix is tiny at any corpus size, and the
+    * probability normalization windows over the MATRIX, not the events. */
+  def e8Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("next_type", lead(col("event_type"), 1).over(wo))
+      .filter(col("next_type").isNotNull)
+    val cnt = pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy("event_type")
+    cnt.withColumn("p", graft.functions.Exact.ratio6(col("n"), sum(col("n")).over(wt)))
+      .orderBy("event_type", "next_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_transitions" -> ((s, d) => e8Transitions(s, d)),
     "e7_json_props"  -> ((s, d) => e7JsonProps(s, d)),
     "e6_decay"       -> ((s, d) => e6Decay(s, d)),
     "e1_asof_join"   -> ((s, d) => e1AsofJoin(s, d)),
@@ -230,6 +251,20 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e8_transitions" ->
+      s"""WITH pairs AS (
+         |  SELECT event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |  FROM events
+         |), cnt AS (
+         |  SELECT event_type, next_type, count(*) AS n
+         |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+         |  ${graft.functions.Exact.ratio6Sql("n",
+             "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)")} AS p
+         |FROM cnt ORDER BY event_type, next_type""".stripMargin,
+
     "e7_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
