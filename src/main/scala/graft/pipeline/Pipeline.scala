@@ -161,7 +161,38 @@ object Pipeline {
       .orderBy("cluster_id")
   }
 
+  /** Eval quota per (lang, source) stratum. */
+  val HoldoutK = 3
+
+  /** P6: stratified held-out set construction — the EXACT-quota sampling
+    * primitive the Bernoulli ops (p2/p4) cannot express: exactly
+    * [[HoldoutK]] documents per (lang, source) stratum (all of them when
+    * the stratum is smaller), picked by salted-hash order so the holdout
+    * is deterministic, uniform within strata, and auditable — the
+    * standard recipe for an eval set that covers every corpus cell
+    * instead of mirroring its skew.
+    *
+    * Scale shape: one exchange on the stratum key, then a per-stratum
+    * ordered rank. Spark 4 plans per-partition WindowGroupLimit BEFORE
+    * the exchange for the rank<=K filter, so only ~K rows per
+    * (stratum, input-partition) ever shuffle — the corpus never sorts
+    * globally and the full window never materializes. */
+  def p6StratifiedHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.DetHash.h60(
+      concat(lit("p6"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source").orderBy(col("h"), col("doc_id"))
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("h", h)
+      .withColumn("pick_order", row_number().over(w))
+      .filter(col("pick_order") <= HoldoutK)
+      .select("doc_id", "lang", "source", "pick_order")
+      .orderBy("lang", "source", "pick_order")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_stratified_holdout" -> ((s, d) => p6StratifiedHoldout(s, d)),
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
     "p2_balanced_sample" -> ((s, d) => p2BalancedSample(s, d)),
     "p3_sequence_packing" -> ((s, d) => p3SequencePacking(s, d)),
@@ -221,6 +252,19 @@ object Pipeline {
          |WHERE CAST('0x' || substr(md5('p2' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |  % 1000000 < rate_e6
          |ORDER BY doc_id""".stripMargin,
+
+    "p6_stratified_holdout" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST('0x' || substr(md5('p6' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, source, pick_order FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS pick_order
+         |  FROM h)
+         |WHERE pick_order <= $HoldoutK
+         |ORDER BY lang, source, pick_order""".stripMargin,
 
     "p3_sequence_packing" ->
       s"""WITH t AS (
