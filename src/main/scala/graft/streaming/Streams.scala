@@ -197,17 +197,33 @@ object Streams {
     * cardinality, a handful of rows) before the overwrite so the write
     * doesn't read the very table it replaces; a production deployment
     * would use a transactional MERGE INTO (Delta/Iceberg) here, which
-    * this models with plain parquet tables. */
-  private[graft] def mergeQ1Mv(batch: DataFrame, mvTable: String): Unit = synchronized {
+    * this models with plain parquet tables.
+    *
+    * REPLAY-SAFE: foreachBatch is at-least-once — after a failure the
+    * restarted query re-delivers the last uncommitted batch, and a blind
+    * merge would double-count its deltas. The MV rows carry the highest
+    * merged batch id; a batch with id <= the stored high-water mark is a
+    * replay and is skipped (StreamMvSpec proves replaying a batch leaves
+    * the MV bit-identical). This id-conditional apply is exactly the
+    * txnVersion/txnAppId dance Delta's idempotent writes run. */
+  private[graft] def mergeQ1Mv(batch: DataFrame, mvTable: String,
+                               batchId: Long): Unit = synchronized {
     val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(mvTable)
+    if (exists && {
+      val hwm = spark.table(mvTable).agg(max(col("max_batch_id"))).collect()(0)
+      !hwm.isNullAt(0) && hwm.getLong(0) >= batchId
+    }) return // replayed batch: already merged
     val delta = normQ1State(graft.analytics.Queries.q1Partials(batch))
+      .withColumn("max_batch_id", lit(batchId))
     val merged =
-      if (spark.catalog.tableExists(mvTable))
+      if (exists)
         normQ1State(spark.table(mvTable).unionByName(delta)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(col("p_qty")).as("p_qty"), sum(col("p_base")).as("p_base"),
             sum(col("p_disc")).as("p_disc"), sum(col("p_charge")).as("p_charge"),
             sum(col("p_n")).as("p_n")))
+          .withColumn("max_batch_id", lit(batchId))
       else delta
     val snap = merged.localCheckpoint(true)
     graft.sources.Warehouse.writeTable(snap, mvTable)
@@ -227,8 +243,8 @@ object Streams {
     deltas.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        mergeQ1Mv(batch.toDF(), mvTable))
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeQ1Mv(batch.toDF(), mvTable, batchId))
       .start()
 
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)

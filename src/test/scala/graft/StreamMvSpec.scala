@@ -46,5 +46,20 @@ class StreamMvSpec extends SparkSpec {
     assert(streamed.toSeq == recomputed.toSeq,
       s"stream-merged MV diverged from batch recompute:\n" +
         s"streamed=${streamed.toSeq}\nrecomputed=${recomputed.toSeq}")
+
+    // replay safety: foreachBatch is at-least-once, so re-delivering an
+    // already-merged batch (same batchId) must be a no-op, not a
+    // double-count — the failure-recovery path in miniature
+    val before = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
+    val lastId = spark.table(mvTable)
+      .agg(org.apache.spark.sql.functions.max("max_batch_id")).collect()(0).getLong(0)
+    graft.streaming.Streams.mergeQ1Mv(
+      li.toDF().limit(500), mvTable, lastId) // replayed (stale) batch id
+    val after = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
+    assert(after == before, "replaying a merged batch must not change the MV")
+    // ...while a NEW batch id still applies
+    graft.streaming.Streams.mergeQ1Mv(li.toDF().limit(500), mvTable, lastId + 1)
+    val applied = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
+    assert(applied != before, "a genuinely new batch must merge")
   }
 }
