@@ -256,7 +256,7 @@ object Pipeline {
     "p6_stratified_holdout" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, source,
-         |    CAST('0x' || substr(md5('p6' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |    ${graft.functions.DetHash.h60Sql("'p6' || CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents
          |)
          |SELECT doc_id, lang, source, pick_order FROM (

@@ -117,4 +117,18 @@ object Warehouse {
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Read a managed table even across a JVM restart: the in-memory
+    * catalog forgets tables on exit but their parquet files survive in
+    * the warehouse dir, so state that must outlive the session (the H11
+    * MV) falls back to reading the files directly. None = the table has
+    * never been written. */
+  def readTableOrFiles(spark: SparkSession, table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table))
+    else {
+      val root = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(root, table.toLowerCase)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) Some(spark.read.parquet(loc.toString)) else None
+    }
 }

@@ -201,30 +201,49 @@ object Streams {
     *
     * REPLAY-SAFE: foreachBatch is at-least-once — after a failure the
     * restarted query re-delivers the last uncommitted batch, and a blind
-    * merge would double-count its deltas. The MV rows carry the highest
-    * merged batch id; a batch with id <= the stored high-water mark is a
-    * replay and is skipped (StreamMvSpec proves replaying a batch leaves
-    * the MV bit-identical). This id-conditional apply is exactly the
-    * txnVersion/txnAppId dance Delta's idempotent writes run. */
+    * merge would double-count its deltas. The MV rows carry (app_id,
+    * max_batch_id): a batch whose id is <= the stored high-water mark FOR
+    * THE SAME app_id is a replay and skips (StreamMvSpec proves the
+    * no-op). Both halves of Delta's txnAppId/txnVersion dance matter:
+    * the id scoping means a FRESH query incarnation (new checkpoint dir,
+    * batch ids restarting at 0) merges normally instead of being silently
+    * swallowed by a stale mark. The MV state is read via
+    * [[graft.sources.Warehouse.readTableOrFiles]] so the guard also
+    * survives a JVM restart (the in-memory catalog forgets the table;
+    * its parquet files don't) — and it is read ONCE per batch
+    * (localCheckpoint), serving both the high-water-mark probe and the
+    * merge union on a path dominated by per-batch fixed cost. */
   private[graft] def mergeQ1Mv(batch: DataFrame, mvTable: String,
-                               batchId: Long): Unit = synchronized {
+                               batchId: Long, appId: String): Unit = synchronized {
     val spark = batch.sparkSession
-    val exists = spark.catalog.tableExists(mvTable)
-    if (exists && {
-      val hwm = spark.table(mvTable).agg(max(col("max_batch_id"))).collect()(0)
+    val existing = graft.sources.Warehouse.readTableOrFiles(spark, mvTable)
+      .map { df =>
+        // tolerate an MV written before the replay-guard schema (no meta
+        // columns): treat it as having no high-water mark
+        val withMeta =
+          if (df.columns.contains("app_id")) df
+          else df.withColumn("max_batch_id", lit(-1L))
+            .withColumn("app_id", lit(null).cast("string"))
+        withMeta.localCheckpoint(true)
+      }
+    val replayed = existing.exists { cur =>
+      val hwm = cur.agg(max(when(col("app_id") === appId, col("max_batch_id"))))
+        .collect()(0)
       !hwm.isNullAt(0) && hwm.getLong(0) >= batchId
-    }) return // replayed batch: already merged
-    val delta = normQ1State(graft.analytics.Queries.q1Partials(batch))
-      .withColumn("max_batch_id", lit(batchId))
-    val merged =
-      if (exists)
-        normQ1State(spark.table(mvTable).unionByName(delta)
+    }
+    if (replayed) return
+    def meta(df: DataFrame): DataFrame =
+      df.withColumn("max_batch_id", lit(batchId)).withColumn("app_id", lit(appId))
+    val delta = meta(normQ1State(graft.analytics.Queries.q1Partials(batch)))
+    val merged = existing match {
+      case Some(cur) =>
+        meta(normQ1State(cur.unionByName(delta)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(col("p_qty")).as("p_qty"), sum(col("p_base")).as("p_base"),
             sum(col("p_disc")).as("p_disc"), sum(col("p_charge")).as("p_charge"),
-            sum(col("p_n")).as("p_n")))
-          .withColumn("max_batch_id", lit(batchId))
-      else delta
+            sum(col("p_n")).as("p_n"))))
+      case None => delta
+    }
     val snap = merged.localCheckpoint(true)
     graft.sources.Warehouse.writeTable(snap, mvTable)
   }
@@ -239,13 +258,20 @@ object Streams {
     * on a MemoryStream feed — the exact-decimal partial states make the
     * equality exact, not approximate. */
   def maintainQ1Mv(deltas: DataFrame, mvTable: String,
-                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // app id scope for the replay guard: derived from the checkpoint dir,
+    // which IS the query incarnation's identity — a restart of the same
+    // checkpoint replays with the same appId (guard applies); a fresh
+    // checkpoint dir is a new incarnation whose batch 0 must merge
+    val appId = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     deltas.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        mergeQ1Mv(batch.toDF(), mvTable, batchId))
+        mergeQ1Mv(batch.toDF(), mvTable, batchId, appId))
       .start()
+  }
 
   case class MemEvent(memory_key: String, ts: Timestamp, event_id: Long, props: String)
   case class MemState(createdAt: Long, lastTs: Long, accessCount: Long, data: String)

@@ -26,9 +26,22 @@ class StreamMvSpec extends SparkSpec {
 
     val mvTable = "graft_h11_mv_spec"
     spark.sql(s"DROP TABLE IF EXISTS $mvTable")
+    // also clear surviving FILES from a previous JVM's run: the catalog
+    // forgot the table, so DROP alone is a no-op on its parquet dir and
+    // readTableOrFiles would resurrect stale cross-session state
+    val stale = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      mvTable.toLowerCase)
+    if (stale.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(stale)
+    }
     val stream = MemoryStream[LiDelta]
-    val q = Streams.maintainQ1Mv(stream.toDF(), mvTable,
-      s"/tmp/graft_h11_ckpt_${System.nanoTime()}")
+    val ckptDir = s"/tmp/graft_h11_ckpt_${System.nanoTime()}"
+    val q = Streams.maintainQ1Mv(stream.toDF(), mvTable, ckptDir)
     try {
       // three uneven micro-batches (incl. the whole tail in one) — merge
       // order and batch sizing must not matter
@@ -48,18 +61,31 @@ class StreamMvSpec extends SparkSpec {
         s"streamed=${streamed.toSeq}\nrecomputed=${recomputed.toSeq}")
 
     // replay safety: foreachBatch is at-least-once, so re-delivering an
-    // already-merged batch (same batchId) must be a no-op, not a
-    // double-count — the failure-recovery path in miniature
+    // already-merged batch (same app incarnation + batchId) must be a
+    // no-op, not a double-count — the failure-recovery path in miniature.
+    // The replay batch is pinned deterministically: rows inside the
+    // q1Partials shipdate window, so "merging it" provably changes state.
+    val appId = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckptDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val cutoff = java.time.Instant.parse("1998-09-02T00:00:00Z").toEpochMilli
+    val replayRows = rows.filter(_.l_shipdate.getTime <= cutoff).take(500)
+    assert(replayRows.nonEmpty, "need in-window rows for a meaningful replay test")
+    val replayDf = spark.createDataset(replayRows.toIndexedSeq).toDF()
     val before = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     val lastId = spark.table(mvTable)
       .agg(org.apache.spark.sql.functions.max("max_batch_id")).collect()(0).getLong(0)
-    graft.streaming.Streams.mergeQ1Mv(
-      li.toDF().limit(500), mvTable, lastId) // replayed (stale) batch id
+    Streams.mergeQ1Mv(replayDf, mvTable, lastId, appId) // replayed (stale) id
     val after = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     assert(after == before, "replaying a merged batch must not change the MV")
     // ...while a NEW batch id still applies
-    graft.streaming.Streams.mergeQ1Mv(li.toDF().limit(500), mvTable, lastId + 1)
+    Streams.mergeQ1Mv(replayDf, mvTable, lastId + 1, appId)
     val applied = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     assert(applied != before, "a genuinely new batch must merge")
+    // ...and a fresh incarnation (new appId, batch ids restarting at 0)
+    // must merge rather than be swallowed by the stale high-water mark
+    val preFresh = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
+    Streams.mergeQ1Mv(replayDf, mvTable, 0L, appId + "_fresh")
+    val postFresh = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
+    assert(postFresh != preFresh, "a new incarnation's batch 0 must merge")
   }
 }
