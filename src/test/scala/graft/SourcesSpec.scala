@@ -111,6 +111,38 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
   }
 
+  test("I7: z-order clustering bounds per-file ranges in BOTH dimensions") {
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey").cast("long").as("a"), col("l_partkey").cast("long").as("b"))
+    def perFileRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).collect()(0)
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      ranges.sum / ranges.length
+    }
+    // baseline: single-column sort clusters `a` but leaves `b` unclustered
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
+    li.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.parquet(sortedDir)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    Warehouse.writeZOrdered(li, zDir, "a", "b")
+    // rows survive
+    assert(spark.read.parquet(zDir).count() == li.count())
+    // z-order narrows the SECOND dimension's per-file range dramatically
+    // vs the single-column sort, while keeping the first bounded too
+    val bSorted = perFileRange(sortedDir, "b")
+    val bZ = perFileRange(zDir, "b")
+    val aZ = perFileRange(zDir, "a")
+    val aGlobal = li.agg(max(col("a")).cast("double") - min(col("a"))).collect()(0).getDouble(0)
+    assert(bZ < 0.75 * bSorted,
+      s"z-order should bound dim b: per-file range $bZ vs sorted-by-a $bSorted")
+    assert(aZ < 0.75 * aGlobal,
+      s"z-order should keep dim a bounded: $aZ vs global $aGlobal")
+  }
+
   test("documents survive an ORC round-trip with pushdown intact") {
     val docs = Tables.documents(spark, Sf)
     val odir = Files.createTempDirectory("graft_orc").toString + "/docs"
