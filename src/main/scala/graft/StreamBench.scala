@@ -72,7 +72,10 @@ object StreamBench {
     // the per-BATCH fixed cost (read MV + overwrite) at this batch size —
     // the quantity that sizes micro-batch triggers for an MV pipeline.
     val mvTable = "graft_sbench_mv"
-    spark.sql(s"DROP TABLE IF EXISTS $mvTable")
+    // dropStale (not bare DROP): the staged MV write registers an external
+    // table, so DROP leaves its files and a bare drop would let the next
+    // run's readTableOrFiles resurrect them
+    graft.sources.Warehouse.dropStale(spark, mvTable)
     val in3 = MemoryStream[Streams.LiDelta]
     val flags = Array("N", "R", "A")
     val q3 = Streams.maintainQ1Mv(in3.toDF(), mvTable,

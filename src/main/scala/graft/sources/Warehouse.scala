@@ -47,19 +47,71 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** The single source of truth for where a warehouse table's files live
+    * (warehouse root + lowercased name). Every path-level operation —
+    * stale-dir cleanup, the staged swap, the restart-fallback read — must
+    * resolve through here; a second inline copy of the convention is how a
+    * writer and its reader silently diverge. */
+  private[graft] def tableLocation(spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val root = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    new org.apache.hadoop.fs.Path(root, table.toLowerCase)
+  }
+
   /** Remove a stale managed-table location left by a previous session: the
     * in-memory catalog forgets tables on JVM exit but their parquet files
     * stay, and saveAsTable refuses to create a table over an existing
     * location it doesn't own (LOCATION_ALREADY_EXISTS). Deletion goes
     * through the Hadoop FileSystem API so it works on whatever filesystem
     * backs spark.sql.warehouse.dir (local, hdfs://, s3a://) — a
-    * java.io.File delete is a silent no-op off the local disk. */
-  private def dropStale(spark: SparkSession, table: String): Unit = {
+    * java.io.File delete is a silent no-op off the local disk. Also clears
+    * the `__stage`/`__old` siblings a [[writeTableStaged]] swap may have
+    * left, so tests and benches get a genuinely clean slate. */
+  private[graft] def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val root = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val loc = new org.apache.hadoop.fs.Path(root, table.toLowerCase)
-    if (fs.exists(loc)) fs.delete(loc, true): Unit
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(loc, stagePath(loc), oldPath(loc)).foreach { p =>
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+  }
+
+  private def stagePath(loc: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(loc.toString + "__stage")
+  private def oldPath(loc: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(loc.toString + "__old")
+
+  /** Crash-safe overwrite of a small state table (the H11 MV): the new
+    * contents are fully written (with `_SUCCESS`) to a `__stage` sibling
+    * BEFORE the live directory is touched, then swapped in with two FS
+    * renames. At every instant at least one complete, `_SUCCESS`-marked
+    * copy of either the old or the new state exists on disk, so a JVM
+    * crash at any point leaves [[readTableOrFiles]] a consistent MV to
+    * recover (either side of the swap is fine: the replay guard carried
+    * IN the state makes re-merging the in-flight batch a no-op iff the
+    * new copy won). A plain [[writeTable]] deletes-then-rewrites — a
+    * crash mid-write loses the state entirely. The catalog entry is
+    * re-registered as an external table over the live path so in-session
+    * readers (`spark.table`) keep working; DROP on it never deletes data. */
+  def writeTableStaged(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = stagePath(loc)
+    val old = oldPath(loc)
+    if (fs.exists(stage)) fs.delete(stage, true): Unit
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // legacy managed entry: DROP would delete loc's files — safe because a
+    // complete new copy already sits in stage and the reader falls back
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (fs.exists(old)) fs.delete(old, true): Unit
+    if (fs.exists(loc) && !fs.rename(loc, old))
+      throw new java.io.IOException(s"staged swap failed for $table (live -> old)")
+    if (!fs.rename(stage, loc)) {
+      if (fs.exists(old)) fs.rename(old, loc): Unit
+      throw new java.io.IOException(s"staged swap failed for $table (stage -> live, rolled back)")
+    }
+    if (fs.exists(old)) fs.delete(old, true): Unit
+    spark.catalog.createTable(table, loc.toString, "parquet"): Unit
   }
 
   /** Collision-safe per-data-dir table-name suffix: 64 bits of the md5 of
@@ -148,10 +200,24 @@ object Warehouse {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or an all-NULL cluster column): nothing to cluster —
+      // a plain write preserves the "any df writes" contract instead of
+      // crashing on the NULL min/max row
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val top = (1L << bits) - 1
+    // bin in DOUBLE space: the long form ((c-lo)*top) overflows — and under
+    // ANSI mode fails the whole write — whenever the column's value range
+    // exceeds Long.Max/top (~2^47), which 60-bit hash ids and epoch-micros
+    // both do. Doubles lose ulp precision past 2^53, which only nudges
+    // values between adjacent of the 2^bits range bins — harmless for a
+    // clustering key.
     def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      else (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)
+      else ((c.cast("double") - lit(lo.toDouble)) * lit(top.toDouble) /
+        lit(hi.toDouble - lo.toDouble)).cast("long")
     df.withColumn("_zkey", zorderKey(
         norm(col(colA), r.getLong(0), r.getLong(1)),
         norm(col(colB), r.getLong(2), r.getLong(3)), bits))
@@ -167,13 +233,25 @@ object Warehouse {
     * catalog forgets tables on exit but their parquet files survive in
     * the warehouse dir, so state that must outlive the session (the H11
     * MV) falls back to reading the files directly. None = the table has
-    * never been written. */
+    * never been (completely) written.
+    *
+    * Only a `_SUCCESS`-marked directory is trusted — a dir the writer
+    * died inside holds partial task files and must not be promoted to
+    * authoritative state. If the live dir is missing or incomplete, the
+    * [[writeTableStaged]] swap siblings are consulted: `__stage` first
+    * (a complete NEW state whose crash window is after the live dir was
+    * retired), then `__old` (the complete PREVIOUS state retired just
+    * before the crash). Either choice is consistent: the merge's replay
+    * guard travels inside the state itself, so the interrupted batch
+    * either shows as merged (stage won) or re-merges cleanly (old won). */
   def readTableOrFiles(spark: SparkSession, table: String): Option[DataFrame] =
     if (spark.catalog.tableExists(table)) Some(spark.table(table))
     else {
-      val root = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-      val loc = new org.apache.hadoop.fs.Path(root, table.toLowerCase)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) Some(spark.read.parquet(loc.toString)) else None
+      val loc = tableLocation(spark, table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def complete(p: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      Seq(loc, stagePath(loc), oldPath(loc)).find(complete)
+        .map(p => spark.read.parquet(p.toString))
     }
 }

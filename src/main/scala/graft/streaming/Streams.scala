@@ -201,51 +201,56 @@ object Streams {
     *
     * REPLAY-SAFE: foreachBatch is at-least-once — after a failure the
     * restarted query re-delivers the last uncommitted batch, and a blind
-    * merge would double-count its deltas. The MV rows carry (app_id,
-    * max_batch_id): a batch whose id is <= the stored high-water mark FOR
-    * THE SAME app_id is a replay and skips (StreamMvSpec proves the
-    * no-op). Both halves of Delta's txnAppId/txnVersion dance matter:
-    * the id scoping means a FRESH query incarnation (new checkpoint dir,
-    * batch ids restarting at 0) merges normally instead of being silently
-    * swallowed by a stale mark. The MV state is read via
-    * [[graft.sources.Warehouse.readTableOrFiles]] so the guard also
-    * survives a JVM restart (the in-memory catalog forgets the table;
-    * its parquet files don't) — and it is read ONCE per batch
-    * (localCheckpoint), serving both the high-water-mark probe and the
-    * merge union on a path dominated by per-batch fixed cost. */
+    * merge would double-count its deltas. Every MV row carries `marks`, a
+    * map of app_id -> max_batch_id holding ONE high-water mark PER query
+    * incarnation (Delta's txnAppId/txnVersion, all apps at once): a batch
+    * whose id is <= the stored mark for ITS OWN app is a replay and
+    * skips, while a FRESH incarnation (new checkpoint dir, batch ids
+    * restarting at 0) merges normally. Keeping the whole map — not just
+    * the last writer's pair — means incarnation B's merges cannot erase
+    * incarnation A's mark, so a late replay from a still-draining A is
+    * caught too (StreamMvSpec proves same-app no-op, fresh-app merge,
+    * and the cross-incarnation replay). The map rides inside the state
+    * rows so mark + state commit in the same single write; the write
+    * itself goes through [[graft.sources.Warehouse.writeTableStaged]]
+    * (stage + rename swap), and the state is read back via
+    * [[graft.sources.Warehouse.readTableOrFiles]], so the guard survives
+    * a JVM crash or restart at ANY point — whichever complete copy the
+    * reader recovers, marks and aggregates are mutually consistent. The
+    * MV is read ONCE per batch (localCheckpoint), serving both the
+    * mark probe and the merge union. */
   private[graft] def mergeQ1Mv(batch: DataFrame, mvTable: String,
                                batchId: Long, appId: String): Unit = synchronized {
     val spark = batch.sparkSession
     val existing = graft.sources.Warehouse.readTableOrFiles(spark, mvTable)
-      .map { df =>
-        // tolerate an MV written before the replay-guard schema (no meta
-        // columns): treat it as having no high-water mark
-        val withMeta =
-          if (df.columns.contains("app_id")) df
-          else df.withColumn("max_batch_id", lit(-1L))
-            .withColumn("app_id", lit(null).cast("string"))
-        withMeta.localCheckpoint(true)
-      }
-    val replayed = existing.exists { cur =>
-      val hwm = cur.agg(max(when(col("app_id") === appId, col("max_batch_id"))))
-        .collect()(0)
-      !hwm.isNullAt(0) && hwm.getLong(0) >= batchId
-    }
-    if (replayed) return
-    def meta(df: DataFrame): DataFrame =
-      df.withColumn("max_batch_id", lit(batchId)).withColumn("app_id", lit(appId))
-    val delta = meta(normQ1State(graft.analytics.Queries.q1Partials(batch)))
-    val merged = existing match {
+      .map(_.localCheckpoint(true))
+    val oldMarks: Map[String, Long] = existing.flatMap { cur =>
+      if (cur.columns.contains("marks"))
+        cur.select(col("marks")).limit(1).collect().headOption
+          .filterNot(_.isNullAt(0))
+          .map(_.getMap[String, Long](0).toMap)
+      else if (cur.columns.contains("app_id"))
+        // MV written before the map schema: a single (app_id, max_batch_id)
+        // pair stamped on every row — lift it into the map form
+        cur.select(col("app_id"), col("max_batch_id")).limit(1).collect().headOption
+          .filterNot(_.isNullAt(0))
+          .map(r => Map(r.getString(0) -> r.getLong(1)))
+      else None
+    }.getOrElse(Map.empty)
+    if (oldMarks.get(appId).exists(_ >= batchId)) return
+    val delta = normQ1State(graft.analytics.Queries.q1Partials(batch))
+    val states = existing match {
       case Some(cur) =>
-        meta(normQ1State(cur.unionByName(delta)
+        normQ1State(normQ1State(cur).unionByName(delta)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(col("p_qty")).as("p_qty"), sum(col("p_base")).as("p_base"),
             sum(col("p_disc")).as("p_disc"), sum(col("p_charge")).as("p_charge"),
-            sum(col("p_n")).as("p_n"))))
+            sum(col("p_n")).as("p_n")))
       case None => delta
     }
+    val merged = states.withColumn("marks", typedLit(oldMarks + (appId -> batchId)))
     val snap = merged.localCheckpoint(true)
-    graft.sources.Warehouse.writeTable(snap, mvTable)
+    graft.sources.Warehouse.writeTableStaged(snap, mvTable)
   }
 
   /** H11: streaming incremental MV maintenance — the warehouse-standard
@@ -257,14 +262,18 @@ object Streams {
     * StreamMvSpec proves stream-merged == full batch recompute to the bit
     * on a MemoryStream feed — the exact-decimal partial states make the
     * equality exact, not approximate. */
+  /** The replay-guard app id for a checkpoint dir. The checkpoint dir IS
+    * the query incarnation's identity — a restart of the same checkpoint
+    * replays with the same appId (guard applies); a fresh checkpoint dir
+    * is a new incarnation whose batch 0 must merge. Shared with the spec
+    * so the guard contract lives in exactly one place. */
+  private[graft] def appIdFor(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   def maintainQ1Mv(deltas: DataFrame, mvTable: String,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    // app id scope for the replay guard: derived from the checkpoint dir,
-    // which IS the query incarnation's identity — a restart of the same
-    // checkpoint replays with the same appId (guard applies); a fresh
-    // checkpoint dir is a new incarnation whose batch 0 must merge
-    val appId = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val appId = appIdFor(checkpointDir)
     deltas.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

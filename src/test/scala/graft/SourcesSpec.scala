@@ -143,6 +143,50 @@ class SourcesSpec extends SparkSpec {
       s"z-order should keep dim a bounded: $aZ vs global $aGlobal")
   }
 
+  test("I7: z-order survives wide-range columns and empty input") {
+    import spark.implicits._
+    // 60-bit hash-scale values: the former long-space binning overflowed
+    // ((c-lo)*65535 > Long.Max) and ANSI mode failed the whole write
+    val wide = Seq((0L, 5L), (1L << 60, 7L), ((1L << 60) - 3, 2L), (17L, 9L))
+      .toDF("a", "b")
+    val wDir = java.nio.file.Files.createTempDirectory("graft_zwide").toString + "/t"
+    Warehouse.writeZOrdered(wide, wDir, "a", "b", files = 2)
+    assert(spark.read.parquet(wDir).collect().map(_.getLong(0)).sorted.toSeq ==
+      wide.collect().map(_.getLong(0)).sorted.toSeq)
+    // empty input: min/max aggregate to NULL — must degrade to a plain
+    // (schema-only) write, not crash
+    val eDir = java.nio.file.Files.createTempDirectory("graft_zempty").toString + "/t"
+    Warehouse.writeZOrdered(wide.filter(col("a") < 0), eDir, "a", "b")
+    assert(spark.read.parquet(eDir).count() == 0)
+  }
+
+  test("staged table write survives catalog loss and ignores partial dirs") {
+    import spark.implicits._
+    val t = "graft_staged_spec"
+    Warehouse.dropStale(spark, t)
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    Warehouse.writeTableStaged(df, t)
+    // in-session read through the catalog
+    assert(spark.table(t).count() == 2)
+    // a second overwrite swaps cleanly (exercises the rename path over an
+    // existing live dir + external catalog entry)
+    Warehouse.writeTableStaged(df.withColumn("k", col("k") + 10), t)
+    assert(spark.table(t).select(min(col("k"))).collect()(0).getLong(0) == 11L)
+    // simulate a JVM restart: the catalog forgets the (external) table but
+    // its files survive — readTableOrFiles must recover the state
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val recovered = Warehouse.readTableOrFiles(spark, t)
+    assert(recovered.exists(_.count() == 2), "restart fallback must read the files")
+    // a writer that died mid-write leaves no _SUCCESS: such a dir must NOT
+    // be promoted to authoritative state
+    val loc = Warehouse.tableLocation(spark, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"), false)
+    assert(Warehouse.readTableOrFiles(spark, t).isEmpty,
+      "a partial (no _SUCCESS) dir must be ignored")
+    Warehouse.dropStale(spark, t)
+  }
+
   test("documents survive an ORC round-trip with pushdown intact") {
     val docs = Tables.documents(spark, Sf)
     val odir = Files.createTempDirectory("graft_orc").toString + "/docs"

@@ -25,20 +25,10 @@ class StreamMvSpec extends SparkSpec {
     assert(rows.length > 100)
 
     val mvTable = "graft_h11_mv_spec"
-    spark.sql(s"DROP TABLE IF EXISTS $mvTable")
-    // also clear surviving FILES from a previous JVM's run: the catalog
-    // forgot the table, so DROP alone is a no-op on its parquet dir and
-    // readTableOrFiles would resurrect stale cross-session state
-    val stale = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      mvTable.toLowerCase)
-    if (stale.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(stale)
-    }
+    // dropStale clears the catalog entry AND the parquet files (incl. the
+    // staged-swap siblings) a previous JVM's run left behind — DROP alone
+    // forgets the table but readTableOrFiles would resurrect stale state
+    graft.sources.Warehouse.dropStale(spark, mvTable)
     val stream = MemoryStream[LiDelta]
     val ckptDir = s"/tmp/graft_h11_ckpt_${System.nanoTime()}"
     val q = Streams.maintainQ1Mv(stream.toDF(), mvTable, ckptDir)
@@ -65,15 +55,15 @@ class StreamMvSpec extends SparkSpec {
     // no-op, not a double-count — the failure-recovery path in miniature.
     // The replay batch is pinned deterministically: rows inside the
     // q1Partials shipdate window, so "merging it" provably changes state.
-    val appId = java.security.MessageDigest.getInstance("MD5")
-      .digest(ckptDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val appId = Streams.appIdFor(ckptDir) // the production derivation, shared
     val cutoff = java.time.Instant.parse("1998-09-02T00:00:00Z").toEpochMilli
     val replayRows = rows.filter(_.l_shipdate.getTime <= cutoff).take(500)
     assert(replayRows.nonEmpty, "need in-window rows for a meaningful replay test")
     val replayDf = spark.createDataset(replayRows.toIndexedSeq).toDF()
+    def marks(): Map[String, Long] = spark.table(mvTable)
+      .select("marks").head().getMap[String, Long](0).toMap
     val before = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
-    val lastId = spark.table(mvTable)
-      .agg(org.apache.spark.sql.functions.max("max_batch_id")).collect()(0).getLong(0)
+    val lastId = marks()(appId)
     Streams.mergeQ1Mv(replayDf, mvTable, lastId, appId) // replayed (stale) id
     val after = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     assert(after == before, "replaying a merged batch must not change the MV")
@@ -87,5 +77,15 @@ class StreamMvSpec extends SparkSpec {
     Streams.mergeQ1Mv(replayDf, mvTable, 0L, appId + "_fresh")
     val postFresh = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     assert(postFresh != preFresh, "a new incarnation's batch 0 must merge")
+    // ...and the fresh incarnation's merge must NOT have erased the first
+    // app's high-water mark: a late replay from the still-live original
+    // query (at-least-once re-delivery after its own crash) is still a
+    // no-op even though another incarnation wrote in between
+    assert(marks().keySet == Set(appId, appId + "_fresh"),
+      s"per-app marks must accumulate, got ${marks()}")
+    Streams.mergeQ1Mv(replayDf, mvTable, lastId + 1, appId) // cross-incarnation replay
+    val postCross = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
+    assert(postCross == postFresh,
+      "a replay from app A after app B wrote must still be a no-op")
   }
 }
