@@ -53,22 +53,58 @@ object TextOps {
     * engines at exact-half boundaries, which small-integer ratios hit in
     * practice (found at sf0.1). The low-quality flag is an integer compare
     * — no FP at all on the decision path. */
-  def t2Quality(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    Tables.documents(spark, dir)
-      .withColumn("n_words", size(ws).cast("long"))
-      .withColumn("dr_e6", Exact.ratio6e(size(array_distinct(ws)), col("n_words")))
-      .withColumn("sr_e6", Exact.ratio6e(hits(ws, Seq("the", "a")), col("n_words")))
-      .withColumn("ls_e6", least(Exact.ratio6e(col("n_words"), lit(100)), lit(1000000L)))
-      // score = 0.4*dr + 0.3*ls + 0.3*(1-sr); e6-scaled, round-half-up /10
-      .withColumn("score_e6",
-        expr("(2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) div 20"))
+  def t2Quality(spark: SparkSession, dir: String): DataFrame =
+    e6Scored(spark, dir)
       .select(col("doc_id"), col("n_words"),
         (col("dr_e6").cast("double") / 1000000.0).as("distinct_ratio"),
         (col("sr_e6").cast("double") / 1000000.0).as("stop_ratio"),
         (col("ls_e6").cast("double") / 1000000.0).as("len_score"),
         (col("score_e6").cast("double") / 1000000.0).as("quality_score"),
         (col("score_e6") < 500000L).as("is_low_quality"))
+      .orderBy("doc_id")
+
+  /** The shared e6-integer quality-score pipeline behind t2 and t9:
+    * documents plus n_words and the dr/sr/ls/score_e6 columns.
+    * score = 0.4*dr + 0.3*ls + 0.3*(1-sr); e6-scaled, round-half-up /10. */
+  private def e6Scored(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("dr_e6", Exact.ratio6e(size(array_distinct(ws)), col("n_words")))
+      .withColumn("sr_e6", Exact.ratio6e(hits(ws, Seq("the", "a")), col("n_words")))
+      .withColumn("ls_e6", least(Exact.ratio6e(col("n_words"), lit(100)), lit(1000000L)))
+      .withColumn("score_e6",
+        expr("(2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) div 20"))
+  }
+
+  /** E9: exact global quality rank + NTILE(10) decile per document — the
+    * "sort the corpus by quality and cut mixing tiers" step of a training
+    * pipeline. The naive form (`row_number()/ntile()` OVER a global ORDER
+    * BY) collapses to a single-partition Window — THE scale trap for this
+    * shape — so the rank comes from
+    * [[graft.operators.GlobalRank.withGlobalRankN]]: range-repartition +
+    * per-partition offsets + a window partitioned by partition id, fully
+    * parallel. The decile is then integer arithmetic on the rank using
+    * SQL NTILE's exact split (with n rows and k tiles, the first n mod k
+    * tiles hold n div k + 1 rows, the rest n div k — larger buckets
+    * FIRST, not remainder spread evenly: the naive `(rank-1)*k div n`
+    * form diverges from NTILE at e.g. n=12, k=10), so the result is
+    * bit-identical to DuckDB's `ntile(10)`. Ties break on doc_id, making
+    * the order total and the ranks deterministic. */
+  def t9QualityRank(spark: SparkSession, dir: String): DataFrame = {
+    val scored = e6Scored(spark, dir).select(col("doc_id"), col("score_e6"))
+    val (ranked, total) = graft.operators.GlobalRank.withGlobalRankN(
+      scored, Seq(col("score_e6").desc, col("doc_id")), "rank")
+    val q = total / 10
+    val r = total % 10
+    val bigCut = r * (q + 1) // last rank inside the (q+1)-sized leading tiles
+    ranked
+      .withColumn("decile", expr(
+        s"CASE WHEN rank <= $bigCut THEN (rank + $q) div ${q + 1} " +
+          s"ELSE $r + (rank - $bigCut + ${math.max(q, 1L) - 1}) div ${math.max(q, 1L)} END"))
+      .select(col("doc_id"),
+        (col("score_e6").cast("double") / 1000000.0).as("quality_score"),
+        col("rank"), col("decile"))
       .orderBy("doc_id")
   }
 
@@ -247,6 +283,7 @@ object TextOps {
     "t5_keep_filter" -> ((s, d) => t5KeepFilter(s, d)),
     "t6_vocab"       -> ((s, d) => t6Vocab(s, d)),
     "t7_repetition"  -> ((s, d) => t7Repetition(s, d)),
+    "t9_quality_rank" -> ((s, d) => t9QualityRank(s, d)),
   )
 
   private def hitsSql(stops: Seq[String]): String =
@@ -318,6 +355,23 @@ object TextOps {
          |  lang IN ('en', 'de', 'fr') AS lang_ok,
          |  is_canonical AND score_e6 >= 500000 AND n_words BETWEEN 25 AND 80
          |    AND lang IN ('en', 'de', 'fr') AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t9_quality_rank" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), c AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+         |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
+         |  FROM t
+         |), sc AS (
+         |  SELECT doc_id, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6 FROM c
+         |)
+         |SELECT doc_id, score_e6 / 1000000.0 AS quality_score,
+         |  CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
+         |  CAST(ntile(10) OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS decile
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t3_tokens" ->

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.GlobalRank
+
+/** The exact-global-rank operator behind t9: correct total ordering and —
+  * the reason it exists — NO single-partition window in the plan.
+  */
+class GlobalRankSpec extends SparkSpec {
+
+  test("global ranks equal a driver-side sort, with no SinglePartition plan node") {
+    import spark.implicits._
+    // values chosen so range boundaries land mid-tie: ties must break on id
+    val df = (1 to 997).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
+    val (ranked, total) = GlobalRank.withGlobalRankN(
+      df, Seq(col("v").desc, col("id")), "rank", partitions = 8)
+    assert(total == 997L)
+    val got = ranked.select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1 to 997).map(i => (i.toLong, (i % 13).toLong))
+      .sortBy { case (id, v) => (-v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == expected, "distributed ranks must equal the driver-side sort")
+    // the point of the operator: the window is partitioned (by _pid), so
+    // nothing in the plan funnels all rows through one partition
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global rank must not collapse to a single partition:\n$plan")
+  }
+
+  test("empty input ranks to an empty frame with total 0") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    val (ranked, total) = GlobalRank.withGlobalRankN(df, Seq(col("v"), col("id")))
+    assert(total == 0L)
+    assert(ranked.count() == 0L)
+  }
+}
