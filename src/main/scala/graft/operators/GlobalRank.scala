@@ -35,6 +35,10 @@ object GlobalRank {
     * (NTILE) from the rank. */
   def withGlobalRankN(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
                       partitions: Int = 0): (DataFrame, Long) = {
+    require(!df.columns.contains("_pid") && !df.columns.contains("_off"),
+      "GlobalRank reserves the internal column names _pid and _off")
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' already exists on the input")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt

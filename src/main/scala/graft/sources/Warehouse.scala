@@ -92,12 +92,34 @@ object Warehouse {
     * crash mid-write loses the state entirely. The catalog entry is
     * re-registered as an external table over the live path so in-session
     * readers (`spark.table`) keep working; DROP on it never deletes data. */
+  /** Repair a [[writeTableStaged]] swap a crash interrupted between the
+    * two renames (live dir gone or partial, complete new state still in
+    * `__stage`): promote stage to live. Called at every staged-write
+    * entry BEFORE the stage dir is cleaned — without this, the next
+    * write's stage cleanup would erase the only copy of the newest
+    * state, and a second crash would roll the MV back to `__old` while
+    * the stream's checkpoint has already committed the batch, losing its
+    * deltas permanently. */
+  private[graft] def repairStaged(spark: SparkSession, table: String): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = stagePath(loc)
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!complete(loc) && complete(stage)) {
+      if (fs.exists(loc)) fs.delete(loc, true): Unit
+      if (!fs.rename(stage, loc))
+        throw new java.io.IOException(s"staged repair failed for $table (stage -> live)")
+    }
+  }
+
   def writeTableStaged(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = stagePath(loc)
     val old = oldPath(loc)
+    repairStaged(spark, table)
     if (fs.exists(stage)) fs.delete(stage, true): Unit
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     // legacy managed entry: DROP would delete loc's files — safe because a
@@ -208,14 +230,20 @@ object Warehouse {
       return
     }
     val top = (1L << bits) - 1
-    // bin in DOUBLE space: the long form ((c-lo)*top) overflows — and under
-    // ANSI mode fails the whole write — whenever the column's value range
-    // exceeds Long.Max/top (~2^47), which 60-bit hash ids and epoch-micros
-    // both do. Doubles lose ulp precision past 2^53, which only nudges
-    // values between adjacent of the 2^bits range bins — harmless for a
-    // clustering key.
+    // Binning arithmetic, two regimes (range computed in BigInt — hi-lo
+    // itself overflows a long when the column spans most of the type):
+    //  - narrow range (fits (c-lo)*top in a long): EXACT long math. This
+    //    regime includes high-magnitude narrow-range columns (values near
+    //    2^62 spanning 2^13), where double's 1024-ulp quantization would
+    //    collapse the dimension to a handful of bins.
+    //  - wide range (> ~2^47, e.g. 60-bit hash ids, epoch-micros): double
+    //    math — the long form would overflow (ANSI: fails the write). Here
+    //    the bin width exceeds 2^31 while ulp stays <= 2^11, so rounding
+    //    moves values at most between adjacent bins.
     def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
+      else if (BigInt(hi) - BigInt(lo) <= Long.MaxValue / top)
+        (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)
       else ((c.cast("double") - lit(lo.toDouble)) * lit(top.toDouble) /
         lit(hi.toDouble - lo.toDouble)).cast("long")
     df.withColumn("_zkey", zorderKey(

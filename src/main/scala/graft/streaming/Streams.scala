@@ -220,24 +220,37 @@ object Streams {
     * MV is read ONCE per batch (localCheckpoint), serving both the
     * mark probe and the merge union. */
   private[graft] def mergeQ1Mv(batch: DataFrame, mvTable: String,
-                               batchId: Long, appId: String): Unit = synchronized {
+                               batchId: Long, appId: String,
+                               maxApps: Int = 64): Unit = synchronized {
     val spark = batch.sparkSession
     val existing = graft.sources.Warehouse.readTableOrFiles(spark, mvTable)
       .map(_.localCheckpoint(true))
-    val oldMarks: Map[String, Long] = existing.flatMap { cur =>
-      if (cur.columns.contains("marks"))
+    // marks value = (batch_id, seq): seq is a monotone merge counter used
+    // ONLY for retention ordering (which app wrote least recently)
+    val oldMarks: Map[String, (Long, Long)] = existing.flatMap { cur =>
+      if (cur.columns.contains("marks")) {
+        val structValued = cur.schema("marks").dataType match {
+          case org.apache.spark.sql.types.MapType(_, _: org.apache.spark.sql.types.StructType, _) => true
+          case _ => false
+        }
         cur.select(col("marks")).limit(1).collect().headOption
           .filterNot(_.isNullAt(0))
-          .map(_.getMap[String, Long](0).toMap)
-      else if (cur.columns.contains("app_id"))
+          .map { r =>
+            if (structValued)
+              r.getMap[String, org.apache.spark.sql.Row](0)
+                .view.mapValues(v => (v.getLong(0), v.getLong(1))).toMap
+            else // map<string,long> generation: no seq recorded
+              r.getMap[String, Long](0).view.mapValues(b => (b, 0L)).toMap
+          }
+      } else if (cur.columns.contains("app_id"))
         // MV written before the map schema: a single (app_id, max_batch_id)
         // pair stamped on every row — lift it into the map form
         cur.select(col("app_id"), col("max_batch_id")).limit(1).collect().headOption
           .filterNot(_.isNullAt(0))
-          .map(r => Map(r.getString(0) -> r.getLong(1)))
+          .map(r => Map(r.getString(0) -> (r.getLong(1), 0L)))
       else None
     }.getOrElse(Map.empty)
-    if (oldMarks.get(appId).exists(_ >= batchId)) return
+    if (oldMarks.get(appId).exists(_._1 >= batchId)) return
     val delta = normQ1State(graft.analytics.Queries.q1Partials(batch))
     val states = existing match {
       case Some(cur) =>
@@ -248,10 +261,31 @@ object Streams {
             sum(col("p_n")).as("p_n")))
       case None => delta
     }
-    val merged = states.withColumn("marks", typedLit(oldMarks + (appId -> batchId)))
+    // Delta-style mark retention: the registry holds at most `maxApps`
+    // incarnations, evicting the LEAST-recently-merged first (the current
+    // writer holds the max seq, so it is never evicted). An incarnation
+    // idle for `maxApps` other incarnations loses replay protection —
+    // the same trade Delta makes with its transaction-identity retention
+    // window; unbounded growth would drag every dead incarnation's mark
+    // through every read/union/write forever.
+    val nextSeq = (oldMarks.values.map(_._2) ++ Seq(0L)).max + 1
+    val withNew = oldMarks + (appId -> (batchId, nextSeq))
+    val newMarks =
+      if (withNew.size <= maxApps) withNew
+      else withNew.toSeq.sortBy { case (_, (_, seq)) => -seq }.take(maxApps).toMap
+    val merged = states.withColumn("marks", typedLit(newMarks))
     val snap = merged.localCheckpoint(true)
     graft.sources.Warehouse.writeTableStaged(snap, mvTable)
   }
+
+  /** The replay-guard app id for a checkpoint dir. The checkpoint dir IS
+    * the query incarnation's identity — a restart of the same checkpoint
+    * replays with the same appId (guard applies); a fresh checkpoint dir
+    * is a new incarnation whose batch 0 must merge. Shared with the spec
+    * so the guard contract lives in exactly one place. */
+  private[graft] def appIdFor(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** H11: streaming incremental MV maintenance — the warehouse-standard
     * streaming upsert: lineitem-shaped deltas arrive as a stream and every
@@ -262,15 +296,6 @@ object Streams {
     * StreamMvSpec proves stream-merged == full batch recompute to the bit
     * on a MemoryStream feed — the exact-decimal partial states make the
     * equality exact, not approximate. */
-  /** The replay-guard app id for a checkpoint dir. The checkpoint dir IS
-    * the query incarnation's identity — a restart of the same checkpoint
-    * replays with the same appId (guard applies); a fresh checkpoint dir
-    * is a new incarnation whose batch 0 must merge. Shared with the spec
-    * so the guard contract lives in exactly one place. */
-  private[graft] def appIdFor(checkpointDir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-
   def maintainQ1Mv(deltas: DataFrame, mvTable: String,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val appId = appIdFor(checkpointDir)

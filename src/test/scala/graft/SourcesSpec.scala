@@ -158,6 +158,22 @@ class SourcesSpec extends SparkSpec {
     val eDir = java.nio.file.Files.createTempDirectory("graft_zempty").toString + "/t"
     Warehouse.writeZOrdered(wide.filter(col("a") < 0), eDir, "a", "b")
     assert(spark.read.parquet(eDir).count() == 0)
+    // high-magnitude NARROW-range column: double-space binning would
+    // quantize every value to the same bin (ulp(2^62)=1024 > the range)
+    // and clustering would silently collapse; the exact long path must
+    // keep the files contiguous runs of `a`
+    val base = 1L << 62
+    val narrow = (0 until 8).map(i => (base + i, 0L)).toDF("a", "b")
+    val nDir = java.nio.file.Files.createTempDirectory("graft_znarrow").toString + "/t"
+    Warehouse.writeZOrdered(narrow, nDir, "a", "b", files = 2)
+    val ranges = new java.io.File(nDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col("a")), max(col("a"))).collect()(0)
+        r.getLong(1) - r.getLong(0)
+      }
+    assert(ranges.nonEmpty && ranges.forall(_ <= 3L),
+      s"narrow-range dim must still cluster (per-file ranges: ${ranges.toSeq})")
   }
 
   test("staged table write survives catalog loss and ignores partial dirs") {
@@ -184,6 +200,26 @@ class SourcesSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"), false)
     assert(Warehouse.readTableOrFiles(spark, t).isEmpty,
       "a partial (no _SUCCESS) dir must be ignored")
+    Warehouse.dropStale(spark, t)
+
+    // crash BETWEEN the swap renames: live dir gone, complete NEW state
+    // still in __stage. The reader must serve the newest complete copy,
+    // and repair must promote it to live before any cleanup can touch it
+    // (else a later write's stage cleanup erases the only copy of a
+    // checkpoint-committed batch)
+    Warehouse.writeTableStaged(df, t) // v1
+    df.withColumn("k", col("k") + 100)
+      .write.parquet(loc.toString + "__stage") // complete v2, as the swap stages it
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(fs.rename(loc, new org.apache.hadoop.fs.Path(loc.toString + "__old")))
+    val crashRead = Warehouse.readTableOrFiles(spark, t)
+    assert(crashRead.exists(_.agg(min(col("k"))).collect()(0).getLong(0) == 101L),
+      "mid-swap crash must recover the NEWEST complete state (stage)")
+    Warehouse.repairStaged(spark, t)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(loc.toString + "__stage")),
+      "repair must promote stage to live")
+    assert(spark.read.parquet(loc.toString).agg(min(col("k"))).collect()(0).getLong(0) == 101L)
     Warehouse.dropStale(spark, t)
   }
 

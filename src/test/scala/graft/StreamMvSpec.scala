@@ -61,7 +61,8 @@ class StreamMvSpec extends SparkSpec {
     assert(replayRows.nonEmpty, "need in-window rows for a meaningful replay test")
     val replayDf = spark.createDataset(replayRows.toIndexedSeq).toDF()
     def marks(): Map[String, Long] = spark.table(mvTable)
-      .select("marks").head().getMap[String, Long](0).toMap
+      .select("marks").head().getMap[String, org.apache.spark.sql.Row](0)
+      .view.mapValues(_.getLong(0)).toMap
     val before = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     val lastId = marks()(appId)
     Streams.mergeQ1Mv(replayDf, mvTable, lastId, appId) // replayed (stale) id
@@ -87,5 +88,15 @@ class StreamMvSpec extends SparkSpec {
     val postCross = Queries.q1MergeFinalize(spark.table(mvTable)).collect().toSeq
     assert(postCross == postFresh,
       "a replay from app A after app B wrote must still be a no-op")
+    // mark retention: the registry is bounded (Delta-style) — the
+    // least-recently-merged incarnation is evicted first and the current
+    // writer always survives
+    (1 to 4).foreach { i =>
+      Streams.mergeQ1Mv(replayDf, mvTable, 0L, s"${appId}_r$i", maxApps = 3)
+    }
+    val m = marks()
+    assert(m.size == 3, s"marks registry must be capped at maxApps: $m")
+    assert(m.contains(appId + "_r4"), "the current writer must never be evicted")
+    assert(!m.contains(appId), s"the least-recently-merged mark evicts first: $m")
   }
 }
