@@ -34,6 +34,7 @@ object GraphProbe {
   val NLists = 8
   val Degree = 3 // out-edges per centroid in the centroid k-NN graph
   val NProbe = 3 // equal-budget with a3's fixed nprobe
+  val Beam = 1   // hop-1 frontier width carried into the second hop
   val TopK = 10
 
   private def cosRounded(a: org.apache.spark.sql.Column, an: org.apache.spark.sql.Column,
@@ -53,15 +54,20 @@ object GraphProbe {
       .select("src", "dst")
   }
 
-  /** Greedy graph probe set — beam-width-1, two-hop expansion (the HNSW
-    * layer-0 walk truncated to a fixed depth so it stays one declarative
-    * plan): entry = nearest centroid; hop 1 visits N(entry); the best
-    * hop-1 neighbor by query cosine is expanded again (hop 2). The probe
-    * set is the NProbe best of {entry} ∪ N(entry) ∪ N(best₁). A single-hop
-    * frontier measurably missed lists the walk reaches (recall 0.52 vs
-    * 0.58 exhaustive at sf0.001 — the global #2/#3 centroid is not always
-    * an entry neighbor); the second hop recovers them while still touching
-    * O(degree) candidates per hop, not all nlists. */
+  /** Greedy graph probe set — beam-width-Beam, two-hop expansion (the
+    * HNSW layer-0 walk truncated to a fixed depth so it stays one
+    * declarative plan): entry = nearest centroid; hop 1 visits N(entry);
+    * the Beam best hop-1 neighbors by query cosine are expanded again
+    * (hop 2). The probe set is the NProbe best of {entry} ∪ N(entry) ∪
+    * N(best₁..Beam). A single-hop frontier measurably missed lists the
+    * walk reaches (recall 0.52 vs 0.58 exhaustive at sf0.001 — the
+    * global #2/#3 centroid is not always an entry neighbor); the second
+    * hop recovers most of that (0.54) while still touching
+    * O(Beam × degree) candidates per query, not all nlists. Beam stays
+    * 1: beam-2 was tried and MEASURED WORSE (0.52) — the wider frontier
+    * surfaces centroids with higher query cosine that displace lists
+    * actually holding true neighbors, a reminder that the
+    * centroid-cosine proxy is not monotone in recall. */
   private def graphProbes(e: DataFrame): DataFrame = {
     val cent = e.filter(col("vec_id") < NLists)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -76,13 +82,14 @@ object GraphProbe {
     // hop 1: the entry's out-neighbors
     val h1 = entry.join(broadcast(edges), col("src") === col("entry"))
       .select(col("eq"), col("dst").as("cand"))
-    // best hop-1 neighbor by query cosine -> expand its out-neighbors
+    // the Beam best hop-1 neighbors by query cosine -> expand their
+    // out-neighbors
     val wb = Window.partitionBy(col("eq")).orderBy(col("cs").desc, col("cand"))
     val b1 = h1.join(qcos.select(col("query_id"), col("cent_id"), col("cs")),
         col("eq") === col("query_id") && col("cand") === col("cent_id"))
-      .withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
-      .select(col("eq").as("bq"), col("cand").as("b1"))
-    val h2 = b1.join(broadcast(edges), col("src") === col("b1"))
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= Beam)
+      .select(col("eq").as("bq"), col("cand").as("bx"))
+    val h2 = b1.join(broadcast(edges), col("src") === col("bx"))
       .select(col("bq").as("eq"), col("dst").as("cand"))
     val cands = entry.select(col("eq"), col("entry").as("cand"))
       .union(h1).union(h2).distinct()
@@ -161,13 +168,13 @@ object GraphProbe {
        |), h1 AS (
        |  SELECT e.query_id, g.dst AS cand FROM entry e JOIN edges g ON g.src = e.entry
        |), b1 AS (
-       |  SELECT query_id, cand AS b1 FROM (
+       |  SELECT query_id, cand AS bx FROM (
        |    SELECT h.query_id, h.cand, q.cs,
        |      row_number() OVER (PARTITION BY h.query_id ORDER BY q.cs DESC, h.cand) AS rn
        |    FROM h1 h JOIN qcos q ON q.query_id = h.query_id AND q.cent_id = h.cand
-       |  ) WHERE rn = 1
+       |  ) WHERE rn <= $Beam
        |), h2 AS (
-       |  SELECT b.query_id, g.dst AS cand FROM b1 b JOIN edges g ON g.src = b.b1
+       |  SELECT b.query_id, g.dst AS cand FROM b1 b JOIN edges g ON g.src = b.bx
        |), cands AS (
        |  SELECT DISTINCT query_id, cand FROM (
        |    SELECT query_id, entry AS cand FROM entry
