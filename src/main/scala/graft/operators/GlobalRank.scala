@@ -1,8 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, row_number, spark_partition_id}
+import org.apache.spark.sql.functions.{broadcast, col, lit, monotonically_increasing_id, shiftrightunsigned}
 
 /** Exact global ranking without the single-partition collapse.
   *
@@ -13,20 +12,33 @@ import org.apache.spark.sql.functions.{broadcast, col, row_number, spark_partiti
   *
   *   1. range-repartition + sort by the total order — the same parallel
   *      machinery as a global ORDER BY; ascending key ranges land in
-  *      ascending partition ids,
+  *      ascending partition ids — then stamp each row with
+  *      monotonically_increasing_id, which encodes EXACTLY the two
+  *      quantities a global rank needs: partition id in the high 31 bits
+  *      and the row's position within the (sorted) partition in the low
+  *      33, assigned in scan order so it follows the sort,
   *   2. count rows per partition (one long per partition, collected to
   *      the driver — O(partitions), never O(rows)),
   *   3. global rank = rows-before-my-partition (a broadcast-joined
-  *      offset) + row_number partitioned BY PARTITION ID — a fully
-  *      parallel window over already-clustered data.
+  *      offset) + the local position decoded from the id by bit
+  *      arithmetic.
+  *
+  * Decoding the id instead of windowing by partition id matters for the
+  * plan: the checkpoint erases partitioning info (UnknownPartitioning),
+  * so `row_number() OVER (PARTITION BY pid)` would force a SECOND
+  * full-data exchange + sort just to re-prove a clustering the data
+  * already has. The bit-decode version's post-checkpoint plan touches
+  * the data once: project + broadcast join — the only exchange after
+  * the range sort carries one count row per partition
+  * (GlobalRankSpec asserts both no-SinglePartition and no-Window).
   *
   * The order must be TOTAL (callers supply a tie-break column such as the
   * row's id), or ranks within a tie are nondeterministic. The sorted frame
   * is localCheckpointed so the counting pass and the ranking pass see the
-  * SAME partition assignment (range boundaries come from sampling; a
-  * recompute may resample) — at scale this materializes only the columns
-  * the caller projected into `df`, which for a ranking is the sort key
-  * plus an id.
+  * SAME partition assignment AND the same frozen ids (range boundaries
+  * come from sampling; a recompute may resample) — at scale this
+  * materializes only the columns the caller projected into `df`, which
+  * for a ranking is the sort key plus an id.
   */
 object GlobalRank {
 
@@ -35,27 +47,32 @@ object GlobalRank {
     * (NTILE) from the rank. */
   def withGlobalRankN(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
                       partitions: Int = 0): (DataFrame, Long) = {
-    require(!df.columns.contains("_pid") && !df.columns.contains("_off"),
-      "GlobalRank reserves the internal column names _pid and _off")
+    val reserved = Seq("_mid", "_pid", "_off")
+    require(!reserved.exists(df.columns.contains),
+      s"GlobalRank reserves the internal column names ${reserved.mkString(", ")}")
     require(!df.columns.contains(rankCol),
       s"rank column '$rankCol' already exists on the input")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // _mid = (partition id << 33) | row-position-in-partition, assigned in
+    // scan order over the sorted partition — frozen by the checkpoint
     val sorted = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
       .localCheckpoint(true)
-    val counts = sorted.groupBy(col("_pid")).count().collect()
+    val withPid = sorted
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
+    val counts = withPid.groupBy(col("_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
     val total = offsets.last
     import spark.implicits._
     val offDf = (0 until n).map(p => (p, offsets(p))).toDF("_pid", "_off")
-    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    val ranked = sorted.join(broadcast(offDf), "_pid")
-      .withColumn(rankCol, col("_off") + row_number().over(w))
-      .drop("_pid", "_off")
+    val ranked = withPid.join(broadcast(offDf), "_pid")
+      .withColumn(rankCol,
+        col("_off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .drop("_pid", "_off", "_mid")
     (ranked, total)
   }
 

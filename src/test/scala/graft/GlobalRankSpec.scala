@@ -22,11 +22,16 @@ class GlobalRankSpec extends SparkSpec {
       .sortBy { case (id, v) => (-v, id) }
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
     assert(got == expected, "distributed ranks must equal the driver-side sort")
-    // the point of the operator: the window is partitioned (by _pid), so
-    // nothing in the plan funnels all rows through one partition
+    // the point of the operator: nothing in the plan funnels all rows
+    // through one partition, and the rank comes from bit-decoding the
+    // frozen id — no Window at all (a window by partition id would force
+    // a second full-data exchange over the checkpoint's
+    // UnknownPartitioning)
     val plan = ranked.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"global rank must not collapse to a single partition:\n$plan")
+    assert(!plan.contains("Window"),
+      s"global rank must not re-window (extra exchange + sort):\n$plan")
   }
 
   test("empty input ranks to an empty frame with total 0") {
