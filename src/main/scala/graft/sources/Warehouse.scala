@@ -79,6 +79,12 @@ object Warehouse {
     new org.apache.hadoop.fs.Path(loc.toString + "__stage")
   private def oldPath(loc: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(loc.toString + "__old")
+  /** A write reached its commit point iff the committer's `_SUCCESS`
+    * marker exists — the single completeness convention shared by the
+    * swap repair and the restart-fallback read. */
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
 
   /** Crash-safe overwrite of a small state table (the H11 MV): the new
     * contents are fully written (with `_SUCCESS`) to a `__stage` sibling
@@ -104,9 +110,7 @@ object Warehouse {
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = stagePath(loc)
-    def complete(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (!complete(loc) && complete(stage)) {
+    if (!isComplete(fs, loc) && isComplete(fs, stage)) {
       if (fs.exists(loc)) fs.delete(loc, true): Unit
       if (!fs.rename(stage, loc))
         throw new java.io.IOException(s"staged repair failed for $table (stage -> live)")
@@ -231,19 +235,24 @@ object Warehouse {
     }
     val top = (1L << bits) - 1
     // Binning arithmetic, two regimes (range computed in BigInt — hi-lo
-    // itself overflows a long when the column spans most of the type):
-    //  - narrow range (fits (c-lo)*top in a long): EXACT long math. This
-    //    regime includes high-magnitude narrow-range columns (values near
-    //    2^62 spanning 2^13), where double's 1024-ulp quantization would
-    //    collapse the dimension to a handful of bins.
-    //  - wide range (> ~2^47, e.g. 60-bit hash ids, epoch-micros): double
-    //    math — the long form would overflow (ANSI: fails the write). Here
-    //    the bin width exceeds 2^31 while ulp stays <= 2^11, so rounding
-    //    moves values at most between adjacent bins.
+    // itself overflows a long when the column spans most of the type).
+    // The SUBTRACTION is the precision-critical step: c.cast("double")
+    // quantizes to ulp(|c|) BEFORE subtracting, which collapses a
+    // high-magnitude narrow-range column (values near 2^62 spanning 2^13,
+    // ulp=1024) to a handful of bins. The final division may always run
+    // in double — its error is <= a few ulps of the quotient, far below
+    // one of the 2^bits bins, and bin-boundary rounding is irrelevant to
+    // a clustering key.
+    //  - narrow range (fits (c-lo)*top in a long): subtract and scale in
+    //    exact long arithmetic, divide in double.
+    //  - wide range (> ~2^47, e.g. 60-bit hash ids, epoch-micros): all
+    //    double — the long scale would overflow (ANSI: fails the write),
+    //    and here ulp(|c|) is tiny relative to a bin (width > 2^31).
     def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
       else if (BigInt(hi) - BigInt(lo) <= Long.MaxValue / top)
-        (c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)
+        (((c.cast("long") - lit(lo)) * lit(top)).cast("double") /
+          lit((hi - lo).toDouble)).cast("long")
       else ((c.cast("double") - lit(lo.toDouble)) * lit(top.toDouble) /
         lit(hi.toDouble - lo.toDouble)).cast("long")
     df.withColumn("_zkey", zorderKey(
@@ -277,9 +286,7 @@ object Warehouse {
     else {
       val loc = tableLocation(spark, table)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def complete(p: org.apache.hadoop.fs.Path): Boolean =
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-      Seq(loc, stagePath(loc), oldPath(loc)).find(complete)
+      Seq(loc, stagePath(loc), oldPath(loc)).find(isComplete(fs, _))
         .map(p => spark.read.parquet(p.toString))
     }
 }

@@ -83,8 +83,9 @@ object TextOps {
     * BY) collapses to a single-partition Window — THE scale trap for this
     * shape — so the rank comes from
     * [[graft.operators.GlobalRank.withGlobalRankN]]: range-repartition +
-    * per-partition offsets + a window partitioned by partition id, fully
-    * parallel. The decile is then integer arithmetic on the rank using
+    * per-partition offsets + a bit-decoded in-partition position (no
+    * Window node at all), fully parallel. The decile is then integer
+    * arithmetic on the rank using
     * SQL NTILE's exact split (with n rows and k tiles, the first n mod k
     * tiles hold n div k + 1 rows, the rest n div k — larger buckets
     * FIRST, not remainder spread evenly: the naive `(rank-1)*k div n`
