@@ -82,4 +82,54 @@ object GlobalRank {
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
                      partitions: Int = 0): DataFrame =
     withGlobalRankN(df, order, rankCol, partitions)._1
+
+  /** Global rank PLUS an exact global running total of `valueCol` in the
+    * same order — the primitive behind budgeted selection ("take the
+    * best documents until N tokens"). Same offset scheme, twice: the
+    * per-partition aggregate collects (count, sum) pairs, and the
+    * per-row global prefix = value-offset of the partition + the
+    * in-partition running sum. The running sum is genuinely
+    * data-dependent (no bit trick), so this variant pays what the rank
+    * alone avoids: ONE hash exchange + sort of the projected columns,
+    * partitioned by partition id — still fully parallel, never
+    * SinglePartition, and the caller only reaches for it when the
+    * cumulative column is actually needed. */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+                       rankCol: String = "rank", cumCol: String = "cum",
+                       partitions: Int = 0): (DataFrame, Long) = {
+    val reserved = Seq("_mid", "_pid", "_off", "_voff")
+    require(!reserved.exists(df.columns.contains),
+      s"GlobalRank reserves the internal column names ${reserved.mkString(", ")}")
+    require(!df.columns.contains(rankCol) && !df.columns.contains(cumCol),
+      s"output columns '$rankCol'/'$cumCol' collide with the input")
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val withPid = sorted
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
+    val agg = withPid.groupBy(col("_pid"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"),
+        org.apache.spark.sql.functions.sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + agg.get(p).map(_._1).getOrElse(0L))
+    val voffsets = (0 until n).scanLeft(0L)((acc, p) => acc + agg.get(p).map(_._2).getOrElse(0L))
+    val total = offsets.last
+    import spark.implicits._
+    val offDf = (0 until n).map(p => (p, offsets(p), voffsets(p))).toDF("_pid", "_off", "_voff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_mid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = withPid.join(broadcast(offDf), "_pid")
+      .withColumn(rankCol,
+        col("_off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .withColumn(cumCol,
+        col("_voff") + org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+      .drop("_pid", "_off", "_voff", "_mid")
+    (ranked, total)
+  }
 }

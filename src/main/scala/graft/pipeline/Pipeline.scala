@@ -191,7 +191,37 @@ object Pipeline {
       .orderBy("lang", "source", "pick_order")
   }
 
+  /** The token budget for p7: small enough that every scale factor's
+    * corpus exceeds it, so the cut always selects a strict prefix. */
+  val TokenBudget = 1500L
+
+  /** P7: token-budget quality selection — the curation cut behind
+    * "train on the best N tokens": documents ranked by the t2/t9 quality
+    * score (ties on doc_id) are taken in order until the cumulative
+    * whitespace-token count reaches the budget. Rank and the exact
+    * global running token total both come from
+    * [[graft.operators.GlobalRank.withRunningTotal]] — the range-sort +
+    * per-partition (count, sum) offset scheme, never a single-partition
+    * window; the budget test `cum_tokens <= B` is then a row-local
+    * integer filter, bit-identical to DuckDB's windowed cumulative sum.
+    * At 100 TB the selection makes one extra pid-partitioned exchange of
+    * (score, id, tokens) triples beyond t9's rank — the running sum is
+    * data-dependent, so that exchange is the floor for an exact cut. */
+  def p7TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.e6Scored(spark, dir)
+      .select(col("doc_id"), col("score_e6"), col("n_words").as("tokens"))
+    val (ranked, _) = graft.operators.GlobalRank.withRunningTotal(
+      scored, Seq(col("score_e6").desc, col("doc_id")),
+      valueCol = "tokens", rankCol = "rank", cumCol = "cum_tokens")
+    ranked.filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"),
+        (col("score_e6").cast("double") / 1000000.0).as("quality_score"),
+        col("tokens"), col("rank"), col("cum_tokens"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_token_budget" -> ((s, d) => p7TokenBudget(s, d)),
     "p6_stratified_holdout" -> ((s, d) => p6StratifiedHoldout(s, d)),
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
     "p2_balanced_sample" -> ((s, d) => p2BalancedSample(s, d)),
@@ -201,6 +231,29 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "p7_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), c AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens,
+         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+         |    ((2000000*(len(list_filter(ws, w -> w IN ('the', 'a')))) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
+         |  FROM t
+         |), sc AS (
+         |  SELECT doc_id, tokens,
+         |    (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6
+         |  FROM c
+         |), ranked AS (
+         |  SELECT doc_id, score_e6, tokens,
+         |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
+         |    CAST(sum(tokens) OVER (ORDER BY score_e6 DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM sc
+         |)
+         |SELECT doc_id, score_e6 / 1000000.0 AS quality_score, tokens, rank, cum_tokens
+         |FROM ranked WHERE cum_tokens <= $TokenBudget ORDER BY rank""".stripMargin,
+
     "p1_training_mix" -> (Dedup.D6ClusterCte +
       """, drops AS (
         |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id

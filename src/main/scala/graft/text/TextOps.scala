@@ -66,7 +66,7 @@ object TextOps {
   /** The shared e6-integer quality-score pipeline behind t2 and t9:
     * documents plus n_words and the dr/sr/ls/score_e6 columns.
     * score = 0.4*dr + 0.3*ls + 0.3*(1-sr); e6-scaled, round-half-up /10. */
-  private def e6Scored(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def e6Scored(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     Tables.documents(spark, dir)
       .withColumn("n_words", size(ws).cast("long"))

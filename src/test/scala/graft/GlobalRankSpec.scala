@@ -34,6 +34,28 @@ class GlobalRankSpec extends SparkSpec {
       s"global rank must not re-window (extra exchange + sort):\n$plan")
   }
 
+  test("running totals equal a driver-side prefix sum, still no SinglePartition") {
+    import spark.implicits._
+    val df = (1 to 499).map(i => (i.toLong, (i % 7).toLong, (i % 11 + 1).toLong))
+      .toDF("id", "v", "w")
+    val (ranked, total) = GlobalRank.withRunningTotal(
+      df, Seq(col("v"), col("id")), valueCol = "w",
+      rankCol = "rank", cumCol = "cw", partitions = 8)
+    assert(total == 499L)
+    val got = ranked.select("id", "rank", "cw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    val rows = (1 to 499).map(i => (i.toLong, (i % 7).toLong, (i % 11 + 1).toLong))
+      .sortBy { case (id, v, _) => (v, id) }
+    var cum = 0L
+    val expected = rows.zipWithIndex.map { case ((id, _, w), i) =>
+      cum += w; (id, i + 1L, cum)
+    }
+    assert(got.toSeq == expected, "distributed running totals must equal the driver fold")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"running total must not collapse to a single partition:\n$plan")
+  }
+
   test("empty input ranks to an empty frame with total 0") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
