@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, lit, monotonically_increasing_id, shiftrightunsigned}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, monotonically_increasing_id, shiftrightunsigned, sum, when}
 
 /** Exact global ranking without the single-partition collapse.
   *
@@ -42,38 +42,55 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, monotonically_increa
   */
 object GlobalRank {
 
+  private val LocalPos = (1L << 33) - 1
+
+  /** The shared prelude of every rank variant: range-sort by the total
+    * order, stamp `_mid` = (partition id << 33) | position-in-partition
+    * (assigned in scan order over the sorted partition), freeze with a
+    * checkpoint, decode `_pid`. ALL offset arithmetic must run against
+    * this one frozen frame — a recompute may resample range boundaries. */
+  private def sortedWithPid(df: DataFrame, order: Seq[Column], n: Int): DataFrame =
+    df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
+
+  /** rank = rows-before-my-partition + bit-decoded local position, 1-based. */
+  private def rankExpr: Column = col("_off") + col("_mid").bitwiseAND(lit(LocalPos)) + 1L
+
+  private def prefix(n: Int, per: Map[Int, Long]): IndexedSeq[Long] =
+    (0 until n).scanLeft(0L)((acc, p) => acc + per.getOrElse(p, 0L))
+
+  private def partitionsOrDefault(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  private def requireFreshNames(df: DataFrame, internal: Seq[String], out: Seq[String]): Unit = {
+    require(!internal.exists(df.columns.contains),
+      s"GlobalRank reserves the internal column names ${internal.mkString(", ")}")
+    out.foreach(c => require(!df.columns.contains(c),
+      s"output column '$c' already exists on the input"))
+  }
+
   /** [[withGlobalRank]] plus the total row count (free: the sum of the
     * per-partition counts), for callers that derive quantile buckets
     * (NTILE) from the rank. */
   def withGlobalRankN(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
                       partitions: Int = 0): (DataFrame, Long) = {
-    val reserved = Seq("_mid", "_pid", "_off")
-    require(!reserved.exists(df.columns.contains),
-      s"GlobalRank reserves the internal column names ${reserved.mkString(", ")}")
-    require(!df.columns.contains(rankCol),
-      s"rank column '$rankCol' already exists on the input")
+    requireFreshNames(df, Seq("_mid", "_pid", "_off"), Seq(rankCol))
     val spark = df.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // _mid = (partition id << 33) | row-position-in-partition, assigned in
-    // scan order over the sorted partition — frozen by the checkpoint
-    val sorted = df.repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .localCheckpoint(true)
-    val withPid = sorted
-      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
+    val n = partitionsOrDefault(df, partitions)
+    val withPid = sortedWithPid(df, order, n)
     val counts = withPid.groupBy(col("_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val total = offsets.last
+    val offsets = prefix(n, counts)
     import spark.implicits._
     val offDf = (0 until n).map(p => (p, offsets(p))).toDF("_pid", "_off")
     val ranked = withPid.join(broadcast(offDf), "_pid")
-      .withColumn(rankCol,
-        col("_off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .withColumn(rankCol, rankExpr)
       .drop("_pid", "_off", "_mid")
-    (ranked, total)
+    (ranked, offsets.last)
   }
 
   /** Add an exact 1-based global rank column over `order` to `df`,
@@ -90,34 +107,42 @@ object GlobalRank {
     * per-row global prefix = value-offset of the partition + the
     * in-partition running sum. The running sum is genuinely
     * data-dependent (no bit trick), so this variant pays what the rank
-    * alone avoids: ONE hash exchange + sort of the projected columns,
-    * partitioned by partition id — still fully parallel, never
-    * SinglePartition, and the caller only reaches for it when the
-    * cumulative column is actually needed. */
+    * alone avoids: a hash exchange + sort partitioned by partition id —
+    * still fully parallel, never SinglePartition.
+    *
+    * `valueCol` must be NON-NULL and, if `cumCap` is used, non-negative
+    * — a null would silently desync the partition sums from the window
+    * sums, so the aggregate pass fails fast on one.
+    *
+    * `cumCap` is the budget pruner: partitions whose value-offset
+    * already exceeds the cap cannot contain a row with running total
+    * <= cap (values are non-negative), so they are dropped BEFORE the
+    * window exchange. A budgeted selection then shuffles only the
+    * budget-covering partitions — O(selected), not O(corpus) — which is
+    * what makes a "best N tokens of 100 TB" cut cheap. The default
+    * (Long.MaxValue) keeps every row.
+    *
+    * Returns (frame with rankCol + cumCol, total row count, grand total
+    * of valueCol) — totals are over the WHOLE input, computed from the
+    * per-partition aggregates before any cap pruning. */
   def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
                        rankCol: String = "rank", cumCol: String = "cum",
-                       partitions: Int = 0): (DataFrame, Long) = {
-    val reserved = Seq("_mid", "_pid", "_off", "_voff")
-    require(!reserved.exists(df.columns.contains),
-      s"GlobalRank reserves the internal column names ${reserved.mkString(", ")}")
-    require(!df.columns.contains(rankCol) && !df.columns.contains(cumCol),
-      s"output columns '$rankCol'/'$cumCol' collide with the input")
+                       partitions: Int = 0,
+                       cumCap: Long = Long.MaxValue): (DataFrame, Long, Long) = {
+    requireFreshNames(df, Seq("_mid", "_pid", "_off", "_voff"), Seq(rankCol, cumCol))
     val spark = df.sparkSession
-    val n = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .localCheckpoint(true)
-    val withPid = sorted
-      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
+    val n = partitionsOrDefault(df, partitions)
+    val withPid = sortedWithPid(df, order, n)
     val agg = withPid.groupBy(col("_pid"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"),
-        org.apache.spark.sql.functions.sum(col(valueCol)).as("s"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + agg.get(p).map(_._1).getOrElse(0L))
-    val voffsets = (0 until n).scanLeft(0L)((acc, p) => acc + agg.get(p).map(_._2).getOrElse(0L))
-    val total = offsets.last
+      .agg(count(lit(1)).as("c"), sum(col(valueCol)).as("s"),
+        count(when(col(valueCol).isNull, 1)).as("nulls"))
+      .collect().map { r =>
+        require(r.getLong(3) == 0,
+          s"withRunningTotal: valueCol '$valueCol' contains nulls")
+        r.getInt(0) -> (r.getLong(1), r.getLong(2))
+      }.toMap
+    val offsets = prefix(n, agg.view.mapValues(_._1).toMap)
+    val voffsets = prefix(n, agg.view.mapValues(_._2).toMap)
     import spark.implicits._
     val offDf = (0 until n).map(p => (p, offsets(p), voffsets(p))).toDF("_pid", "_off", "_voff")
     val w = org.apache.spark.sql.expressions.Window
@@ -125,11 +150,10 @@ object GlobalRank {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val ranked = withPid.join(broadcast(offDf), "_pid")
-      .withColumn(rankCol,
-        col("_off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1L)
-      .withColumn(cumCol,
-        col("_voff") + org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+      .filter(col("_voff") <= lit(cumCap))
+      .withColumn(rankCol, rankExpr)
+      .withColumn(cumCol, col("_voff") + sum(col(valueCol)).over(w))
       .drop("_pid", "_off", "_voff", "_mid")
-    (ranked, total)
+    (ranked, offsets.last, voffsets.last)
   }
 }

@@ -204,15 +204,18 @@ object Pipeline {
     * per-partition (count, sum) offset scheme, never a single-partition
     * window; the budget test `cum_tokens <= B` is then a row-local
     * integer filter, bit-identical to DuckDB's windowed cumulative sum.
-    * At 100 TB the selection makes one extra pid-partitioned exchange of
-    * (score, id, tokens) triples beyond t9's rank — the running sum is
-    * data-dependent, so that exchange is the floor for an exact cut. */
+    * The budget doubles as withRunningTotal's `cumCap`: partitions whose
+    * token offset already exceeds it are dropped BEFORE the window
+    * exchange, so the per-row running-sum work is O(selected tokens),
+    * not O(corpus) — the property that makes a "best N tokens of
+    * 100 TB" cut cheap. */
   def p7TokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextOps.e6Scored(spark, dir)
       .select(col("doc_id"), col("score_e6"), col("n_words").as("tokens"))
-    val (ranked, _) = graft.operators.GlobalRank.withRunningTotal(
+    val (ranked, _, _) = graft.operators.GlobalRank.withRunningTotal(
       scored, Seq(col("score_e6").desc, col("doc_id")),
-      valueCol = "tokens", rankCol = "rank", cumCol = "cum_tokens")
+      valueCol = "tokens", rankCol = "rank", cumCol = "cum_tokens",
+      cumCap = TokenBudget)
     ranked.filter(col("cum_tokens") <= TokenBudget)
       .select(col("doc_id"),
         (col("score_e6").cast("double") / 1000000.0).as("quality_score"),
@@ -232,27 +235,16 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p7_token_budget" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |), c AS (
-         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens,
-         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
-         |    ((2000000*(len(list_filter(ws, w -> w IN ('the', 'a')))) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
-         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
-         |  FROM t
-         |), sc AS (
-         |  SELECT doc_id, tokens,
-         |    (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6
-         |  FROM c
-         |), ranked AS (
-         |  SELECT doc_id, score_e6, tokens,
+      (TextOps.ScoredCteSql + s"""
+         |, ranked AS (
+         |  SELECT doc_id, score_e6, n_words AS tokens,
          |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
-         |    CAST(sum(tokens) OVER (ORDER BY score_e6 DESC, doc_id
+         |    CAST(sum(n_words) OVER (ORDER BY score_e6 DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM sc
          |)
          |SELECT doc_id, score_e6 / 1000000.0 AS quality_score, tokens, rank, cum_tokens
-         |FROM ranked WHERE cum_tokens <= $TokenBudget ORDER BY rank""".stripMargin,
+         |FROM ranked WHERE cum_tokens <= $TokenBudget ORDER BY rank""".stripMargin),
 
     "p1_training_mix" -> (Dedup.D6ClusterCte +
       """, drops AS (

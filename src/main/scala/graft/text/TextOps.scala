@@ -290,6 +290,24 @@ object TextOps {
   private def hitsSql(stops: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN (${stops.map(s => s"'$s'").mkString(", ")})))"
 
+  /** The ONE SQL mirror of [[e6Scored]] (CTE `sc`: doc_id, n_words,
+    * dr/sr/ls_e6, score_e6), shared by the t2, t9, and p7 oracles — a
+    * formula change edits exactly one Spark expression and one SQL
+    * fragment, so the oracle gate can never compare a new Spark formula
+    * against a stale SQL copy. */
+  private[graft] val ScoredCteSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), c AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+       |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+       |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
+       |  FROM t
+       |), sc AS (
+       |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6 FROM c
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t1_langid" ->
       s"""WITH t AS (
@@ -315,24 +333,14 @@ object TextOps {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "t2_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |), c AS (
-         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
-         |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
-         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
-         |  FROM t
-         |), sc AS (
-         |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6 FROM c
-         |)
+      (ScoredCteSql + s"""
          |SELECT doc_id, n_words,
          |  dr_e6 / 1000000.0 AS distinct_ratio,
          |  sr_e6 / 1000000.0 AS stop_ratio,
          |  ls_e6 / 1000000.0 AS len_score,
          |  score_e6 / 1000000.0 AS quality_score,
          |  score_e6 < 500000 AS is_low_quality
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |FROM sc ORDER BY doc_id""".stripMargin),
 
     "t5_keep_filter" ->
       s"""WITH t AS (
@@ -359,21 +367,11 @@ object TextOps {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "t9_quality_rank" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |), c AS (
-         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
-         |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
-         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
-         |  FROM t
-         |), sc AS (
-         |  SELECT doc_id, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6 FROM c
-         |)
+      (ScoredCteSql + s"""
          |SELECT doc_id, score_e6 / 1000000.0 AS quality_score,
          |  CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
          |  CAST(ntile(10) OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS decile
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |FROM sc ORDER BY doc_id""".stripMargin),
 
     "t3_tokens" ->
       """SELECT doc_id,

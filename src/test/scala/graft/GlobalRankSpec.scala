@@ -38,14 +38,15 @@ class GlobalRankSpec extends SparkSpec {
     import spark.implicits._
     val df = (1 to 499).map(i => (i.toLong, (i % 7).toLong, (i % 11 + 1).toLong))
       .toDF("id", "v", "w")
-    val (ranked, total) = GlobalRank.withRunningTotal(
+    val (ranked, total, grand) = GlobalRank.withRunningTotal(
       df, Seq(col("v"), col("id")), valueCol = "w",
       rankCol = "rank", cumCol = "cw", partitions = 8)
     assert(total == 499L)
-    val got = ranked.select("id", "rank", "cw").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
     val rows = (1 to 499).map(i => (i.toLong, (i % 7).toLong, (i % 11 + 1).toLong))
       .sortBy { case (id, v, _) => (v, id) }
+    assert(grand == rows.map(_._3).sum, "grand total must be the valueCol sum")
+    val got = ranked.select("id", "rank", "cw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
     var cum = 0L
     val expected = rows.zipWithIndex.map { case ((id, _, w), i) =>
       cum += w; (id, i + 1L, cum)
@@ -54,6 +55,24 @@ class GlobalRankSpec extends SparkSpec {
     val plan = ranked.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"running total must not collapse to a single partition:\n$plan")
+
+    // cumCap prunes whole partitions before the window but never changes
+    // surviving rows: capped output == uncapped output filtered
+    val cap = expected(59)._3 // a cap landing mid-corpus
+    val (capped, _, _) = GlobalRank.withRunningTotal(
+      df, Seq(col("v"), col("id")), valueCol = "w",
+      rankCol = "rank", cumCol = "cw", partitions = 8, cumCap = cap)
+    val gotCapped = capped.filter(col("cw") <= cap).select("id", "rank", "cw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(gotCapped.toSeq == expected.filter(_._3 <= cap),
+      "cap pruning must not change surviving rows")
+
+    // nulls in valueCol fail fast instead of silently desyncing the sums
+    val withNull = df.withColumn("w",
+      org.apache.spark.sql.functions.when(col("id") === 7L, null).otherwise(col("w")))
+    intercept[IllegalArgumentException] {
+      GlobalRank.withRunningTotal(withNull, Seq(col("v"), col("id")), valueCol = "w")
+    }
   }
 
   test("empty input ranks to an empty frame with total 0") {
