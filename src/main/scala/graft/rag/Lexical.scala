@@ -33,7 +33,8 @@ object Lexical {
   val TopK = 10
   val QTerms = 10     // rarest query terms kept for candidate generation
   val RrfK = 60       // reciprocal-rank-fusion constant (public default)
-  val RrfDepth = 50   // per-ranker depth fed into the fusion
+  /** Per-ranker depth fed into the fusion = the shared shortlist depth. */
+  val RrfDepth: Int = Search.ShortlistK
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -116,17 +117,30 @@ object Lexical {
       .orderBy("query_id", "rnk")
   }
 
-  /** BM25-score an arbitrary (hs, query_id) term set against the postings
-    * index; top-k per query. Shared by r14 (rarest terms) and r19 (which
-    * additionally merges partial sums across term sets). */
-  private def scoreTerms(terms: DataFrame, idx: DataFrame, st: DataFrame,
-                         k: Int): DataFrame =
-    rankTopK(termScores(terms, idx, st), k)
-
-  def r14Bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val idx = lexIndex(spark, dir)
-    scoreTerms(rarestTerms(idx), idx, lexStats(spark, dir), k)
+  /** Pass-1 BM25 candidate scores (query_id, doc_id, score_e6) for the
+    * rarest-terms query formulation, materialized ONCE per (session,
+    * data-dir) bucketed by query_id. Bounded: each query contributes at
+    * most the union of its [[QTerms]] rare-term posting lists. This is the
+    * shared pre-ranking artifact of the whole lexical stack — r14 ranks it
+    * to top-10, r15 to top-[[RrfDepth]], r19 merges it (exact-integer
+    * partial sums) with the expansion-term scores — so the postings join
+    * runs once per corpus, not once per query family member. The bucketed
+    * layout means every downstream per-query window sorts locally with no
+    * exchange. */
+  private def bm25Candidates(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_bm25c_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val idx = lexIndex(spark, dir)
+        Warehouse.writeBucketed(
+          termScores(rarestTerms(idx), idx, lexStats(spark, dir)), t, "query_id")
+      }
+    }
+    spark.table(t)
   }
+
+  def r14Bm25TopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame =
+    rankTopK(bm25Candidates(spark, dir), k)
 
   val PrfDocs = 10   // feedback depth: pass-1 top docs per query
   val PrfTerms = 5   // expansion terms drawn from the feedback docs
@@ -147,10 +161,10 @@ object Lexical {
     val idx = lexIndex(spark, dir)
     val st = lexStats(spark, dir)
     val qsel = rarestTerms(idx)
-    // pass-1 partial sums, materialized once (bounded: candidate pairs of
-    // QTerms rare-term posting lists per query) — ranked for feedback AND
-    // merged into the final score
-    val c1 = termScores(qsel, idx, st).localCheckpoint()
+    // pass-1 partial sums: the shared materialized candidate-score table
+    // (bounded: candidate pairs of QTerms rare-term posting lists per
+    // query) — ranked for feedback AND merged into the final score
+    val c1 = bm25Candidates(spark, dir)
     val fb = rankTopK(c1, PrfDocs).select("query_id", "doc_id")
     val we = Window.partitionBy(col("query_id"))
       .orderBy(col("ftf").desc, col("df"), col("hs"))
@@ -173,12 +187,27 @@ object Lexical {
     * the BM25 top-50 and the cosine-kNN top-50 over the same query set.
     * RRF needs only ranks, so the fused score is a sum of two e6-exact
     * reciprocals — pure integer arithmetic, no score normalization across
-    * incomparable scales, bit-stable in both engines. */
+    * incomparable scales, bit-stable in both engines.
+    *
+    * Both ranker inputs are the materialized first-stage shortlists
+    * ([[bm25Candidates]] ranked to [[RrfDepth]], [[Search.knnShortlist101]])
+    * and the fused top-[[TopK]] is itself materialized once per (session,
+    * data-dir): r16 and r20 consume the same shortlist, and before this
+    * each of them re-ran BOTH rankers from raw corpus scans (the r6 bench's
+    * single most expensive recompute). */
   def r15HybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val lex = r14Bm25TopK(spark, dir, k = RrfDepth)
+    val t = s"graft_rrf_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) Warehouse.writeTable(fuseRrf(spark, dir), t)
+    }
+    spark.table(t).orderBy("query_id", "rnk")
+  }
+
+  /** The fusion plan behind [[r15HybridRrf]] (build side of its artifact). */
+  private def fuseRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = rankTopK(bm25Candidates(spark, dir), RrfDepth)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rl"))
-    val vec = Search.knn(spark, dir, col("vec_id") % QueryMod === 0, k = RrfDepth,
-        threshold = -1.0, clampZero = false, sameLabel = false)
+    val vec = Search.knnShortlist101(spark, dir)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("rv"))
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_e6", rrf6(col("rl")) + rrf6(col("rv")))
@@ -186,7 +215,6 @@ object Lexical {
     fused.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
       .select("query_id", "doc_id", "rrf_e6", "rnk")
-      .orderBy("query_id", "rnk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

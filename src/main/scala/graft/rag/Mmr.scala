@@ -28,7 +28,8 @@ import graft.functions.Vec
 object Mmr {
 
   val Lambda = 0.5
-  val ShortlistK = 50
+  /** Candidate-pool depth = the shared materialized shortlist's depth. */
+  val ShortlistK: Int = Search.ShortlistK
   val TopK = 10
 
   /** Shortlist row (public: Catalyst's deserializer codegen requires an
@@ -38,8 +39,10 @@ object Mmr {
   def r16MmrRerank(spark: SparkSession, dir: String,
                    lambda: Double = Lambda, k: Int = TopK): DataFrame = {
     import spark.implicits._
-    val shortlist = Search.knn(spark, dir, col("vec_id") % 101 === 0,
-        k = ShortlistK, threshold = -1.0, clampZero = false, sameLabel = false)
+    // the shared materialized first-stage shortlist (same query set and
+    // depth r15's vector ranker uses) — the corpus brute-force pass behind
+    // it runs once per (session, dir), not once per retrieval query
+    val shortlist = Search.knnShortlist101(spark, dir)
       .select(col("query_id"), col("vec_id"), col("similarity"))
     val e = Search.corpus(spark, dir)
     // attach unit vectors to the tiny shortlist (broadcast into the corpus

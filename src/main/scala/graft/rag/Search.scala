@@ -119,6 +119,28 @@ object Search {
     knn(spark, dir, col("vec_id") % 97 === 0, k = 10, threshold = -1.0,
       clampZero = false, sameLabel = false)
 
+  /** Depth of the shared first-stage retrieval shortlist (r15/r16/r20). */
+  val ShortlistK = 50
+
+  /** The %101 query set's raw-cosine top-[[ShortlistK]], materialized ONCE
+    * per (session, data-dir) bucketed by query_id — the shared first-stage
+    * vector ranker of the retrieval stack (r15's fusion input, r16's MMR
+    * candidate pool, transitively r20's rerank shortlist). Before this
+    * artifact each of those queries re-scanned the full corpus; now only
+    * the first call pays the brute-force pass, and the bucketed layout
+    * feeds the per-query windows/joins downstream without an exchange. */
+  private[graft] def knnShortlist101(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_knn101_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        graft.sources.Warehouse.writeBucketed(
+          knn(spark, dir, col("vec_id") % 101 === 0, k = ShortlistK,
+            threshold = -1.0, clampZero = false, sameLabel = false),
+          t, "query_id")
+    }
+    spark.table(t)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r3_search_topk"         -> ((s, d) => r3SearchTopK(s, d)),
     "r4_search_filtered"     -> ((s, d) => r4SearchFiltered(s, d)),
