@@ -48,7 +48,18 @@ object GlobalRank {
     * order, stamp `_mid` = (partition id << 33) | position-in-partition
     * (assigned in scan order over the sorted partition), freeze with a
     * checkpoint, decode `_pid`. ALL offset arithmetic must run against
-    * this one frozen frame — a recompute may resample range boundaries. */
+    * this one frozen frame — a recompute may resample range boundaries.
+    *
+    * Fault-tolerance trade: `localCheckpoint` pins the sorted (key, id)
+    * projection on EXECUTOR storage and truncates lineage, so it is not
+    * replayable — an executor lost between the count pass and the rank
+    * pass fails the query (rerun from source), and the pinned blocks
+    * occupy executor memory/disk for the frame's lifetime. That is the
+    * right trade for an interactive rank (one extra write of a narrow
+    * projection, no DFS round-trip); a long-running job on a flaky
+    * cluster should instead persist the sorted prelude as a reliable
+    * warehouse table (Warehouse.writeTable of the projected frame) and
+    * rank over that — same arithmetic, replayable input. */
   private def sortedWithPid(df: DataFrame, order: Seq[Column], n: Int): DataFrame =
     df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)

@@ -55,34 +55,29 @@ object Chunking {
 
   /** B18: chunk-level retrieval — the composed ingest path end to end:
     * chunk (r17) -> feature-hash embed (r9's embedder) -> search. Scoring
-    * is a SPARSE cosine: query and chunk signed-count features join on
-    * bucket equality and the dot product is an EXACT integer sum (so is
-    * each side's squared norm) — doubles appear only in the final
-    * round(dot/(|q||c|), 6). This is the inverted-index sparse-vector
-    * join IR engines run: cost is bounded by shared active buckets, no
-    * dense 64-wide math per pair, bit-stable at any shuffle order.
-    * Chunks of the query's own document are excluded; top-5 per query. */
-  /** Dense signed-count feature vector (double[Dim], integer-valued) +
-    * squared norm from sparse (id, bucket, s) feature rows. Integer
-    * values in doubles stay EXACT below 2^53, so dots over these arrays
-    * equal the sparse integer sums the oracle computes. */
-  private def densify(sparse: DataFrame, keyCols: Seq[String]): DataFrame =
-    sparse.groupBy(keyCols.map(col): _*)
-      .agg(
-        map_from_entries(collect_list(struct(col("bucket"), col("s").cast("double")))).as("m"),
-        sum(col("s") * col("s")).as("n2"))
-      .select(keyCols.map(col) :+
-        transform(sequence(lit(0), lit(Embed.Dim - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0.0))).as("f") :+ col("n2"): _*)
+    * is a SPARSE cosine over the inverted index: query and chunk
+    * signed-count features join on bucket equality (active buckets only,
+    * s != 0) and the dot product is an EXACT integer sum (so is each
+    * side's squared norm) — doubles appear only in the final
+    * round(dot/(|q||c|), 6). The candidate set is pairs sharing at least
+    * one active bucket, identically defined in Spark and the oracle (r6
+    * had the Spark side dense-scanning ALL pairs while the oracle joined
+    * sparsely — a latent membership divergence, now closed by making BOTH
+    * engines run the sparse formulation). This is the inverted-postings
+    * join IR engines run at web scale: cost is bounded by shared active
+    * buckets, no dense Dim-wide math per (query, chunk) pair, bit-stable
+    * at any shuffle order. Chunks of the query's own document are
+    * excluded; top-5 per query. */
 
-  /** The chunk feature index (doc_id, chunk_id, f double[Dim], n2),
-    * materialized ONCE per (session, sf-dir) bucketed by doc_id — the
-    * ingest artifact a chunked RAG corpus stores (chunk -> embedding +
-    * norm), built in one generator + aggregate pass. At Dim=64 retrieval
-    * scans this table densely (brute-force shape, queries broadcast); at
-    * web-scale dims (2^20 hash buckets) the same sparse (bucket, s) rows
-    * would instead join on bucket — the inverted-postings shape — so the
-    * index layout, not the scoring join, is the contract here. */
+  /** The chunk postings index — sparse rows (doc_id, chunk_id, bucket, s,
+    * n2) with s != 0, materialized ONCE per (session, sf-dir) bucketed by
+    * doc_id: the ingest artifact a chunked RAG corpus stores. n2 (the
+    * chunk's exact squared norm) is denormalized onto each posting row so
+    * scoring needs no second join. The doc_id bucketing makes the
+    * post-join (query_id, doc_id, chunk_id) aggregation exchange-free
+    * (doc_id ⊆ the grouping keys), so retrieval is: bucketed scan ->
+    * broadcast join on bucket -> partial+final HashAggregate, one shuffle
+    * of the tiny aggregated candidate rows only. */
   private def chunkFeatureIndex(spark: SparkSession, dir: String): DataFrame = {
     val t = s"graft_chunkfeat_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
@@ -92,10 +87,14 @@ object Chunking {
         val chunks = chunkRows(Tables.documents(spark, dir), withText = true)
           .select(concat_ws("#", col("doc_id"), col("chunk_id")).as("ck"), col("ctext"))
         val cf = Embed.features(chunks, "ck", "ctext")
+          .filter(col("s") =!= 0)
           .withColumn("doc_id", split_part(col("ck"), lit("#"), lit(1)).cast("long"))
           .withColumn("chunk_id", split_part(col("ck"), lit("#"), lit(2)).cast("long"))
+          .select("doc_id", "chunk_id", "bucket", "s")
+        val norms = cf.groupBy("doc_id", "chunk_id")
+          .agg(sum(col("s") * col("s")).as("n2"))
         graft.sources.Warehouse.writeBucketed(
-          densify(cf, Seq("doc_id", "chunk_id")), t, "doc_id")
+          cf.join(norms, Seq("doc_id", "chunk_id")), t, "doc_id")
       }
     }
     spark.table(t)
@@ -104,21 +103,23 @@ object Chunking {
   def r18ChunkSearch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cf = chunkFeatureIndex(spark, dir)
-    val q = densify(
-      Embed.features(
+    // query postings (tiny: |docs|/101 queries × ≤Dim active buckets) with
+    // the exact squared norm attached — broadcast into the chunk index
+    val qf = Embed.features(
         Tables.documents(spark, dir).filter(col("doc_id") % 101 === 0)
-          .select(col("doc_id").as("query_id"), col("text")), "query_id", "text"),
-      Seq("query_id"))
-      .select(col("query_id"), col("f").as("qf"), col("n2").as("q2"))
-    // dots over integer-valued doubles are exact, so this dense scan
-    // reproduces the oracle's sparse integer sums bit for bit
-    val dp = graft.functions.Vec.dotNative(col("qf"), col("f"))
+          .select(col("doc_id").as("query_id"), col("text")), "query_id", "text")
+      .filter(col("s") =!= 0)
+      .select(col("query_id"), col("bucket").as("qb"), col("s").as("qs"))
+    val q2 = qf.groupBy("query_id").agg(sum(col("qs") * col("qs")).as("q2"))
+    val q = qf.join(q2, "query_id")
+    // s != 0 on both sides ⇒ n2 ≥ 1 and q2 ≥ 1: no zero-norm guard needed
     val sim = round(
-      when(col("q2") * col("n2") === 0, 0.0)
-        .otherwise(dp / (sqrt(col("q2").cast("double")) * sqrt(col("n2").cast("double")))), 6)
+      col("dp").cast("double") / (sqrt(col("q2").cast("double")) * sqrt(col("n2").cast("double"))), 6)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("doc_id"), col("chunk_id"))
-    cf.join(broadcast(q), col("doc_id") =!= col("query_id"))
+    cf.join(broadcast(q), col("qb") === col("bucket") && col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "chunk_id", "q2", "n2")
+      .agg(sum(col("s") * col("qs")).as("dp"))
       .withColumn("similarity", sim)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -164,9 +165,13 @@ object Chunking {
          |  SELECT doc_id, chunk_id, ${graft.functions.DetHash.h60Sql("'fh:' || w")} AS h
          |  FROM (SELECT doc_id, chunk_id, unnest(cw) AS w FROM ch)
          |), cf AS (
+         |  -- active postings only (s <> 0), matching the Spark index:
+         |  -- candidate membership is "shares >= 1 active bucket" in BOTH
+         |  -- engines (the sparse inverted-index formulation)
          |  SELECT doc_id, chunk_id, CAST(h % ${Embed.Dim} AS INT) AS bucket,
          |    sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) AS s
          |  FROM ctok GROUP BY 1, 2, 3
+         |  HAVING sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) <> 0
          |), qtok AS (
          |  SELECT doc_id AS query_id, ${graft.functions.DetHash.h60Sql("'fh:' || w")} AS h
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -175,30 +180,20 @@ object Chunking {
          |  SELECT query_id, CAST(h % ${Embed.Dim} AS INT) AS bucket,
          |    sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) AS s
          |  FROM qtok GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) <> 0
          |), q2 AS (
          |  SELECT query_id, CAST(sum(s*s) AS BIGINT) AS q2 FROM qf GROUP BY 1
          |), c2 AS (
          |  SELECT doc_id, chunk_id, CAST(sum(s*s) AS BIGINT) AS c2 FROM cf GROUP BY 1, 2
-         |), dp0 AS (
+         |), dp AS (
          |  SELECT q.query_id, c.doc_id, c.chunk_id, CAST(sum(q.s * c.s) AS BIGINT) AS dp
          |  FROM qf q JOIN cf c ON c.bucket = q.bucket AND c.doc_id <> q.query_id
          |  GROUP BY 1, 2, 3
-         |), dp AS (
-         |  -- rank the FULL (query, chunk) candidate set, dp = 0 where no
-         |  -- bucket overlaps: the Spark side dense-scans every pair, so
-         |  -- zero-overlap pairs legitimately compete for the top-5 at
-         |  -- similarity 0 and both engines must rank the same set
-         |  SELECT a.query_id, a.doc_id, a.chunk_id, coalesce(d.dp, 0) AS dp
-         |  FROM (SELECT q.query_id, c.doc_id, c.chunk_id
-         |        FROM (SELECT DISTINCT query_id FROM qf) q
-         |        JOIN c2 c ON c.doc_id <> q.query_id) a
-         |  LEFT JOIN dp0 d ON d.query_id = a.query_id
-         |    AND d.doc_id = a.doc_id AND d.chunk_id = a.chunk_id
          |), scored AS (
+         |  -- s <> 0 postings only, so q2 >= 1 and c2 >= 1: no zero guard
          |  SELECT dp.query_id, dp.doc_id, dp.chunk_id,
-         |    round(CASE WHEN q2.q2 * c2.c2 = 0 THEN 0.0
-         |      ELSE CAST(dp.dp AS DOUBLE) /
-         |        (sqrt(CAST(q2.q2 AS DOUBLE)) * sqrt(CAST(c2.c2 AS DOUBLE))) END, 6) AS similarity
+         |    round(CAST(dp.dp AS DOUBLE) /
+         |        (sqrt(CAST(q2.q2 AS DOUBLE)) * sqrt(CAST(c2.c2 AS DOUBLE))), 6) AS similarity
          |  FROM dp
          |  JOIN q2 ON q2.query_id = dp.query_id
          |  JOIN c2 ON c2.doc_id = dp.doc_id AND c2.chunk_id = dp.chunk_id

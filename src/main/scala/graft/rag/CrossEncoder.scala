@@ -49,9 +49,12 @@ object CrossEncoder {
   /** STUB cross-encoder: a real implementation would run a transformer
     * forward pass over the concatenated pair here (batched, on GPU).
     * Deterministic pair-interaction arithmetic stands in: a token-overlap
-    * Jaccard (e6 integer) dominates, an md5-derived pseudo-logit breaks
-    * ties — both functions of the JOINT (query, doc) pair, which is the
-    * defining property of a cross-encoder vs the bi-encoder dot product. */
+    * Jaccard (e6 integer) STRICTLY dominates (scaled by 1e6, one full
+    * order above the pseudo-logit's range, so no hash value can ever
+    * outrank a real Jaccard difference), and an md5-derived pseudo-logit
+    * in [0, 1e6) breaks exact-Jaccard ties — both functions of the JOINT
+    * (query, doc) pair, which is the defining property of a cross-encoder
+    * vs the bi-encoder dot product. */
   private[graft] def scoreBatch(batch: Seq[PairRecord]): Seq[ScoredPair] =
     batch.map { p =>
       val qt = tokens(p.qtext)
@@ -62,7 +65,7 @@ object CrossEncoder {
       val dig = java.security.MessageDigest.getInstance("MD5")
         .digest((p.qtext + "\u0000" + p.dtext).getBytes("UTF-8"))
       val logit = (java.nio.ByteBuffer.wrap(dig).getLong & Long.MaxValue) % 1000000L
-      ScoredPair(p.query_id, p.doc_id, p.rrf_rnk, jacE6 * 4L + logit)
+      ScoredPair(p.query_id, p.doc_id, p.rrf_rnk, jacE6 * 1000000L + logit)
     }
 
   /** The scored shortlist×query pairs BEFORE final ranking — exposed so

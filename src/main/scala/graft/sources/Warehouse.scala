@@ -117,6 +117,18 @@ object Warehouse {
     }
   }
 
+  /** ATOMICITY PRECONDITION: the "one complete copy at every instant"
+    * invariant of this staged swap (and of [[repairStaged]] /
+    * `compactPartitioned`) holds only on filesystems with atomic
+    * directory rename — local disk and HDFS. Object stores expose rename
+    * as a non-atomic copy+delete (s3a), so a crash mid-"rename" can leave
+    * a torn directory that still carries `_SUCCESS` from its source and
+    * would wrongly pass [[isComplete]]. On such stores use a real table
+    * format whose commit is a single atomic pointer swap (Delta/Iceberg
+    * metadata log — the public-design analog of this staged layout) or an
+    * HDFS-semantics layer; this implementation intentionally stays on
+    * plain parquet + rename because the test/bench environment is
+    * rename-atomic. */
   def writeTableStaged(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val loc = tableLocation(spark, table)
