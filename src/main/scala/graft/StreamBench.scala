@@ -101,7 +101,85 @@ object StreamBench {
     val r1 = (n / sec1).round
     val r2 = (n / sec2).round
     val r3 = (nMv / sec3).round
-    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2,"mv_merge":$r3}""")
+
+    // ---- cardinality sweep: is state really O(active keys)? ----
+    // The headline H2 load advances event-time 1s per EVENT, so keys lapse
+    // past the 600s TTL and the state plateaus near min(keys, 600) whatever
+    // the key count — it measures steady-state churn, not state growth. The
+    // sweep uses a slow clock (1s per full key ROUND) so every key stays
+    // inside its TTL: active keys == K exactly, and the state store must
+    // hold all of them. Claim under test, with numbers: throughput is flat
+    // in K (per-event state maintenance is O(1) amortized) while state rows
+    // == K and state bytes grow linearly — i.e. the operator's only scale
+    // axis is executor memory for active state, which partitions out on a
+    // real cluster.
+    def ttlSweep(keys: Int, nEv: Int): (Long, Long, Double) = {
+      val in = MemoryStream[Streams.MemEvent]
+      val q = Streams.ttlStateMachine(in.toDS(), ttlSeconds = 600,
+          watermark = "1 minute")
+        .writeStream.format("memory").queryName(s"sb_ttl_$keys")
+        .outputMode(OutputMode.Append).start()
+      def slowTs(i: Int) = new Timestamp(1704067200000L + (i / keys) * 1000L)
+      val t = System.nanoTime()
+      (0 until nEv grouped 50000).foreach { batch =>
+        in.addData(batch.map(i =>
+          Streams.MemEvent(s"k${i % keys}", slowTs(i), i.toLong, s"v$i")))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      // state metrics from the LAST progress with state info: numRowsTotal
+      // is the store's row count after the final batch (all keys live — no
+      // expiry under the slow clock), memoryUsedBytes its provider-reported
+      // footprint. recentProgress keeps the tail; scan back for a populated
+      // entry in case the final event is a no-data tick.
+      val so = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+        .headOption
+      val stateRows = so.map(_.numRowsTotal).getOrElse(-1L)
+      val stateMb = so.map(_.memoryUsedBytes / 1e6).getOrElse(-1.0)
+      q.stop()
+      ((nEv / sec).round, stateRows, stateMb)
+    }
+
+    // H11 at scaled GROUP cardinality: the q1-shaped MV has 6 natural
+    // groups; the sweep feeds synthetic flag values so the MV holds G
+    // groups and each micro-batch pays read-MV + merge + overwrite at that
+    // width. Claim under test: per-batch cost is O(MV groups + batch), so
+    // rows/s degrades only in proportion to the MV's own size — the number
+    // that sizes micro-batch triggers once the MV is wide.
+    def mvSweep(groups: Int, nEv: Int): (Long, Long) = {
+      val table = s"graft_sbench_mv_$groups"
+      graft.sources.Warehouse.dropStale(spark, table)
+      val in = MemoryStream[Streams.LiDelta]
+      val q = Streams.maintainQ1Mv(in.toDF(), table,
+        s"/tmp/graft_sbench_ckpt_${groups}_${System.nanoTime()}")
+      val half = groups / 2
+      val t = System.nanoTime()
+      // 4 micro-batches (not the headline's 1): the claim is PER-BATCH
+      // merge cost O(MV groups + batch), so the rate must average several
+      // merges at the scaled MV width
+      (0 until nEv grouped (nEv / 4)).foreach { batch =>
+        in.addData(batch.map(i => Streams.LiDelta(s"f${i % half}", flags((i / half) % 2),
+          (i % 50).toDouble, (i % 1000).toDouble, (i % 10) / 100.0,
+          (i % 8) / 100.0, shipTs(i))))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      q.stop()
+      val mvRows = spark.table(table).count()
+      ((nEv / sec).round, mvRows)
+    }
+
+    val fmtD = (v: Double) => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val ttlScale = Seq(1000, 10000).map { k =>
+      val (rps, rows, mb) = ttlSweep(k, n)
+      s"""{"keys":$k,"rows_per_sec":$rps,"state_rows":$rows,"state_mb":${fmtD(mb)}}"""
+    }.mkString("[", ",", "]")
+    val mvScale = Seq(1000, 10000).map { g =>
+      val (rps, rows) = mvSweep(g, nMv)
+      s"""{"groups":$g,"rows_per_sec":$rps,"mv_rows":$rows}"""
+    }.mkString("[", ",", "]")
+
+    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2,"mv_merge":$r3,"scale":{"ttl":$ttlScale,"mv":$mvScale}}""")
     spark.stop()
   }
 }
