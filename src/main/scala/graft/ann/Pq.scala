@@ -381,6 +381,29 @@ object Pq {
     spark.table(t)
   }
 
+  /** Alternative physical layout for the IVFPQ index: ONE flat directory
+    * Z-ordered on (list_id, label) instead of a directory per inverted
+    * list ([[ivfPqTable]]). Directory-per-list prunes perfectly on the
+    * probe's list set but (a) scans every row of a probed list when the
+    * query also carries a label predicate (a10's filtered search — the
+    * label dimension is unclustered inside a list), and (b) degenerates
+    * to a tiny file per list once nlists reaches the 10k+ a 100 TB corpus
+    * needs (the small-files problem [[graft.sources.Warehouse.compactPartitioned]]
+    * exists to repair). The Z-ordered layout keeps the file count fixed
+    * and gives every file a bounded min/max box in BOTH dimensions, so
+    * parquet footer stats prune a filtered probe on the list predicate
+    * AND the label predicate — SourcesSpec counts the candidate files per
+    * predicate against per-file stats to prove both dimensions prune. */
+  def writeZOrderedCodes(spark: SparkSession, dir: String, path: String,
+                         files: Int = 8): Unit = {
+    val e = Search.corpus(spark, dir)
+    val cb = codebook(e)
+    graft.sources.Warehouse.writeZOrderedN(
+      encode(e, cb).join(
+        Ann.listAssignment(e).select("vec_id", "list_id", "label"), "vec_id"),
+      path, Seq("list_id", "label"), files = files)
+  }
+
   /** D13 (a13): composed IVF+PQ — the canonical billion-scale ANN index
     * (Jégou et al. 2011, the FAISS IVFPQ default): coarse quantizer
     * prunes to nprobe inverted lists, PQ codes score candidates via ADC.

@@ -206,46 +206,59 @@ object Warehouse {
     fs.delete(old, true): Unit
   }
 
-  /** I7: Morton (Z-order) interleave of two non-negative integer columns —
+  /** I7: Morton (Z-order) interleave of N non-negative integer columns —
     * the multi-dimensional clustering key behind Delta/Iceberg `ZORDER BY`:
     * sorting by the interleaved bits gives every data file a bounded
-    * min/max box in BOTH dimensions, so parquet file/row-group stats prune
-    * scans filtered on EITHER column (a single-column sort clusters one
-    * dimension and leaves the other's per-file range at full width).
-    * Pure bit arithmetic — codegen'd, no UDF. */
-  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-                bits: Int = 16): org.apache.spark.sql.Column = {
+    * min/max box in EVERY dimension, so parquet file/row-group stats prune
+    * scans filtered on ANY column (a single-column sort clusters one
+    * dimension and leaves the others' per-file ranges at full width).
+    * Bit i of dimension j lands at position i*N + j; N*bits must fit a
+    * long's 63 value bits, so precision per dimension falls as dimensions
+    * are added — the standard Z-order trade (Delta caps ZORDER columns
+    * for the same reason). Pure bit arithmetic — codegen'd, no UDF. */
+  def zorderKeyN(cols: Seq[org.apache.spark.sql.Column],
+                 bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val n = cols.size
+    require(n >= 1 && n * bits <= 63,
+      s"zorderKeyN: $n dims x $bits bits exceeds a long's 63 value bits")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
+    ).reduce(_ bitwiseOR _)
   }
 
-  /** Write `df` clustered by the Z-order of (colA, colB): normalize each
+  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column =
+    zorderKeyN(Seq(a, b), bits)
+
+  /** Write `df` clustered by the Z-order of `colsN`: normalize each
     * dimension to its own [min, max] range (the raw interleave degenerates
     * to a single-column sort when the columns' bit widths differ — a
     * 13-bit key's high bits dominate an 8-bit key entirely; Delta's
     * OPTIMIZE ZORDER range-bins for the same reason), interleave, then
     * range-partition + sort on the key so each output file covers a
-    * compact rectangle of the value space. The helper column never
+    * compact box of the value space. The helper column never
     * reaches disk (projected away after the sort — projection preserves
     * intra-partition order). The min/max normalizers are one cheap agg —
-    * write-time-only cost. SourcesSpec measures the effect: per-file
-    * ranges of BOTH columns shrink vs a single-column sort. */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    files: Int = 8, bits: Int = 16): Unit = {
+    * write-time-only cost. Per-dimension precision is `min(bits,
+    * 63/N)` — adding dimensions coarsens each dimension's binning.
+    * SourcesSpec measures the effect: per-file ranges of EVERY column
+    * shrink vs a single-column sort. */
+  def writeZOrderedN(df: DataFrame, path: String, colsN: Seq[String],
+                     files: Int = 8, bits: Int = 16): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
-    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
-    if (r.isNullAt(0) || r.isNullAt(2)) {
+    val b = math.min(bits, 63 / colsN.size)
+    val aggs = colsN.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (colsN.indices.exists(j => r.isNullAt(2 * j))) {
       // empty input (or an all-NULL cluster column): nothing to cluster —
       // a plain write preserves the "any df writes" contract instead of
       // crashing on the NULL min/max row
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    val top = (1L << bits) - 1
+    val top = (1L << b) - 1
     // Binning arithmetic, two regimes (range computed in BigInt — hi-lo
     // itself overflows a long when the column spans most of the type).
     // The SUBTRACTION is the precision-critical step: c.cast("double")
@@ -267,14 +280,19 @@ object Warehouse {
           lit((hi - lo).toDouble)).cast("long")
       else ((c.cast("double") - lit(lo.toDouble)) * lit(top.toDouble) /
         lit(hi.toDouble - lo.toDouble)).cast("long")
-    df.withColumn("_zkey", zorderKey(
-        norm(col(colA), r.getLong(0), r.getLong(1)),
-        norm(col(colB), r.getLong(2), r.getLong(3)), bits))
+    df.withColumn("_zkey", zorderKeyN(
+        colsN.zipWithIndex.map { case (c, j) =>
+          norm(col(c), r.getLong(2 * j), r.getLong(2 * j + 1))
+        }, b))
       .repartitionByRange(files, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int = 8, bits: Int = 16): Unit =
+    writeZOrderedN(df, path, Seq(colA, colB), files, bits)
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 

@@ -176,6 +176,65 @@ class SourcesSpec extends SparkSpec {
       s"narrow-range dim must still cluster (per-file ranges: ${ranges.toSeq})")
   }
 
+  test("I7: N-dim z-order bounds every dimension; IVFPQ codes consumer " +
+       "prunes a filtered probe on BOTH predicates via file stats") {
+    def statBoxes(dir: String, cols: Seq[String]) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      files.map { f =>
+        val aggCols = cols.flatMap(c =>
+          Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        val r = spark.read.parquet(f).agg(aggCols.head, aggCols.tail: _*).collect()(0)
+        cols.indices.map(j => (r.getLong(2 * j), r.getLong(2 * j + 1)))
+      }
+    }
+    // 3-dim generalization: every dimension's per-file range is bounded
+    // below its global width (a single-column sort leaves two of the
+    // three at full width)
+    val li = Tables.lineitem(spark, Sf).select(
+      col("l_orderkey").cast("long").as("a"),
+      col("l_partkey").cast("long").as("b"),
+      col("l_suppkey").cast("long").as("c"))
+    val z3 = Files.createTempDirectory("graft_z3").toString + "/t"
+    Warehouse.writeZOrderedN(li, z3, Seq("a", "b", "c"))
+    assert(spark.read.parquet(z3).count() == li.count())
+    val boxes3 = statBoxes(z3, Seq("a", "b", "c"))
+    Seq("a", "b", "c").zipWithIndex.foreach { case (c, j) =>
+      val g = li.agg((max(col(c)) - min(col(c))).cast("double")).collect()(0).getDouble(0)
+      val perFile = boxes3.map { bx => (bx(j)._2 - bx(j)._1).toDouble }
+      assert(perFile.sum / perFile.length < 0.8 * g,
+        s"dim $c per-file range ${perFile.sum / perFile.length} not bounded vs global $g")
+    }
+    // consumer: the IVFPQ code table as ONE flat dir z-ordered on
+    // (list_id, label) — the layout for nlists too large for a dir per
+    // list. A filtered probe (a10's shape: list predicate from the coarse
+    // quantizer AND a metadata label predicate) must be able to skip
+    // files on EITHER predicate from footer stats alone.
+    val codesDir = Files.createTempDirectory("graft_zcodes").toString + "/t"
+    graft.ann.Pq.writeZOrderedCodes(spark, Sf, codesDir)
+    val codes = spark.read.parquet(codesDir)
+    val probe = codes.select(col("list_id").cast("long"), col("label").cast("long")).head
+    val (pl, pb) = (probe.getLong(0), probe.getLong(1))
+    val boxes = statBoxes(codesDir, Seq("list_id", "label"))
+    val byList = boxes.count { bx => bx(0)._1 <= pl && pl <= bx(0)._2 }
+    val byLabel = boxes.count { bx => bx(1)._1 <= pb && pb <= bx(1)._2 }
+    val byBoth = boxes.count { bx =>
+      bx(0)._1 <= pl && pl <= bx(0)._2 && bx(1)._1 <= pb && pb <= bx(1)._2 }
+    assert(byList < boxes.length,
+      s"list_id=$pl should skip files by stats ($byList/${boxes.length})")
+    assert(byLabel < boxes.length,
+      s"label=$pb should skip files by stats ($byLabel/${boxes.length})")
+    assert(byBoth <= math.min(byList, byLabel),
+      s"conjunction must prune at least as hard ($byBoth vs $byList/$byLabel)")
+    // and the predicates actually reach the parquet reader: the scan's
+    // PushedFilters carries both, so footer-stat skipping is engaged in
+    // the real filtered-probe plan (not just in this spec's arithmetic)
+    val planStr = codes.filter(col("list_id") === pl && col("label") === pb)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("EqualTo(list_id") && planStr.contains("EqualTo(label"),
+      s"both predicates must be pushed to the scan:\n$planStr")
+  }
+
   test("staged table write survives catalog loss and ignores partial dirs") {
     import spark.implicits._
     val t = "graft_staged_spec"
