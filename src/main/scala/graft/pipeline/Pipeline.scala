@@ -89,7 +89,7 @@ object Pipeline {
     * global corpus. At 100 TB shard sizing (not this operator) bounds the
     * per-task window; the global-total-order alternative would be a full
     * corpus sort and is exactly what this layout avoids. */
-  def p3SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+  private def p3Offsets(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
     val t = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"),
@@ -98,9 +98,36 @@ object Pipeline {
       .withColumn("seq_first", floor(col("tok_offset") / PackBudget).cast("long"))
       .withColumn("seq_last",
         floor((col("tok_offset") + col("n_words") - 1) / PackBudget).cast("long"))
+  }
+
+  def p3SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    p3Offsets(spark, dir)
       .withColumn("crosses", col("seq_last") > col("seq_first"))
       .select("doc_id", "source", "n_words", "tok_offset", "seq_first", "seq_last", "crosses")
       .orderBy("source", "doc_id")
+
+  /** P3b: the packed-sequence table itself — the deliverable a trainer
+    * reads: one row per (training sequence × document span). `seq_id`
+    * is the sequence within the shard, `seq_pos` where the span starts
+    * inside that sequence, `doc_off` where it starts inside the
+    * document, `span_len` its length; a sequence is reassembled by
+    * reading its rows in `seq_pos` order, and attention masking derives
+    * segment boundaries from the same rows. Derived from p3's offsets by
+    * exploding each document over [seq_first, seq_last] — a narrow
+    * per-row explode AFTER the per-shard running sum, so the plan adds
+    * NO exchange to p3's; output size is O(total_tokens/budget + docs)
+    * (each sequence contributes its span rows, each doc at least one). */
+  def p3bPackedSequences(spark: SparkSession, dir: String): DataFrame = {
+    val B = PackBudget
+    p3Offsets(spark, dir)
+      .withColumn("seq_id", explode(sequence(col("seq_first"), col("seq_last"))))
+      .withColumn("seq_pos", greatest(col("tok_offset") - col("seq_id") * B, lit(0L)))
+      .withColumn("doc_off", greatest(col("seq_id") * B - col("tok_offset"), lit(0L)))
+      .withColumn("span_len",
+        least((col("seq_id") + 1) * B, col("tok_offset") + col("n_words"))
+          - greatest(col("seq_id") * B, col("tok_offset")))
+      .select("source", "seq_id", "doc_id", "seq_pos", "doc_off", "span_len")
+      .orderBy("source", "seq_id", "seq_pos")
   }
 
   /** P4: temperature-scaled language sampling (the multilingual mixing
@@ -229,6 +256,7 @@ object Pipeline {
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
     "p2_balanced_sample" -> ((s, d) => p2BalancedSample(s, d)),
     "p3_sequence_packing" -> ((s, d) => p3SequencePacking(s, d)),
+    "p3b_packed_sequences" -> ((s, d) => p3bPackedSequences(s, d)),
     "p4_temperature_sample" -> ((s, d) => p4TemperatureSample(s, d)),
     "p5_split_leakage" -> ((s, d) => p5SplitLeakage(s, d)),
   )
@@ -327,6 +355,33 @@ object Pipeline {
          |  CAST((tok_offset + n_words - 1) // $PackBudget AS BIGINT) AS seq_last,
          |  ((tok_offset + n_words - 1) // $PackBudget) > (tok_offset // $PackBudget) AS crosses
          |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "p3b_packed_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_words,
+         |    CAST(sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_words AS BIGINT) AS tok_offset
+         |  FROM t
+         |), f AS (
+         |  SELECT doc_id, source, n_words, tok_offset,
+         |    CAST(tok_offset // $PackBudget AS BIGINT) AS seq_first,
+         |    CAST((tok_offset + n_words - 1) // $PackBudget AS BIGINT) AS seq_last
+         |  FROM c
+         |), s AS (
+         |  SELECT source, doc_id, n_words, tok_offset,
+         |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+         |  FROM f
+         |)
+         |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(greatest(tok_offset - seq_id * $PackBudget, 0) AS BIGINT) AS seq_pos,
+         |  CAST(greatest(seq_id * $PackBudget - tok_offset, 0) AS BIGINT) AS doc_off,
+         |  CAST(least((seq_id + 1) * $PackBudget, tok_offset + n_words)
+         |    - greatest(seq_id * $PackBudget, tok_offset) AS BIGINT) AS span_len
+         |FROM s ORDER BY source, seq_id, seq_pos""".stripMargin,
 
     "p4_temperature_sample" ->
       s"""WITH t AS (

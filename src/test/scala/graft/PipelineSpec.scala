@@ -82,6 +82,38 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(6)), "no doc crosses a sequence boundary")
   }
 
+  test("P3b: packed-sequence table reassembles every sequence and document") {
+    val B = Pipeline.PackBudget
+    val spans = Pipeline.p3bPackedSequences(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // source, seq_id, doc_id, seq_pos, doc_off, span_len
+    assert(spans.nonEmpty)
+    // every sequence except each shard's LAST is filled to exactly the
+    // budget by non-overlapping, gap-free spans in seq_pos order
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((src, seq), ss) =>
+      val lastSeq = spans.filter(_._1 == src).map(_._2).max
+      val sorted = ss.sortBy(_._4)
+      var pos = 0L
+      sorted.foreach { s =>
+        assert(s._4 == pos, s"shard $src seq $seq: span starts at ${s._4}, expected $pos")
+        pos += s._6
+      }
+      if (seq < lastSeq) assert(pos == B, s"shard $src seq $seq holds $pos of $B tokens")
+      else assert(pos <= B)
+    }
+    // every document's spans tile the document: doc_offs are contiguous
+    // from 0 and span lengths sum to the doc's token count
+    val words = Pipeline.p3SequencePacking(spark, Sf).collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    spans.groupBy(s => (s._1, s._3)).foreach { case ((src, doc), ss) =>
+      val sorted = ss.sortBy(_._5)
+      var off = 0L
+      sorted.foreach { s => assert(s._5 == off); off += s._6 }
+      assert(off == words((src, doc)),
+        s"doc $doc spans cover $off of ${words((src, doc))} tokens")
+    }
+  }
+
   test("P4: temperature sampling moves shares toward sqrt-share targets") {
     val docs = Tables.documents(spark, Sf)
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_words"))
