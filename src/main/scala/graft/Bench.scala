@@ -68,9 +68,20 @@ object Bench {
       val dt =
         if (good.isEmpty) times.head // all failed: keep the negative marker
         else good(good.size / 2)     // upper median of the successful runs
+      // Plan fingerprint: md5 of the CANONICALIZED initial physical plan
+      // (exprIds normalized; pre-AQE, so runtime re-planning — a
+      // broadcast conversion, a skew split — does not perturb it). A
+      // timing regression with an UNCHANGED fingerprint is environment
+      // noise; a changed fingerprint is a plan change to diff. Free: the
+      // plan is derived, never executed.
+      val fp = try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.canonicalized.toString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(plan.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "err" }
       // the cold run counts toward flaky too: a build-path failure that
       // warm retries paper over must not vanish from the JSON
-      (name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0))
+      (name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0), fp)
     }
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
@@ -79,24 +90,26 @@ object Bench {
       val p = if (a >= 100) "%.0f" else if (a >= 10) "%.1f" else "%.2f"
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry negative markers: exclude them from the headline
     // total (summing them in would make a failure look like a speedup); a
     // query that failed on ANY run also lands in "flaky" with its failure
     // count, so partial failures are visible in the JSON, not just stderr.
-    val total = results.collect { case (_, v, _, _) if v > 0 => v }.sum
-    val coldTotal = results.collect { case (_, _, c, _) if c > 0 => c }.sum
+    val total = results.collect { case (_, v, _, _, _) if v > 0 => v }.sum
+    val coldTotal = results.collect { case (_, _, c, _, _) if c > 0 => c }.sum
     // Cold (build-paying) times are reported only where they matter — first
     // run >2x the median (the index-building queries; listing all ~100
     // would double the line for pure noise) — plus any FAILED cold, which
     // keeps its negative marker so a broken build path stays visible.
-    val colds = results.collect { case (k, v, c, _) if v > 0 && (c < 0 || c > 2 * v) =>
+    val colds = results.collect { case (k, v, c, _, _) if v > 0 && (c < 0 || c > 2 * v) =>
       "\"" + k + "\":" + fmt(c)
     }
     val coldField = if (colds.isEmpty) "" else colds.mkString(",\"cold\":{", ",", "}")
-    val flaky = results.collect { case (k, _, _, f) if f > 0 => "\"" + k + "\":" + f }
+    val flaky = results.collect { case (k, _, _, f, _) if f > 0 => "\"" + k + "\":" + f }
     val flakyField = if (flaky.isEmpty) "" else flaky.mkString(",\"flaky\":{", ",", "}")
+    val plans = results.map { case (k, _, _, _, fp) => "\"" + k + "\":\"" + fp + "\"" }
+      .mkString(",\"plans\":{", ",", "}")
     val sfName = sfDir.split('/').last
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
@@ -105,7 +118,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
