@@ -79,12 +79,54 @@ object Warehouse {
     new org.apache.hadoop.fs.Path(loc.toString + "__stage")
   private def oldPath(loc: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(loc.toString + "__old")
+  private val ManifestFile = "_GRAFT_MANIFEST"
+
+  /** Sidecar manifest: one `name\tlength` line per data file, sorted.
+    * `_SUCCESS` proves the WRITER finished; the manifest lets a READER
+    * prove the directory it sees still holds every byte the writer
+    * produced — the check that catches a torn directory "rename" on
+    * object stores (copy+delete, file by file), where a partial copy can
+    * carry `_SUCCESS` without all its data files. Lexicographic luck is
+    * on our side: `_GRAFT_MANIFEST` sorts before `_SUCCESS` and `part-*`,
+    * so a listing-ordered copy transfers the manifest before the marker —
+    * a torn copy that passes the `_SUCCESS` gate almost always carries
+    * the manifest that convicts it. A dir with NO manifest (plain
+    * [[writeTable]], partitioned layouts, pre-manifest state) keeps the
+    * `_SUCCESS`-only contract. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}\t${s.getLen}").sorted
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, ManifestFile), true)
+    try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def manifestOk(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Boolean = {
+    val mf = new org.apache.hadoop.fs.Path(p, ManifestFile)
+    if (!fs.exists(mf)) true
+    else {
+      val in = fs.open(mf)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      txt.split('\n').filter(_.nonEmpty).forall { line =>
+        val i = line.lastIndexOf('\t')
+        val f = new org.apache.hadoop.fs.Path(p, line.substring(0, i))
+        fs.exists(f) && fs.getFileStatus(f).getLen == line.substring(i + 1).toLong
+      }
+    }
+  }
+
   /** A write reached its commit point iff the committer's `_SUCCESS`
-    * marker exists — the single completeness convention shared by the
-    * swap repair and the restart-fallback read. */
+    * marker exists AND (when a [[writeManifest]] sidecar is present)
+    * every manifested data file survives at its recorded length — the
+    * single completeness convention shared by the swap repair and the
+    * restart-fallback read. */
   private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
                          p: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) && manifestOk(fs, p)
 
   /** Crash-safe overwrite of a small state table (the H11 MV): the new
     * contents are fully written (with `_SUCCESS`) to a `__stage` sibling
@@ -122,8 +164,11 @@ object Warehouse {
     * `compactPartitioned`) holds only on filesystems with atomic
     * directory rename — local disk and HDFS. Object stores expose rename
     * as a non-atomic copy+delete (s3a), so a crash mid-"rename" can leave
-    * a torn directory that still carries `_SUCCESS` from its source and
-    * would wrongly pass [[isComplete]]. On such stores use a real table
+    * a torn directory that still carries `_SUCCESS` from its source; the
+    * [[writeManifest]] sidecar makes [[isComplete]] DETECT such a copy
+    * (missing/short data files fail the manifest check) and fall through
+    * to an intact `__stage`/`__old` sibling, but detection is not
+    * atomicity. On such stores use a real table
     * format whose commit is a single atomic pointer swap (Delta/Iceberg
     * metadata log — the public-design analog of this staged layout) or an
     * HDFS-semantics layer; this implementation intentionally stays on
@@ -138,6 +183,7 @@ object Warehouse {
     repairStaged(spark, table)
     if (fs.exists(stage)) fs.delete(stage, true): Unit
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    writeManifest(fs, stage)
     // legacy managed entry: DROP would delete loc's files — safe because a
     // complete new copy already sits in stage and the reader falls back
     spark.sql(s"DROP TABLE IF EXISTS `$table`")

@@ -282,6 +282,41 @@ class SourcesSpec extends SparkSpec {
     Warehouse.dropStale(spark, t)
   }
 
+  test("manifest sidecar convicts a torn directory copy despite _SUCCESS") {
+    import spark.implicits._
+    val t = "graft_manifest_spec"
+    Warehouse.dropStale(spark, t)
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4) // several data files: a torn copy can lose just one
+    Warehouse.writeTableStaged(df, t)
+    val loc = Warehouse.tableLocation(spark, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_GRAFT_MANIFEST")),
+      "staged write must leave a manifest sidecar")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(Warehouse.readTableOrFiles(spark, t).exists(_.count() == 50))
+    // a torn object-store "rename": a data file vanished while _SUCCESS
+    // (and the manifest, which sorts before it in a listing-ordered copy)
+    // survived — _SUCCESS alone would wrongly bless this dir
+    val part = fs.listStatus(loc)
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    fs.delete(part, false)
+    assert(Warehouse.readTableOrFiles(spark, t).isEmpty,
+      "a dir missing a manifested file must NOT be trusted")
+    // a torn copy with a SHORT file (length mismatch) is equally convicted
+    Warehouse.dropStale(spark, t)
+    Warehouse.writeTableStaged(df, t)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val part2 = fs.listStatus(loc)
+      .filter(s => s.getPath.getName.startsWith("part-")).head.getPath
+    fs.delete(part2, false)
+    val out = fs.create(part2, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(Warehouse.readTableOrFiles(spark, t).isEmpty,
+      "a dir with a truncated manifested file must NOT be trusted")
+    Warehouse.dropStale(spark, t)
+  }
+
   test("documents survive an ORC round-trip with pushdown intact") {
     val docs = Tables.documents(spark, Sf)
     val odir = Files.createTempDirectory("graft_orc").toString + "/docs"
