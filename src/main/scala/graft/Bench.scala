@@ -73,9 +73,24 @@ object Bench {
       // broadcast conversion, a skew split — does not perturb it). A
       // timing regression with an UNCHANGED fingerprint is environment
       // noise; a changed fingerprint is a plan change to diff. Free: the
-      // plan is derived, never executed.
+      // plan is derived, never executed. Canonicalization does NOT
+      // normalize JVM-run-specific tokens that closure-bearing operators
+      // print — lambda class names ($Lambda$123/0x...), object identity
+      // hashes, RDD/plan ids — so those are scrubbed before hashing
+      // (verified: unscubbed, 20 of 113 fingerprints differ between two
+      // runs of IDENTICAL code — exactly the typed/closure plans).
       val fp = try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.canonicalized.toString
+        val plan = Bench.scrubPlan(
+          fn(spark, sfDir).queryExecution.executedPlan.canonicalized.toString)
+        // SPARK_GRAFT_DUMP_PLANS=<dir>: keep the scrubbed text per query —
+        // diffing two runs' dumps pinpoints any token that keeps a
+        // fingerprint from settling (PlanFp covers the fresh-session case,
+        // this covers plans that only differ mid-bench)
+        sys.env.get("SPARK_GRAFT_DUMP_PLANS").foreach { d =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.write(java.nio.file.Paths.get(d, s"$name.txt"),
+            plan.getBytes("UTF-8")): Unit
+        }
         java.security.MessageDigest.getInstance("MD5")
           .digest(plan.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
       } catch { case _: Throwable => "err" }
@@ -128,6 +143,113 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"BENCH_FULL.json"}""")
+    spark.stop()
+  }
+
+  /** Normalize JVM-run-specific tokens out of a canonicalized plan string
+    * so its hash is stable across processes: canonicalization handles
+    * exprIds but closure-bearing operators still print lambda class
+    * names, object identity hashes, and RDD/plan ids that differ every
+    * run. Shared by the bench fingerprint and [[PlanFp]] (the debug main
+    * that diffs two runs' plans when a fingerprint won't settle). */
+  private[graft] def scrubPlan(s: String): String = {
+    val tok = s
+      .replaceAll("\\$?Lambda/0x[0-9a-fA-F]+", "<lambda>")
+      .replaceAll("\\$?Lambda\\$\\d+/0x[0-9a-fA-F]+", "<lambda>")
+      .replaceAll("@[0-9a-fA-F]{4,}", "@obj")
+      .replaceAll("0x[0-9a-fA-F]{4,}", "0xN")
+      .replaceAll("#\\d+", "#n")
+      .replaceAll("\\[id=#?\\d+\\]", "[id=n]")
+      .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=n]")
+      .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
+    // Some delimited lists print in internal SET/MAP iteration order that
+    // genuinely varies run to run on identical code (measured: DPP scans
+    // swap [isnotnull, dynamicpruningexpression] in PartitionFilters;
+    // MergeScalarSubqueries swaps the FILTER-tagged functions of the
+    // fused aggregate; canonicalization's multicommutativeop prints its
+    // AND/OR children in set order). Sort those lists' top-level
+    // elements — iterated to fixpoint so nested occurrences settle —
+    // output=[..] is NOT sorted (column order is semantic).
+    val keys = Seq(("functions=", '[', ']'), ("PartitionFilters: ", '[', ']'),
+      ("DataFilters: ", '[', ']'), ("PushedFilters: ", '[', ']'),
+      ("multicommutativeop", '(', ')'))
+    var prev = ""
+    var cur = tok
+    var rounds = 0
+    while (cur != prev && rounds < 5) {
+      prev = cur
+      cur = keys.foldLeft(cur) { case (acc, (k, o, c)) => sortDelimited(acc, k, o, c) }
+      rounds += 1
+    }
+    cur
+  }
+
+  /** Sort the top-level comma-separated elements of every `key<open>...
+    * <close>` occurrence, respecting nesting depth (elements contain
+    * parenthesized commas: `first(a, true) FILTER (WHERE ...)`). */
+  private def sortDelimited(s: String, key: String, open: Char, close: Char): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var j = s.indexOf(key + open, i)
+    while (j >= 0) {
+      val start = j + key.length + 1
+      var depth = 1
+      var k = start
+      while (k < s.length && depth > 0) {
+        val c = s.charAt(k)
+        if (c == '[' || c == '(') depth += 1
+        else if (c == ']' || c == ')') depth -= 1
+        k += 1
+      }
+      val inner = s.substring(start, k - 1)
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var d = 0
+      var last = 0
+      var m = 0
+      while (m < inner.length) {
+        // NOT <>: comparison operators appear unpaired ((a > 5)), and
+        // generic types (struct<a:bigint,b:int>) print commas without a
+        // trailing space, so they can never be split points anyway
+        val c = inner.charAt(m)
+        if (c == '(' || c == '[') d += 1
+        else if (c == ')' || c == ']') d -= 1
+        else if (c == ',' && d == 0 && m + 1 < inner.length && inner.charAt(m + 1) == ' ') {
+          parts += inner.substring(last, m)
+          last = m + 2
+        }
+        m += 1
+      }
+      parts += inner.substring(last)
+      sb.append(s.substring(i, start)).append(parts.sorted.mkString(", ")).append(close)
+      i = k
+      j = s.indexOf(key + open, i)
+    }
+    sb.append(s.substring(i))
+    sb.toString
+  }
+}
+
+/** Debug tool: print the scrubbed canonicalized plan of the named
+  * queries (`runMain graft.PlanFp q1,q2 [sfDir]`). Diffing two runs'
+  * output pinpoints exactly which token keeps a bench plan fingerprint
+  * from settling. Not part of the driver contract. */
+object PlanFp {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(',').toSeq).getOrElse(Seq("q1_agg"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      println(s"===== $n =====")
+      println(Bench.scrubPlan(df.queryExecution.executedPlan.canonicalized.toString))
+    }
     spark.stop()
   }
 }

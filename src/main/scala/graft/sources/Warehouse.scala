@@ -107,15 +107,22 @@ object Warehouse {
                          p: org.apache.hadoop.fs.Path): Boolean = {
     val mf = new org.apache.hadoop.fs.Path(p, ManifestFile)
     if (!fs.exists(mf)) true
-    else {
+    else try {
       val in = fs.open(mf)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                 finally in.close()
       txt.split('\n').filter(_.nonEmpty).forall { line =>
         val i = line.lastIndexOf('\t')
-        val f = new org.apache.hadoop.fs.Path(p, line.substring(0, i))
-        fs.exists(f) && fs.getFileStatus(f).getLen == line.substring(i + 1).toLong
+        i > 0 && {
+          val f = new org.apache.hadoop.fs.Path(p, line.substring(0, i))
+          fs.exists(f) && fs.getFileStatus(f).getLen == line.substring(i + 1).toLong
+        }
       }
+    } catch {
+      // a manifest that cannot be read or parsed (torn copy truncated the
+      // sidecar itself) is evidence AGAINST the dir: convict, don't crash —
+      // the reader then falls through to an intact __stage/__old sibling
+      case _: java.io.IOException | _: NumberFormatException => false
     }
   }
 

@@ -314,6 +314,15 @@ class SourcesSpec extends SparkSpec {
     out.write(Array[Byte](1, 2, 3)); out.close()
     assert(Warehouse.readTableOrFiles(spark, t).isEmpty,
       "a dir with a truncated manifested file must NOT be trusted")
+    // a copy that tore the MANIFEST itself (no tab, no parsable length)
+    // is evidence against the dir too: convict, don't crash
+    Warehouse.dropStale(spark, t)
+    Warehouse.writeTableStaged(df, t)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(loc, "_GRAFT_MANIFEST"), true)
+    mf.write("part-torn-no-tab".getBytes("UTF-8")); mf.close()
+    assert(Warehouse.readTableOrFiles(spark, t).isEmpty,
+      "an unparsable manifest must convict the dir, not crash the reader")
     Warehouse.dropStale(spark, t)
   }
 
