@@ -125,6 +125,23 @@ object Bench {
     val flakyField = if (flaky.isEmpty) "" else flaky.mkString(",\"flaky\":{", ",", "}")
     val plans = results.map { case (k, _, _, _, fp) => "\"" + k + "\":\"" + fp + "\"" }
       .mkString(",\"plans\":{", ",", "}")
+    // Plan-change attribution, automated: diff this run's fingerprints
+    // against the PREVIOUS BENCH_FULL.json (about to be overwritten). A
+    // query listed in "plan_changes" (old fingerprint as the value) had
+    // its physical plan change since the last bench — any timing shift is
+    // a plan diff to investigate; a shifted timing NOT listed here is
+    // environment noise by construction. The m5-class triage (r6: three
+    // queries regressed 4-7x, plans unchanged, a round of manual plan
+    // digging to prove it) is now one JSON field.
+    val prevPlans = readPrevPlans("BENCH_FULL.json")
+    val changed = results.collect { case (k, _, _, _, fp)
+      if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") =>
+        "\"" + k + "\":\"" + prevPlans(k) + "\""
+    }
+    if (changed.nonEmpty)
+      System.err.println(s"[bench] ${changed.size} plan fingerprint(s) changed since last run")
+    val changedField =
+      if (changed.isEmpty) "" else changed.mkString(",\"plan_changes\":{", ",", "}")
     val sfName = sfDir.split('/').last
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
@@ -133,7 +150,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
@@ -145,6 +162,26 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
+
+  /** The "plans" map of a previous bench's JSON — sliced out textually
+    * (the file is our own single-line format: a flat object of
+    * 12-hex-char fingerprints, no nesting) so no JSON library is needed.
+    * Any unreadable/absent/malformed file degrades to "no baseline"
+    * (empty map): attribution is an aid, never an abort. */
+  private[graft] def readPrevPlans(path: String): Map[String, String] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val start = txt.indexOf("\"plans\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + 9, txt.indexOf('}', start))
+        raw""""([A-Za-z0-9_]+)":"([0-9a-f]{12}|err)"""".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
 
   /** Normalize JVM-run-specific tokens out of a canonicalized plan string
     * so its hash is stable across processes: canonicalization handles

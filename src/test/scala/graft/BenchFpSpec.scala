@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two pure helpers behind Bench's plan-change attribution:
+  * `scrubPlan` (JVM-run-token normalization — the difference between a
+  * fingerprint that settles across processes and one that flutters on 20
+  * of 113 queries) and `readPrevPlans` (the textual slice of the previous
+  * BENCH_FULL.json that turns a timing swing into "plan changed" vs
+  * "environment noise" without manual plan digging). Both are plain
+  * string functions, so the pins are exact, no Spark session needed.
+  */
+class BenchFpSpec extends AnyFunSuite {
+
+  test("scrubPlan normalizes lambda / object-hash / id tokens") {
+    val a = Bench.scrubPlan(
+      "SerializeFromObject [input] graft.rag.Mmr$$Lambda$4521/0x00007f3a2c5e9040@1a2b3c4d, " +
+        "Exchange hashpartitioning(doc_id#123, 4), [plan_id=57] RDD[12] [id=#88]")
+    val b = Bench.scrubPlan(
+      "SerializeFromObject [input] graft.rag.Mmr$$Lambda$977/0x00007fee81aa1840@deadbeef, " +
+        "Exchange hashpartitioning(doc_id#456, 4), [plan_id=3] RDD[7] [id=#2]")
+    assert(a == b)
+    assert(!a.contains("0x0000"))
+    assert(!a.contains("#123"))
+  }
+
+  test("scrubPlan sorts set-ordered delimited lists but not output columns") {
+    val x = Bench.scrubPlan(
+      "PartitionFilters: [isnotnull(d#n), dynamicpruningexpression(d#n IN subquery)], output=[b, a]")
+    val y = Bench.scrubPlan(
+      "PartitionFilters: [dynamicpruningexpression(d#n IN subquery), isnotnull(d#n)], output=[b, a]")
+    assert(x == y)
+    // output=[..] order is semantic (column order) and must survive
+    assert(x.contains("output=[b, a]"))
+  }
+
+  test("scrubPlan respects nesting when splitting list elements") {
+    // the FILTER clause contains a top-level-looking comma inside parens;
+    // a naive split would tear `first(a, true)` apart
+    val p = "functions=[sum(x#n), first(a#n, true) FILTER (WHERE (p#n = 1))]"
+    val q = "functions=[first(a#n, true) FILTER (WHERE (p#n = 1)), sum(x#n)]"
+    assert(Bench.scrubPlan(p) == Bench.scrubPlan(q))
+    assert(Bench.scrubPlan(p).contains("first(a#n, true)"))
+  }
+
+  test("readPrevPlans slices the plans map and ignores plan_changes") {
+    val dir = java.nio.file.Files.createTempDirectory("benchfp")
+    val f = dir.resolve("bench.json")
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","value":1.0,"queries":{"q1":0.1},""" +
+        """"plans":{"q1_agg":"0123456789ab","m5_cleanup":"err"},""" +
+        """"plan_changes":{"q1_agg":"ffffffffffff"},"sf":"sf0.1"}""").getBytes("UTF-8"))
+    val m = Bench.readPrevPlans(f.toString)
+    assert(m == Map("q1_agg" -> "0123456789ab", "m5_cleanup" -> "err"))
+  }
+
+  test("readPrevPlans degrades to empty on absent or malformed files") {
+    assert(Bench.readPrevPlans("/nonexistent/bench.json").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("benchfp2")
+    val f = dir.resolve("garbage.json")
+    java.nio.file.Files.write(f, "not json at all".getBytes("UTF-8"))
+    assert(Bench.readPrevPlans(f.toString).isEmpty)
+  }
+}
