@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC pinned for parity with Verify/Scratch/specs: with NTZ parquet
+      // columns in the testdata, NTZ↔TZ casts fold the session timezone
+      // into the plan, and an unpinned bench would fingerprint (and time)
+      // a different plan than Verify checks for correctness.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -142,6 +147,23 @@ object Bench {
       System.err.println(s"[bench] ${changed.size} plan fingerprint(s) changed since last run")
     val changedField =
       if (changed.isEmpty) "" else changed.mkString(",\"plan_changes\":{", ",", "}")
+    // GATE (r7 verdict #5): a changed fingerprint is only acceptable when
+    // DECLARED — the committer lists the queries whose plans they expect to
+    // change in SPARK_GRAFT_FP_ALLOW ("q8_rollup,m*" — names or prefix
+    // globs; "*" allows everything, e.g. after a Spark upgrade). Undeclared
+    // changes land in "fp_violations" and scream on stderr, so a replan
+    // smuggled in by data drift or an unrelated refactor is one visible
+    // field, not a timing mystery. Non-fatal by design: the driver needs
+    // the JSON line even when the gate trips, and the round log consumes
+    // the violation list.
+    val changedNames = results.collect { case (k, _, _, _, fp)
+      if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") => k }
+    val violations = fpViolations(changedNames, sys.env.getOrElse("SPARK_GRAFT_FP_ALLOW", ""))
+    if (violations.nonEmpty)
+      System.err.println(s"[bench] FP GATE: ${violations.size} UNDECLARED plan change(s): " +
+        violations.mkString(", ") + " — declare via SPARK_GRAFT_FP_ALLOW or investigate")
+    val violField = if (violations.isEmpty) ""
+      else violations.map("\"" + _ + "\"").mkString(",\"fp_violations\":[", ",", "]")
     val sfName = sfDir.split('/').last
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
@@ -150,7 +172,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
@@ -161,6 +183,16 @@ object Bench {
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"BENCH_FULL.json"}""")
     spark.stop()
+  }
+
+  /** The fingerprint gate's decision: which changed-plan queries are NOT
+    * covered by the allowlist. `allow` is comma-separated, each entry an
+    * exact query name, a `prefix*` glob, or `*` (allow all); blank allows
+    * nothing. Pure so BenchFpSpec can pin it exactly. */
+  private[graft] def fpViolations(changed: Seq[String], allow: String): Seq[String] = {
+    val pats = allow.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    changed.filterNot(c => pats.exists(p =>
+      p == "*" || p == c || (p.endsWith("*") && c.startsWith(p.dropRight(1)))))
   }
 
   /** The "plans" map of a previous bench's JSON — sliced out textually

@@ -426,6 +426,50 @@ object Pq {
       .orderBy("query_id", "rnk")
   }
 
+  /** The z-ordered flat code table materialized once per (session, sf-dir)
+    * under the warehouse dir — [[writeZOrderedCodes]]' layout as the
+    * probe-time artifact. `_SUCCESS`-guarded: a torn write is rebuilt,
+    * never trusted. */
+  private def zCodesDir(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.get("spark.sql.warehouse.dir").replaceFirst("^file:", "")
+    val path = s"$base/graft_ivfpqz_${graft.sources.Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        writeZOrderedCodes(spark, dir, path)
+    }
+    path
+  }
+
+  /** a13z: the SAME IVFPQ probe semantics as [[a13IvfPqTopK]] but reading
+    * the Z-ORDERED FLAT layout ([[writeZOrderedCodes]]) instead of the
+    * directory-per-list table — the layout that survives nlists in the
+    * 10k+ range, where dir-per-list degenerates into the small-files
+    * problem. Pruning moves from Hive-style partition pruning to parquet
+    * footer stats: the probed list set (nqueries x nprobe DISTINCT ids —
+    * driver-side by construction, same contract as a19's probe selection)
+    * is inlined as a literal IN, so the scan's PushedFilters carries
+    * `In(list_id, ...)` and every file/row-group whose (z-bounded) min/max
+    * box misses the probe set is skipped before a row is read. Results are
+    * bit-identical to a13 — same codes, same LUTs, same tie-breaks —
+    * which the a13 oracle (shared) and ZLayoutSpec both pin. */
+  def a13zIvfPqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    val cb = codebook(e)
+    val codes = spark.read.parquet(zCodesDir(spark, dir))
+    val probe = Ann.listProbes(e).select(col("query_id"), col("list_id"))
+      .join(queryLut(e, cb), "query_id")
+    val probed = probe.select("list_id").distinct().collect().map(_.getLong(0))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    codes.filter(col("list_id").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(probe),
+        codes("list_id") === probe("list_id") && col("vec_id") =!= col("query_id"))
+      .withColumn("similarity", adcSim)
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   /** D14 (a14): IVFPQ recall@10 vs exact brute force — the compounded
     * loss of both approximations (list pruning x code quantization),
     * measured instead of assumed. */
@@ -434,6 +478,7 @@ object Pq {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_ivfpq_topk" -> ((s, d) => a13IvfPqTopK(s, d)),
+    "a13z_ivfpq_topk" -> ((s, d) => a13zIvfPqTopK(s, d)),
     "a14_ivfpq_recall" -> ((s, d) => a14IvfPqRecall(s, d)),
     "a5_pq_topk" -> ((s, d) => a5PqTopK(s, d)),
     "a6_pq_recall" -> ((s, d) => a6PqRecall(s, d)),
@@ -601,6 +646,13 @@ object Pq {
         |)""".stripMargin + recallTailSql("rr10")),
 
     "a13_ivfpq_topk" -> (IvfPqCte +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin),
+
+    // a13z reads a different physical layout of the SAME index — identical
+    // logical semantics, so the oracle is a13's verbatim
+    "a13z_ivfpq_topk" -> (IvfPqCte +
       """
         |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
         |ORDER BY query_id, rnk""".stripMargin),

@@ -54,6 +54,25 @@ class BenchFpSpec extends AnyFunSuite {
     assert(m == Map("q1_agg" -> "0123456789ab", "m5_cleanup" -> "err"))
   }
 
+  test("fp gate: undeclared plan changes are violations") {
+    val changed = Seq("e1_asof_join", "q8_rollup", "m5_cleanup_expired")
+    assert(Bench.fpViolations(changed, "") == changed) // blank allows nothing
+    assert(Bench.fpViolations(changed, "q8_rollup") ==
+      Seq("e1_asof_join", "m5_cleanup_expired"))
+  }
+
+  test("fp gate: exact names, prefix globs, and * all declare changes") {
+    val changed = Seq("e1_asof_join", "e2_sessions", "q8_rollup")
+    // the intentional-change exercise: committer declares the event family
+    // (prefix glob) plus one exact query — gate passes
+    assert(Bench.fpViolations(changed, "e*,q8_rollup").isEmpty)
+    assert(Bench.fpViolations(changed, "*").isEmpty)
+    // a glob that misses still reports the rest
+    assert(Bench.fpViolations(changed, "e1_*") == Seq("e2_sessions", "q8_rollup"))
+    // whitespace around entries is tolerated
+    assert(Bench.fpViolations(changed, " e* , q8_rollup ").isEmpty)
+  }
+
   test("readPrevPlans degrades to empty on absent or malformed files") {
     assert(Bench.readPrevPlans("/nonexistent/bench.json").isEmpty)
     val dir = java.nio.file.Files.createTempDirectory("benchfp2")
