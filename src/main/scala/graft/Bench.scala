@@ -73,20 +73,26 @@ object Bench {
       val dt =
         if (good.isEmpty) times.head // all failed: keep the negative marker
         else good(good.size / 2)     // upper median of the successful runs
-      // Plan fingerprint: md5 of the CANONICALIZED initial physical plan
-      // (exprIds normalized; pre-AQE, so runtime re-planning — a
-      // broadcast conversion, a skew split — does not perturb it). A
-      // timing regression with an UNCHANGED fingerprint is environment
-      // noise; a changed fingerprint is a plan change to diff. Free: the
-      // plan is derived, never executed. Canonicalization does NOT
-      // normalize JVM-run-specific tokens that closure-bearing operators
-      // print — lambda class names ($Lambda$123/0x...), object identity
-      // hashes, RDD/plan ids — so those are scrubbed before hashing
-      // (verified: unscubbed, 20 of 113 fingerprints differ between two
+      // Plan fingerprint: md5 of the scrubbed RAW initial physical plan
+      // (pre-AQE, so runtime re-planning — a broadcast conversion, a skew
+      // split — does not perturb it). A timing regression with an
+      // UNCHANGED fingerprint is environment noise; a changed fingerprint
+      // is a plan change to diff. Free: the plan is derived, never
+      // executed. RAW, not `.canonicalized` (r8 change): canonicalization
+      // REORDERS commutative operands by expression hashCode, and that
+      // order proved ENVIRONMENT-sensitive — the r7 driver's runs flipped
+      // `qnrm * sqrt(...)` to `sqrt(...) * qnrm` (and the OR-of-AND
+      // nests of q19) on 11 queries vs identical-code builder runs,
+      // polluting plan_changes with phantom replans. The raw plan prints
+      // operands in SOURCE order — deterministic from code by
+      // construction. What canonicalization bought is re-created by the
+      // scrub: exprIds (#\d+ → #n), lambda class names, object identity
+      // hashes, RDD/plan ids, and the genuinely set-ordered lists
+      // (verified: unscrubbed, 20 of 113 fingerprints differ between two
       // runs of IDENTICAL code — exactly the typed/closure plans).
       val fp = try {
         val plan = Bench.scrubPlan(
-          fn(spark, sfDir).queryExecution.executedPlan.canonicalized.toString)
+          fn(spark, sfDir).queryExecution.executedPlan.toString)
         // SPARK_GRAFT_DUMP_PLANS=<dir>: keep the scrubbed text per query —
         // diffing two runs' dumps pinpoints any token that keeps a
         // fingerprint from settling (PlanFp covers the fresh-session case,
@@ -156,9 +162,15 @@ object Bench {
     // field, not a timing mystery. Non-fatal by design: the driver needs
     // the JSON line even when the gate trips, and the round log consumes
     // the violation list.
+    // Allowlist source: the env var for ad-hoc runs, else the committed
+    // FP_ALLOW file (first non-comment line) — the driver doesn't set env
+    // vars, so a round that intentionally re-plans a family declares it in
+    // the repo where the round log (and the next committer) can read it.
     val changedNames = results.collect { case (k, _, _, _, fp)
       if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") => k }
-    val violations = fpViolations(changedNames, sys.env.getOrElse("SPARK_GRAFT_FP_ALLOW", ""))
+    val allowSpec = sys.env.get("SPARK_GRAFT_FP_ALLOW")
+      .orElse(readAllowFile("FP_ALLOW")).getOrElse("")
+    val violations = fpViolations(changedNames, allowSpec)
     if (violations.nonEmpty)
       System.err.println(s"[bench] FP GATE: ${violations.size} UNDECLARED plan change(s): " +
         violations.mkString(", ") + " — declare via SPARK_GRAFT_FP_ALLOW or investigate")
@@ -194,6 +206,16 @@ object Bench {
     changed.filterNot(c => pats.exists(p =>
       p == "*" || p == c || (p.endsWith("*") && c.startsWith(p.dropRight(1)))))
   }
+
+  /** First non-comment, non-blank line of the FP_ALLOW declaration file
+    * (comma-separated patterns, `#` comments); None when absent/unreadable
+    * — same degrade-to-no-baseline stance as [[readPrevPlans]]. */
+  private[graft] def readAllowFile(path: String): Option[String] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.map(_.trim).find(l => l.nonEmpty && !l.startsWith("#"))
+  } catch { case _: Throwable => None }
 
   /** The "plans" map of a previous bench's JSON — sliced out textually
     * (the file is our own single-line format: a flat object of
@@ -231,19 +253,35 @@ object Bench {
       .replaceAll("\\[id=#?\\d+\\]", "[id=n]")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=n]")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
+      // Scan-metadata lists (DataFilters etc.) truncate at a fixed CHAR
+      // width (spark.sql.maxMetadataStringLength) — but the cut lands on
+      // the RAW text, whose exprId digit counts vary per session, so the
+      // scrubbed tail ends mid-token at shifting points. Drop the final
+      // partial element of any "..."-truncated list: the fingerprint
+      // loses one element's fidelity, the flutter goes away.
+      .replaceAll(",[^,\\[\\]]*\\.\\.\\.", ", ...")
+    // MergeScalarSubqueries numbers its fused groups (gid tags + the
+    // Expand node's literal group ids) in optimizer-visit order, which
+    // varies run to run — normalize the NUMBERS (they are internal tags,
+    // not semantics) so the sorts below can line the elements up. Bare
+    // digits are normalized ONLY inside Expand row-lists; `gid#n = K`
+    // comparisons are targeted directly.
+    val gidNorm = normalizeExpandTags(
+      tok.replaceAll("gid#n = \\d+", "gid#n = g"))
     // Some delimited lists print in internal SET/MAP iteration order that
     // genuinely varies run to run on identical code (measured: DPP scans
     // swap [isnotnull, dynamicpruningexpression] in PartitionFilters;
     // MergeScalarSubqueries swaps the FILTER-tagged functions of the
-    // fused aggregate; canonicalization's multicommutativeop prints its
-    // AND/OR children in set order). Sort those lists' top-level
-    // elements — iterated to fixpoint so nested occurrences settle —
-    // output=[..] is NOT sorted (column order is semantic).
+    // fused aggregate AND its Expand projection rows; canonicalization's
+    // multicommutativeop prints its AND/OR children in set order). Sort
+    // those lists' top-level elements — iterated to fixpoint so nested
+    // occurrences settle — output=[..] is NOT sorted (column order is
+    // semantic).
     val keys = Seq(("functions=", '[', ']'), ("PartitionFilters: ", '[', ']'),
       ("DataFilters: ", '[', ']'), ("PushedFilters: ", '[', ']'),
-      ("multicommutativeop", '(', ')'))
+      ("multicommutativeop", '(', ')'), ("Expand ", '[', ']'))
     var prev = ""
-    var cur = tok
+    var cur = gidNorm
     var rounds = 0
     while (cur != prev && rounds < 5) {
       prev = cur
@@ -251,6 +289,36 @@ object Bench {
       rounds += 1
     }
     cur
+  }
+
+  /** Normalize bare integer literals inside `Expand [[...], [...]]` row
+    * lists to `g`: the trailing literal of each Expand projection row is
+    * the grouping id MergeScalarSubqueries / rollup assigned in optimizer
+    * -visit order — an internal tag, renumbered nondeterministically on
+    * identical code. Scoped to the Expand block so real literals
+    * elsewhere in the plan are untouched. */
+  private[graft] def normalizeExpandTags(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var j = s.indexOf("Expand [", i)
+    while (j >= 0) {
+      val start = j + "Expand [".length
+      var depth = 1
+      var k = start
+      while (k < s.length && depth > 0) {
+        val c = s.charAt(k)
+        if (c == '[') depth += 1 else if (c == ']') depth -= 1
+        k += 1
+      }
+      sb.append(s.substring(i, start))
+        .append(s.substring(start, k - 1)
+          .replaceAll("(?<=[\\[, ])\\d+(?=[,\\]])", "g"))
+        .append(']')
+      i = k
+      j = s.indexOf("Expand [", i)
+    }
+    sb.append(s.substring(i))
+    sb.toString
   }
 
   /** Sort the top-level comma-separated elements of every `key<open>...
@@ -317,7 +385,7 @@ object PlanFp {
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"===== $n =====")
-      println(Bench.scrubPlan(df.queryExecution.executedPlan.canonicalized.toString))
+      println(Bench.scrubPlan(df.queryExecution.executedPlan.toString))
     }
     spark.stop()
   }

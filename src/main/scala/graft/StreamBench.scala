@@ -170,7 +170,11 @@ object StreamBench {
     }
 
     val fmtD = (v: Double) => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val ttlScale = Seq(1000, 10000).map { k =>
+    // 100x headline key cardinality (r7 swept 10x): 100k live keys is the
+    // regime where a per-key-state bug shows super-linear bytes or falling
+    // throughput; linear bytes + flat rows/s at 100k is the evidence the
+    // state axis partitions out on a real cluster.
+    val ttlScale = Seq(1000, 10000, 100000).map { k =>
       val (rps, rows, mb) = ttlSweep(k, n)
       s"""{"keys":$k,"rows_per_sec":$rps,"state_rows":$rows,"state_mb":${fmtD(mb)}}"""
     }.mkString("[", ",", "]")

@@ -426,16 +426,24 @@ object Pq {
       .orderBy("query_id", "rnk")
   }
 
-  /** The z-ordered flat code table materialized once per (session, sf-dir)
-    * under the warehouse dir — [[writeZOrderedCodes]]' layout as the
-    * probe-time artifact. `_SUCCESS`-guarded: a torn write is rebuilt,
-    * never trusted. */
+  /** The z-ordered flat code table, materialized once per (SESSION,
+    * sf-dir) under the warehouse dir — [[writeZOrderedCodes]]' layout as
+    * the probe-time artifact. Guarded by a per-session set, NOT by the
+    * on-disk `_SUCCESS`: a surviving directory from a previous JVM may
+    * describe REGENERATED source data (the driver rewrites /root/testdata
+    * between rounds under the same path), and tableSuffix is path-keyed —
+    * same staleness stance as the catalog-guarded managed tables, which
+    * also rebuild once per session. */
+  private val zBuilt = scala.collection.mutable.HashSet.empty[String]
+
   private def zCodesDir(spark: SparkSession, dir: String): String = {
     val base = spark.conf.get("spark.sql.warehouse.dir").replaceFirst("^file:", "")
     val path = s"$base/graft_ivfpqz_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      if (!zBuilt.contains(path)) {
         writeZOrderedCodes(spark, dir, path)
+        zBuilt += path
+      }
     }
     path
   }
@@ -458,7 +466,9 @@ object Pq {
     val codes = spark.read.parquet(zCodesDir(spark, dir))
     val probe = Ann.listProbes(e).select(col("query_id"), col("list_id"))
       .join(queryLut(e, cb), "query_id")
-    val probed = probe.select("list_id").distinct().collect().map(_.getLong(0))
+    // sorted: collect() returns shuffle order, and an unordered literal
+    // IN-list would make the plan text (and its fingerprint) flutter
+    val probed = probe.select("list_id").distinct().collect().map(_.getLong(0)).sorted
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     codes.filter(col("list_id").isin(probed.toIndexedSeq: _*))
       .join(broadcast(probe),

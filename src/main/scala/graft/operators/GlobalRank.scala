@@ -56,16 +56,32 @@ object GlobalRank {
     * pass fails the query (rerun from source), and the pinned blocks
     * occupy executor memory/disk for the frame's lifetime. That is the
     * right trade for an interactive rank (one extra write of a narrow
-    * projection, no DFS round-trip); a long-running job on a flaky
-    * cluster should instead persist the sorted prelude as a reliable
-    * warehouse table (Warehouse.writeTable of the projected frame) and
-    * rank over that — same arithmetic, replayable input. */
-  private def sortedWithPid(df: DataFrame, order: Seq[Column], n: Int): DataFrame =
-    df.repartitionByRange(n, order: _*)
+    * projection, no DFS round-trip).
+    *
+    * `reliable = true` switches to a RELIABLE checkpoint
+    * (`Dataset.checkpoint`): the sorted (key, id) projection is written
+    * to the SparkContext checkpoint directory (HDFS/object store on a
+    * cluster) and every block is re-READABLE after an executor loss —
+    * the count pass and the rank pass survive lost executors instead of
+    * failing the query, and the frozen ids can never be re-assigned
+    * because the frame is never recomputed. Cost: one DFS round-trip
+    * write + the remote reads, which is why it is opt-in — the right
+    * choice for a multi-hour budgeted-selection job over 100 TB, wrong
+    * for an interactive rank. Requires `setCheckpointDir`; fails fast
+    * with a named error when unset rather than surfacing Spark's
+    * internal one mid-job. */
+  private def sortedWithPid(df: DataFrame, order: Seq[Column], n: Int,
+                            reliable: Boolean): DataFrame = {
+    if (reliable)
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "GlobalRank(reliable = true) needs spark.sparkContext.setCheckpointDir " +
+          "(an HDFS/DFS path on a cluster) — the reliable checkpoint is a DFS write")
+    val sorted = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+    (if (reliable) sorted.checkpoint(true) else sorted.localCheckpoint(true))
       .withColumn("_pid", shiftrightunsigned(col("_mid"), 33).cast("int"))
+  }
 
   /** rank = rows-before-my-partition + bit-decoded local position, 1-based. */
   private def rankExpr: Column = col("_off") + col("_mid").bitwiseAND(lit(LocalPos)) + 1L
@@ -88,11 +104,11 @@ object GlobalRank {
     * per-partition counts), for callers that derive quantile buckets
     * (NTILE) from the rank. */
   def withGlobalRankN(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
-                      partitions: Int = 0): (DataFrame, Long) = {
+                      partitions: Int = 0, reliable: Boolean = false): (DataFrame, Long) = {
     requireFreshNames(df, Seq("_mid", "_pid", "_off"), Seq(rankCol))
     val spark = df.sparkSession
     val n = partitionsOrDefault(df, partitions)
-    val withPid = sortedWithPid(df, order, n)
+    val withPid = sortedWithPid(df, order, n, reliable)
     val counts = withPid.groupBy(col("_pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = prefix(n, counts)
@@ -108,8 +124,8 @@ object GlobalRank {
     * computed with per-partition parallelism (no single-partition
     * window). */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
-                     partitions: Int = 0): DataFrame =
-    withGlobalRankN(df, order, rankCol, partitions)._1
+                     partitions: Int = 0, reliable: Boolean = false): DataFrame =
+    withGlobalRankN(df, order, rankCol, partitions, reliable)._1
 
   /** Global rank PLUS an exact global running total of `valueCol` in the
     * same order — the primitive behind budgeted selection ("take the
@@ -139,11 +155,12 @@ object GlobalRank {
   def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
                        rankCol: String = "rank", cumCol: String = "cum",
                        partitions: Int = 0,
-                       cumCap: Long = Long.MaxValue): (DataFrame, Long, Long) = {
+                       cumCap: Long = Long.MaxValue,
+                       reliable: Boolean = false): (DataFrame, Long, Long) = {
     requireFreshNames(df, Seq("_mid", "_pid", "_off", "_voff"), Seq(rankCol, cumCol))
     val spark = df.sparkSession
     val n = partitionsOrDefault(df, partitions)
-    val withPid = sortedWithPid(df, order, n)
+    val withPid = sortedWithPid(df, order, n, reliable)
     val agg = withPid.groupBy(col("_pid"))
       .agg(count(lit(1)).as("c"), sum(col(valueCol)).as("s"),
         count(when(col(valueCol).isNull, 1)).as("nulls"))

@@ -38,7 +38,17 @@ object RagOps {
       .orderBy("doc_id")
   }
 
-  /** B2: collection stats — one row over documents × embeddings. */
+  /** B2: collection stats — one row over documents × embeddings.
+    *
+    * n_langs/n_sources use size(collect_set(..)) rather than
+    * countDistinct: two countDistincts in one aggregate trigger
+    * RewriteDistinctAggregates' Expand, which (a) pushes EVERY scanned
+    * row through the partial aggregate 3x — pure waste at corpus scale
+    * for two tiny-domain columns — and (b) numbers its grouping
+    * internals in nondeterministic rule order, which made this the one
+    * query whose plan fingerprint would not settle across runs.
+    * collect_set partials are bounded by the domain (langs/sources), so
+    * the single-pass aggregate is safe and strictly cheaper. */
   def r2CollectionStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).agg(
       count(lit(1)).as("n_docs"),
@@ -46,8 +56,8 @@ object RagOps {
       graft.functions.Exact.ratio6(
         sum(length(col("text"))), count(lit(1))).as("avg_content_length"),
       sum(size(split(col("text"), " ")).cast("long")).as("total_word_count"),
-      countDistinct(col("lang")).as("n_langs"),
-      countDistinct(col("source")).as("n_sources"))
+      size(collect_set(col("lang"))).cast("long").as("n_langs"),
+      size(collect_set(col("source"))).cast("long").as("n_sources"))
     val e = Tables.embeddings(spark, dir).agg(
       count(lit(1)).as("n_vectors"),
       max(size(col("embedding"))).as("embedding_dim"))

@@ -43,6 +43,44 @@ class BenchFpSpec extends AnyFunSuite {
     assert(Bench.scrubPlan(p).contains("first(a#n, true)"))
   }
 
+  test("scrubPlan settles MergeScalarSubqueries' nondeterministic gid " +
+       "numbering (FILTER tags + Expand rows)") {
+    // the r8 dump-diff find: identical code, two runs, lang/source swap
+    // gids 1<->2 and the Expand rows reorder with them
+    val runA = Bench.scrubPlan(
+      "HashAggregate(keys=[], functions=[partial_count(lang#7) FILTER (WHERE (gid#9 = 2)), " +
+        "partial_count(source#8) FILTER (WHERE (gid#9 = 1))], output=[count#1L, count#2L]) " +
+        "Expand [[null, null, 0, length(text#5)], [source#8, null, 1, null], " +
+        "[null, lang#7, 2, null]], [source#8, lang#7, gid#9, len#6]")
+    val runB = Bench.scrubPlan(
+      "HashAggregate(keys=[], functions=[partial_count(lang#7) FILTER (WHERE (gid#9 = 1)), " +
+        "partial_count(source#8) FILTER (WHERE (gid#9 = 2))], output=[count#1L, count#2L]) " +
+        "Expand [[null, null, 0, length(text#5)], [null, lang#7, 1, null], " +
+        "[source#8, null, 2, null]], [source#8, lang#7, gid#9, len#6]")
+    assert(runA == runB)
+    // the output attribute list after the rows is semantic — untouched
+    assert(runA.contains("[source#n, lang#n, gid#n, len#n]"))
+  }
+
+  test("scrubPlan stabilizes width-truncated metadata list tails") {
+    // exprId digit width shifts the raw 100-char cut point; after #n
+    // scrubbing the two tails must collapse to the same text
+    val a = Bench.scrubPlan("DataFilters: [(list_id#12 < 8), isnotnull(vec_id#...")
+    val b = Bench.scrubPlan("DataFilters: [(list_id#1234 < 8), isnotnull(vec...")
+    assert(a == b, s"$a vs $b")
+    // untruncated lists keep every element
+    val c = Bench.scrubPlan("DataFilters: [(a#1 < 8), isnotnull(b#2)]")
+    assert(c.contains("isnotnull(b#n)"))
+  }
+
+  test("normalizeExpandTags touches only Expand-row integer literals") {
+    val s = "Filter (x#1 = 100) Expand [[null, 0, -1], [a#2, 1, -1]], [a#2, gid#3] Limit 5"
+    val t = Bench.normalizeExpandTags(s)
+    assert(t.contains("(x#1 = 100)"), "literals outside Expand must survive")
+    assert(t.contains("Limit 5"))
+    assert(t.contains("[[null, g, -1], [a#2, g, -1]]"), s"got: $t")
+  }
+
   test("readPrevPlans slices the plans map and ignores plan_changes") {
     val dir = java.nio.file.Files.createTempDirectory("benchfp")
     val f = dir.resolve("bench.json")
@@ -71,6 +109,15 @@ class BenchFpSpec extends AnyFunSuite {
     assert(Bench.fpViolations(changed, "e1_*") == Seq("e2_sessions", "q8_rollup"))
     // whitespace around entries is tolerated
     assert(Bench.fpViolations(changed, " e* , q8_rollup ").isEmpty)
+  }
+
+  test("fp gate: FP_ALLOW file supplies the pattern line, comments skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("fpallow")
+    val f = dir.resolve("FP_ALLOW")
+    java.nio.file.Files.write(f,
+      "# comment\n\n# more\nm*,e*,q8_rollup\nignored_second_line\n".getBytes("UTF-8"))
+    assert(Bench.readAllowFile(f.toString).contains("m*,e*,q8_rollup"))
+    assert(Bench.readAllowFile(dir.resolve("absent").toString).isEmpty)
   }
 
   test("readPrevPlans degrades to empty on absent or malformed files") {

@@ -82,4 +82,48 @@ class GlobalRankSpec extends SparkSpec {
     assert(total == 0L)
     assert(ranked.count() == 0L)
   }
+
+  test("reliable=true ranks identically, persists to the checkpoint dir, " +
+       "and fails fast without one") {
+    import spark.implicits._
+    val df = (1 to 499).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
+    // no checkpoint dir set -> the named error, not Spark's internal one
+    val hadDir = spark.sparkContext.getCheckpointDir
+    assert(hadDir.isEmpty, "spec expects a fresh session without a checkpoint dir")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withGlobalRank(df, Seq(col("v"), col("id")), reliable = true)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rank_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val (fast, nf) = GlobalRank.withGlobalRankN(
+        df, Seq(col("v").desc, col("id")), "rank", partitions = 8)
+      val (durable, nd) = GlobalRank.withGlobalRankN(
+        df, Seq(col("v").desc, col("id")), "rank", partitions = 8, reliable = true)
+      assert(nf == nd)
+      val a = fast.select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = durable.select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, "reliable checkpoint must not change any rank")
+      // the recovery property this buys: blocks live in the DFS checkpoint
+      // dir (re-readable after executor loss), not in executor storage
+      def rddFiles = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try {
+          val it = walk.iterator()
+          var n = 0
+          while (it.hasNext) { if (it.next().getFileName.toString.startsWith("part-")) n += 1 }
+          n
+        } finally walk.close()
+      }
+      assert(rddFiles > 0, s"reliable checkpoint wrote no RDD blocks under $ckpt")
+      // still no single-partition collapse or re-window on the durable path
+      val plan = durable.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition") && !plan.contains("Window"))
+    } finally {
+      // unset for any later spec sharing the session (field is nullable)
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }

@@ -23,6 +23,58 @@ class ZLayoutSpec extends SparkSpec {
       s"probe IN-list must reach the scan as a pushed filter:\n${plan.take(2000)}")
   }
 
+  test("at large nlists the z-layout holds file count fixed while " +
+       "dir-per-list degenerates; stat pruning still skips") {
+    import spark.implicits._
+    // synthetic 1024-list code table (the real corpus quantizer has 8
+    // lists — the degeneration regime needs nlists in the 1k+ range)
+    val nlists = 1024
+    val rows = (0 until 32768).map(i => (i.toLong, (i % nlists).toLong, (i % 7).toLong))
+    val df = rows.toDF("vec_id", "list_id", "label")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_znl").toString + "/z"
+    // 64 files: the z-file budget scales with DATA volume, not with
+    // nlists — that decoupling is the whole point. Interleaving halves
+    // per-dimension precision per doubling of files, so 64 files give
+    // each file a ~1/8-of-domain list_id box (3 list bits) — vs 1024
+    // dirs for the partitioned layout at the same nlists.
+    graft.sources.Warehouse.writeZOrderedN(df, zDir, Seq("list_id", "label"), files = 64)
+    val pDir = java.nio.file.Files.createTempDirectory("graft_pnl").toString + "/p"
+    df.write.partitionBy("list_id").parquet(pDir)
+    def parquetFiles(d: String): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try {
+        val it = walk.iterator(); var n = 0
+        while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+        n
+      } finally walk.close()
+    }
+    val zFiles = parquetFiles(zDir)
+    val pFiles = parquetFiles(pDir)
+    assert(zFiles <= 64, s"z-layout must keep its fixed file budget, got $zFiles")
+    assert(pFiles >= nlists,
+      s"dir-per-list at $nlists lists should write >= $nlists files, got $pFiles")
+    // a 3-list probe (nprobe-shaped) overlaps only a fraction of the z
+    // files by footer stats — the pruning that replaces partition dirs
+    val probes = Seq(17L, 400L, 999L)
+    val boxes = new java.io.File(zDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col("list_id")).cast("long"), max(col("list_id")).cast("long"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    val overlapping = boxes.count { case (lo, hi) => probes.exists(p => lo <= p && p <= hi) }
+    // 3 probed eighths x label-bit replication ≈ 3/8 of files; range-
+    // sampled boundaries can straddle boxes, so assert a loose <60%
+    assert(overlapping < boxes.length * 0.6,
+      s"3-list probe overlaps $overlapping/${boxes.length} z files — stats gave no pruning")
+    // and correctness of the pruned read: IN-filtered scan returns exactly
+    // the probe rows
+    val got = spark.read.parquet(zDir).filter(col("list_id").isin(probes: _*)).count()
+    val want = rows.count { case (_, l, _) => probes.contains(l) }
+    assert(got == want.toLong)
+  }
+
   test("z-layout file stats skip files outside the probed list set") {
     // force the artifact to exist, then locate it the way the probe does
     graft.ann.Pq.a13zIvfPqTopK(spark, Sf).count()
