@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g (box has 128 GiB): at local[32] the 32 concurrent tasks share
+  // this one heap, and the r7 driver-run saw identical-plan queries
+  // blow up 10x+ in ways consistent with GC pressure under the old 8g
+  // default — headroom is cheaper than a contaminated benchmark.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
