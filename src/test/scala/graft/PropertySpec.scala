@@ -60,6 +60,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scrubPlan is idempotent and permutation-invariant on sortable lists") {
+    // idempotence matters because the scrub is a normal form: if a second
+    // pass changed the text, two pipelines applying it a different number
+    // of times would fingerprint the same plan differently
+    val exprs = Gen.oneOf(
+      "isnotnull(a#1)", "(b#22 < 8)", "dynamicpruningexpression(d#333 IN subquery)",
+      "first(x#4, true) FILTER (WHERE (p#5 = 1))", "sum(y#66)")
+    val lists = Gen.nonEmptyListOf(exprs)
+    samples(lists, 60).foreach { l =>
+      val s = s"PartitionFilters: [${l.mkString(", ")}], output=[k#7, v#8]"
+      val once = Bench.scrubPlan(s)
+      assert(Bench.scrubPlan(once) == once, s"not idempotent on: $s")
+      // any permutation of a sorted list scrubs to the same normal form
+      val perm = s"PartitionFilters: [${l.reverse.mkString(", ")}], output=[k#7, v#8]"
+      assert(Bench.scrubPlan(perm) == once, s"not permutation-invariant on: $s")
+    }
+  }
+
+  test("zorderKeyN interleave: monotone per dimension, bijective on the grid") {
+    import spark.implicits._
+    // 16x16 grid at 4 bits: the interleave must be a bijection (no two
+    // cells share a key) and growing one dimension with the other fixed
+    // must grow the key (monotonicity is what makes range-partitioning by
+    // the key cluster BOTH dimensions)
+    val grid = for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong)
+    val keys = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.sources.Warehouse.zorderKeyN(Seq(col("a"), col("b")), bits = 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(keys.values.toSet.size == 256, "interleave must be a bijection on the grid")
+    for (a <- 0L until 16L; b <- 0L until 15L)
+      assert(keys((a, b)) < keys((a, b + 1)), s"not monotone in b at ($a,$b)")
+    for (a <- 0L until 15L; b <- 0L until 16L)
+      assert(keys((a, b)) < keys((a + 1, b)), s"not monotone in a at ($a,$b)")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val lists = samples(Gen.listOfN(5, word), 20)
