@@ -53,9 +53,19 @@ object Bench {
     // Build cost is reported separately (`cold` map / cold_total), never
     // folded into the per-query medians: "build once, probe forever" is
     // the 100 TB contract, so the two numbers must not be conflated.
+    // JVM-wide GC time per measured run: a query whose wall time balloons
+    // while its gc share balloons with it (same plan fingerprint) is
+    // heap/GC pressure, not a regression — the r7 driver-run d2/d7
+    // mystery (8-18x medians, unchanged plans) would have been one field.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      def run(): Double = {
+      def run(): (Double, Long) = {
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         // a failed query must be VISIBLE: stderr log + negative timing (a
         // silent catch once hid an analysis error as a fast "result")
@@ -65,10 +75,14 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt
+        (if (ok) dt else -dt, gcMs() - g0)
       }
-      val cold = run()
-      val times = (1 to n).map(_ => run())
+      val (cold, _) = run()
+      val runs = (1 to n).map(_ => run())
+      val times = runs.map(_._1)
+      // gc attributed to the MEDIAN-defining population: sum over the
+      // successful measured runs (driver-side; executor == driver here)
+      val gc = runs.collect { case (t, g) if t > 0 => g }.sum
       val good = times.filter(_ > 0).sorted
       val dt =
         if (good.isEmpty) times.head // all failed: keep the negative marker
@@ -107,7 +121,7 @@ object Bench {
       } catch { case _: Throwable => "err" }
       // the cold run counts toward flaky too: a build-path failure that
       // warm retries paper over must not vanish from the JSON
-      (name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0), fp)
+      (name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0), fp, gc)
     }
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
@@ -116,25 +130,25 @@ object Bench {
       val p = if (a >= 100) "%.0f" else if (a >= 10) "%.1f" else "%.2f"
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries carry negative markers: exclude them from the headline
     // total (summing them in would make a failure look like a speedup); a
     // query that failed on ANY run also lands in "flaky" with its failure
     // count, so partial failures are visible in the JSON, not just stderr.
-    val total = results.collect { case (_, v, _, _, _) if v > 0 => v }.sum
-    val coldTotal = results.collect { case (_, _, c, _, _) if c > 0 => c }.sum
+    val total = results.collect { case (_, v, _, _, _, _) if v > 0 => v }.sum
+    val coldTotal = results.collect { case (_, _, c, _, _, _) if c > 0 => c }.sum
     // Cold (build-paying) times are reported only where they matter — first
     // run >2x the median (the index-building queries; listing all ~100
     // would double the line for pure noise) — plus any FAILED cold, which
     // keeps its negative marker so a broken build path stays visible.
-    val colds = results.collect { case (k, v, c, _, _) if v > 0 && (c < 0 || c > 2 * v) =>
+    val colds = results.collect { case (k, v, c, _, _, _) if v > 0 && (c < 0 || c > 2 * v) =>
       "\"" + k + "\":" + fmt(c)
     }
     val coldField = if (colds.isEmpty) "" else colds.mkString(",\"cold\":{", ",", "}")
-    val flaky = results.collect { case (k, _, _, f, _) if f > 0 => "\"" + k + "\":" + f }
+    val flaky = results.collect { case (k, _, _, f, _, _) if f > 0 => "\"" + k + "\":" + f }
     val flakyField = if (flaky.isEmpty) "" else flaky.mkString(",\"flaky\":{", ",", "}")
-    val plans = results.map { case (k, _, _, _, fp) => "\"" + k + "\":\"" + fp + "\"" }
+    val plans = results.map { case (k, _, _, _, fp, _) => "\"" + k + "\":\"" + fp + "\"" }
       .mkString(",\"plans\":{", ",", "}")
     // Plan-change attribution, automated: diff this run's fingerprints
     // against the PREVIOUS BENCH_FULL.json (about to be overwritten). A
@@ -145,7 +159,7 @@ object Bench {
     // queries regressed 4-7x, plans unchanged, a round of manual plan
     // digging to prove it) is now one JSON field.
     val prevPlans = readPrevPlans("BENCH_FULL.json")
-    val changed = results.collect { case (k, _, _, _, fp)
+    val changed = results.collect { case (k, _, _, _, fp, _)
       if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") =>
         "\"" + k + "\":\"" + prevPlans(k) + "\""
     }
@@ -166,7 +180,7 @@ object Bench {
     // FP_ALLOW file (first non-comment line) — the driver doesn't set env
     // vars, so a round that intentionally re-plans a family declares it in
     // the repo where the round log (and the next committer) can read it.
-    val changedNames = results.collect { case (k, _, _, _, fp)
+    val changedNames = results.collect { case (k, _, _, _, fp, _)
       if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") => k }
     val allowSpec = sys.env.get("SPARK_GRAFT_FP_ALLOW")
       .orElse(readAllowFile("FP_ALLOW")).getOrElse("")
@@ -176,6 +190,16 @@ object Bench {
         violations.mkString(", ") + " — declare via SPARK_GRAFT_FP_ALLOW or investigate")
     val violField = if (violations.isEmpty) ""
       else violations.map("\"" + _ + "\"").mkString(",\"fp_violations\":[", ",", "]")
+    // GC attribution: per-query entries only where the measured runs spent
+    // >200 ms in GC (listing ~100 near-zero entries would double the line
+    // for nothing), plus the session total. Reading: a blown-up median
+    // with unchanged fingerprint AND a blown-up gc entry = heap pressure;
+    // without one = scheduler/IO interference.
+    val gcTotal = results.map(_._6).sum
+    val gcs = results.collect { case (k, _, _, _, _, g) if g > 200 =>
+      "\"" + k + "\":" + g }
+    val gcField = (if (gcs.isEmpty) "" else gcs.mkString(",\"gc_ms\":{", ",", "}")) +
+      s""","gc_total_ms":$gcTotal"""
     val sfName = sfDir.split('/').last
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
@@ -184,7 +208,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
