@@ -201,6 +201,17 @@ object Bench {
     val gcField = (if (gcs.isEmpty) "" else gcs.mkString(",\"gc_ms\":{", ",", "}")) +
       s""","gc_total_ms":$gcTotal"""
     val sfName = sfDir.split('/').last
+    // External perf anchor (r8 verdict #5): ORACLE_TIMES.json carries
+    // per-query DuckDB wall-times for the SAME oracle SQL over the SAME
+    // parquet (produced by tools/oracle_times.py, committed). When its sf
+    // matches this run, the full line gains the per-family Spark/DuckDB
+    // ratio — a real single-node denominator at every scale, instead of
+    // round-over-round only. Ratios compare DuckDB's whole-query time
+    // against Spark's steady-state MEDIAN (build cost excluded — the
+    // "build once, probe forever" contract), computed over the
+    // intersection of query names. Absent/mismatched file = no field.
+    val oracleField = oracleSummary("ORACLE_TIMES.json", sfName,
+      results.collect { case (k, v, _, _, _, _) if v > 0 => k -> v }.toMap)
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
     // at ~100 queries it exceeds the 2000-char stdout tail the driver
@@ -208,7 +219,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$oracleField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
@@ -220,6 +231,38 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
+
+  /** The `,"oracle":{...}` JSON fragment comparing Spark medians (sec)
+    * against DuckDB oracle wall-times (ms) from [[path]] — empty string
+    * when the file is absent, unreadable, or measured at a different sf.
+    * Families are the letter prefix of the query name (m/q/a/d/t/e/r/p/
+    * mm...): per family, ratio = Spark total / DuckDB total over the name
+    * intersection. Jackson (on the Spark classpath) parses; any failure
+    * degrades to no field — the anchor is an aid, never an abort. */
+  private[graft] def oracleSummary(path: String, sfName: String,
+      sparkSec: Map[String, Double]): String = try {
+    val f = new java.io.File(path)
+    if (!f.exists()) return ""
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(f)
+    if (root.path("sf").asText("") != sfName) return ""
+    val it = root.path("oracle_ms").properties().iterator()
+    val oracleMs = scala.collection.mutable.Map.empty[String, Double]
+    while (it.hasNext) { val e = it.next(); oracleMs(e.getKey) = e.getValue.asDouble() }
+    val common = sparkSec.keySet.intersect(oracleMs.keySet).toSeq.sorted
+    if (common.isEmpty) return ""
+    def fam(q: String): String = q.takeWhile(!_.isDigit)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val famRatios = common.groupBy(fam).toSeq.sortBy(_._1).map { case (fm, qs) =>
+      val s = qs.map(sparkSec(_) * 1000).sum
+      val o = qs.map(oracleMs(_)).sum
+      "\"" + fm + "\":" + r3(s / math.max(o, 0.001))
+    }
+    val sTot = common.map(sparkSec(_) * 1000).sum
+    val oTot = common.map(oracleMs(_)).sum
+    s""","oracle":{"nq":${common.size},"duckdb_total_ms":${r3(oTot)},"spark_total_ms":${r3(sTot)},"ratio_total":${r3(sTot / math.max(oTot, 0.001))},"families":${famRatios.mkString("{", ",", "}")}}"""
+  } catch { case _: Throwable => "" }
 
   /** The fingerprint gate's decision: which changed-plan queries are NOT
     * covered by the allowlist. `allow` is comma-separated, each entry an
@@ -282,8 +325,18 @@ object Bench {
       // the RAW text, whose exprId digit counts vary per session, so the
       // scrubbed tail ends mid-token at shifting points. Drop the final
       // partial element of any "..."-truncated list: the fingerprint
-      // loses one element's fidelity, the flutter goes away.
-      .replaceAll(",[^,\\[\\]]*\\.\\.\\.", ", ...")
+      // loses one element's fidelity, the flutter goes away. The match is
+      // anchored to where width truncation actually cuts: StringUtils
+      // .abbreviate appends `...` and the ONE-LINE FileScan metadata
+      // string continues with `, NextKey: ` (or the line/text ends, or a
+      // `]` closes an untruncated-bracket case) — so the lookahead admits
+      // `]`, end-of-line/text, and `, Capitalized: `. A literal `...`
+      // inside e.g. a Contains() string predicate is followed by `)` and
+      // can no longer eat its preceding comma-element. May not cross
+      // lines.
+      .replaceAll(
+        ",[^,\\[\\]\\r\\n]*\\.\\.\\.(?=\\]|\\r?\\n|$|, [A-Z][A-Za-z]*: )",
+        ", ...")
     // MergeScalarSubqueries numbers its fused groups (gid tags + the
     // Expand node's literal group ids) in optimizer-visit order, which
     // varies run to run — normalize the NUMBERS (they are internal tags,
@@ -334,12 +387,21 @@ object Bench {
         if (c == '[') depth += 1 else if (c == ']') depth -= 1
         k += 1
       }
-      sb.append(s.substring(i, start))
-        .append(s.substring(start, k - 1)
-          .replaceAll("(?<=[\\[, ])\\d+(?=[,\\]])", "g"))
-        .append(']')
-      i = k
-      j = s.indexOf("Expand [", i)
+      if (depth > 0) {
+        // Bracket never balanced (truncated/unexpected text): pass the
+        // remainder through UNCHANGED rather than dropping the real final
+        // character and appending a spurious `]`.
+        sb.append(s.substring(i))
+        i = s.length
+        j = -1
+      } else {
+        sb.append(s.substring(i, start))
+          .append(s.substring(start, k - 1)
+            .replaceAll("(?<=[\\[, ])\\d+(?=[,\\]])", "g"))
+          .append(']')
+        i = k
+        j = s.indexOf("Expand [", i)
+      }
     }
     sb.append(s.substring(i))
     sb.toString

@@ -60,13 +60,18 @@ object Tables {
   }
 
   /** Pinned column contract per table. Values are the ACCEPTED
-    * `DataType.simpleString` forms — timestamp-like columns list every
-    * physical shape the driver has generated so far (TIMESTAMP(NANOS) read
-    * as bigint under nanosAsLong, naive micros read as timestamp_ntz, and
-    * plain timestamp), because [[events]] normalizes those after the guard.
-    * Everything else is exact. */
+    * `DataType.simpleString` forms. Only events.ts gets the fully
+    * permissive temporal set (`tsAny`, incl. TIMESTAMP(NANOS) read as
+    * bigint under nanosAsLong) because only [[events]] has a
+    * normalization path for every shape after the guard. o_orderdate /
+    * l_shipdate are pinned to the shapes the queries actually handle
+    * today (naive micros → timestamp_ntz, plus timestamp/date, which
+    * compare identically against date literals under UTC); a drift to
+    * nanos-as-long there has NO normalization path and must fail loudly
+    * here, not downstream. Everything else is exact. */
   private[graft] val Pinned: Map[String, Seq[(String, Set[String])]] = {
-    val ts = Set("timestamp", "timestamp_ntz", "bigint", "date")
+    val tsAny = Set("timestamp", "timestamp_ntz", "bigint", "date")
+    val ts = Set("timestamp", "timestamp_ntz", "date")
     Map(
       "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
       "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
@@ -88,7 +93,7 @@ object Tables {
         "l_discount" -> Set("double"), "l_tax" -> Set("double"),
         "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
         "l_shipdate" -> ts),
-      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> ts,
+      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> tsAny,
         "user_id" -> Set("bigint"), "event_type" -> Set("string"),
         "value" -> Set("double"), "props" -> Set("string")),
       "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),

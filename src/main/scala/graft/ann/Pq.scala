@@ -427,26 +427,44 @@ object Pq {
   }
 
   /** The z-ordered flat code table, materialized once per (SESSION,
-    * sf-dir) under the warehouse dir — [[writeZOrderedCodes]]' layout as
-    * the probe-time artifact. Guarded by a per-session set, NOT by the
-    * on-disk `_SUCCESS`: a surviving directory from a previous JVM may
-    * describe REGENERATED source data (the driver rewrites /root/testdata
-    * between rounds under the same path), and tableSuffix is path-keyed —
-    * same staleness stance as the catalog-guarded managed tables, which
-    * also rebuild once per session. */
+    * sf-dir, DATA SIGNATURE) under the warehouse dir —
+    * [[writeZOrderedCodes]]' layout as the probe-time artifact. Guarded
+    * by a per-session set, NOT by the on-disk `_SUCCESS`: a surviving
+    * directory from a previous JVM may describe REGENERATED source data
+    * (the driver rewrites /root/testdata between rounds under the same
+    * path). The cache key carries [[srcSignature]] (file names + sizes +
+    * mtimes of embeddings.parquet), so a regeneration WITHIN a live JVM
+    * also invalidates: both the z-table and the memoized probed-list
+    * IN-set rebuild instead of serving a stale pruning set. */
   private val zBuilt = scala.collection.mutable.HashSet.empty[String]
 
-  /** a13z's probed list ids per (session, sf-dir) — see the use site. */
+  /** a13z's probed list ids per (session, sf-dir, data signature) — see
+    * the use site. */
   private val probedListsCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+
+  /** Cheap change-detector for the a13z source data: hash of (name,
+    * length, mtime) over the files of `$dir/embeddings.parquet`. Driver-
+    * side metadata only — no data read, O(#files) stat calls. */
+  private[graft] def srcSignature(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    val d = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f =>
+      d.update(s"${f.getName}:${f.length}:${f.lastModified};".getBytes("UTF-8"))
+    }
+    d.digest().take(8).map(b => f"$b%02x").mkString
+  }
 
   private def zCodesDir(spark: SparkSession, dir: String): String = {
     val base = spark.conf.get("spark.sql.warehouse.dir").replaceFirst("^file:", "")
     val path = s"$base/graft_ivfpqz_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val key = s"$path@${srcSignature(dir)}"
     synchronized {
-      if (!zBuilt.contains(path)) {
+      if (!zBuilt.contains(key)) {
         writeZOrderedCodes(spark, dir, path)
-        zBuilt += path
+        zBuilt += key
       }
     }
     path
@@ -477,7 +495,7 @@ object Pq {
     // collect() returns shuffle order, and an unordered literal IN-list
     // would make the plan text (and its fingerprint) flutter.
     val probed = probedListsCache.getOrElseUpdate(
-      graft.sources.Warehouse.tableSuffix(dir),
+      s"${graft.sources.Warehouse.tableSuffix(dir)}@${srcSignature(dir)}",
       probe.select("list_id").distinct().collect().map(_.getLong(0)).sorted.toSeq)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     codes.filter(col("list_id").isin(probed.toIndexedSeq: _*))

@@ -189,14 +189,19 @@ object MemoryOps {
       .select("memory_key", "memory_type", "ttl_seconds", "expires_at")
       .orderBy("memory_key")
 
-  /** A7: delete-by-key — the reference's memory_delete as a left-anti join
-    * against the probe key set (user_id % 7 == 3). At scale the anti-join
-    * broadcasts the (small) delete set; the surviving table keeps the
-    * bucketed-by-key layout. */
+  /** A7: delete-by-key — the reference's memory_delete
+    * (memory/manager/operations.py:96) as a left-anti join against the
+    * probe key set (user_id % 7 == 3). The delete set is
+    * CORPUS-PROPORTIONAL (~1/7 of all keys), so forcing a broadcast
+    * would OOM the driver at 100 TB. Instead both sides are reads of the
+    * SAME memory table, which is bucketed+sorted by memory_key — the
+    * `merge` hint turns the anti-join into an exchange-free bucketed
+    * sort-merge join: zero shuffle of either side at any scale, no
+    * broadcast build at all. */
   def m7DeleteKeys(spark: SparkSession, dir: String): DataFrame = {
     val mem = memoryTable(spark, dir)
     val toDelete = mem.filter(col("user_id") % 7 === 3).select("memory_key")
-    mem.join(broadcast(toDelete), Seq("memory_key"), "left_anti")
+    mem.join(toDelete.hint("merge"), Seq("memory_key"), "left_anti")
       .select("memory_key", "memory_type", "access_count")
       .orderBy("memory_key")
   }

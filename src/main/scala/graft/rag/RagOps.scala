@@ -175,14 +175,16 @@ object RagOps {
   }
 
   /** B13: rag_delete_document (reference: rag/database/documents.py:170 —
-    * delete by id, idempotent on missing ids). Batch form: a small delete-id
-    * set broadcast left-anti joined against the corpus, emitting the
-    * surviving documents with their derived fields — the same plan shape as
-    * m7_delete_keys, no shuffle of the 100 TB side. */
+    * delete by id, idempotent on missing ids). Batch form: a left-anti
+    * join of the corpus against the delete-id set. The delete set is
+    * CORPUS-PROPORTIONAL (~1/9 of all doc ids), so the join is left
+    * UN-HINTED: AQE picks a broadcast while the set fits the threshold
+    * and degrades to a shuffled anti-join beyond it, instead of a forced
+    * broadcast build that would OOM at 100 TB. */
   def r13DeleteDocuments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dels = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
-    docs.join(broadcast(dels), Seq("doc_id"), "left_anti")
+    docs.join(dels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("content_hash"),
         length(col("text")).as("content_length"))
       .orderBy("doc_id")

@@ -73,6 +73,32 @@ class BenchFpSpec extends AnyFunSuite {
     assert(c.contains("isnotnull(b#n)"))
   }
 
+  test("scrubPlan leaves a mid-plan literal `...` alone (list-final anchor)") {
+    // r8 advice: the tail scrub must only fire where width truncation
+    // cuts (list-final / line-final), not on a `...` inside a string
+    // predicate — previously the element before such a literal was eaten.
+    val s = "Filter Contains(text#7, foo...bar) AND (x#8 > 2)"
+    assert(Bench.scrubPlan(s).contains("Contains(text#n, foo...bar)"))
+    val t = "PushedFilters: [IsNotNull(a), StringEndsWith(text,abc...)]"
+    assert(Bench.scrubPlan(t).contains("IsNotNull(a)"),
+      "element before a literal `...)` must survive")
+    // genuine truncation (list-final `...`) still collapses
+    assert(Bench.scrubPlan("DataFilters: [(a#1 < 8), isnotnu...")
+      == Bench.scrubPlan("DataFilters: [(a#123 < 8), iso..."))
+    // ... and so does the REAL FileScan shape: the abbreviated value is
+    // followed by `, NextKey: ` on the same one-line metadata string
+    assert(Bench.scrubPlan(
+        "PushedFilters: [IsNotNull(a), In(b, [1,2..., ReadSchema: struct<a:int>")
+      == Bench.scrubPlan(
+        "PushedFilters: [IsNotNull(a), In(b, [1,23..., ReadSchema: struct<a:int>"))
+  }
+
+  test("normalizeExpandTags passes an unbalanced Expand block through unchanged") {
+    val s = "Expand [[a#1, 0], [b#2, 1"
+    assert(Bench.normalizeExpandTags(s) == s,
+      "unbalanced bracket must not trim the final char or append `]`")
+  }
+
   test("normalizeExpandTags touches only Expand-row integer literals") {
     val s = "Filter (x#1 = 100) Expand [[null, 0, -1], [a#2, 1, -1]], [a#2, gid#3] Limit 5"
     val t = Bench.normalizeExpandTags(s)

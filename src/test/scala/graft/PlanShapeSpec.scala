@@ -14,6 +14,22 @@ import graft.analytics.Queries
   */
 class PlanShapeSpec extends SparkSpec {
 
+  test("m7: delete anti-join is exchange-free (bucketed SMJ, no broadcast)") {
+    // r8 verdict: the delete set is ~1/7 of ALL memory keys — a forced
+    // broadcast build is a 100 TB OOM. Both sides read the same table
+    // bucketed by memory_key, so the anti-join must plan as a sort-merge
+    // join with NO exchange on either input (the only allowed Exchange is
+    // the final output orderBy's rangepartitioning).
+    val plan = graft.memory.MemoryOps.m7DeleteKeys(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+      s"expected a sort-merge LeftAnti join:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"m7 must not broadcast the corpus-proportional delete set:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed anti-join must not shuffle either side:\n$plan")
+  }
+
   test("q2: fact-side partial argmin plans as HashAggregate") {
     val plan = Queries.q2MinCost(spark, Sf).queryExecution.executedPlan.toString
     val factPartial = plan.linesIterator.find(_.contains("partial_min(unit_price"))
