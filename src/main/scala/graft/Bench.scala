@@ -158,7 +158,18 @@ object Bench {
     // environment noise by construction. The m5-class triage (r6: three
     // queries regressed 4-7x, plans unchanged, a round of manual plan
     // digging to prove it) is now one JSON field.
-    val prevPlans = readPrevPlans("BENCH_FULL.json")
+    // The full-detail output path doubles as the fingerprint baseline, so
+    // an off-sf run (the sf1 scale study) must redirect it: plans at a
+    // different sf legitimately differ (stats-driven broadcast choices),
+    // and letting an sf1 run overwrite the committed sf0.1 baseline would
+    // feed the driver's next gate a wrong-scale comparison. The sf guard
+    // below makes even a same-file cross-sf comparison a no-baseline case
+    // rather than a wall of phantom violations.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val sfName = sfDir.split('/').last
+    val prevPlans =
+      if (readPrevSf(outPath).exists(_ != sfName)) Map.empty[String, String]
+      else readPrevPlans(outPath)
     val changed = results.collect { case (k, _, _, _, fp, _)
       if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") =>
         "\"" + k + "\":\"" + prevPlans(k) + "\""
@@ -200,7 +211,6 @@ object Bench {
       "\"" + k + "\":" + g }
     val gcField = (if (gcs.isEmpty) "" else gcs.mkString(",\"gc_ms\":{", ",", "}")) +
       s""","gc_total_ms":$gcTotal"""
-    val sfName = sfDir.split('/').last
     // External perf anchor (r8 verdict #5): ORACLE_TIMES.json carries
     // per-query DuckDB wall-times for the SAME oracle SQL over the SAME
     // parquet (produced by tools/oracle_times.py, committed). When its sf
@@ -222,13 +232,13 @@ object Bench {
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$oracleField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      val p = java.nio.file.Paths.get(outPath)
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query detail: ${p.toAbsolutePath}")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n":$n,"nqueries":${results.size},"cold_total":${fmt(coldTotal)},"detail":"$outPath"}""")
     spark.stop()
   }
 
@@ -303,6 +313,20 @@ object Bench {
       }
     }
   } catch { case _: Throwable => Map.empty }
+
+  /** The `"sf"` field of a previous bench's JSON (same textual-slice
+    * stance as [[readPrevPlans]]); None when absent/unreadable. Guards the
+    * fingerprint compare: a baseline measured at a different scale is NO
+    * baseline — sf1 plans legitimately differ from sf0.1 plans (stats-
+    * driven join strategy), and diffing across scales would bury real
+    * violations under phantom ones. */
+  private[graft] def readPrevSf(path: String): Option[String] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else raw""""sf":"([^"]*)"""".r
+      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1))
+  } catch { case _: Throwable => None }
 
   /** Normalize JVM-run-specific tokens out of a canonicalized plan string
     * so its hash is stable across processes: canonicalization handles

@@ -169,6 +169,34 @@ object StreamBench {
       ((nEv / sec).round, mvRows)
     }
 
+    // H11 batch-SIZE sweep (r8 verdict #8): the headline mv_merge rate at
+    // 20k-row batches is dominated by the per-batch FIXED cost (plan the
+    // partials, read the stored MV, merge, overwrite) rather than per-row
+    // work. Sweeping the micro-batch size at a fixed total load separates
+    // the two: rows/s grows with batch size until the per-row cost takes
+    // over, and the knee is the smallest trigger size that amortizes the
+    // fixed cost — the number that sizes a Trigger.ProcessingTime /
+    // maxOffsetsPerTrigger for an MV pipeline (latency below the knee is
+    // bought at a steep throughput price; above it, almost free).
+    def mvBatchSweep(batchSize: Int, nEv: Int): (Long, Double) = {
+      val table = s"graft_sbench_mvb_$batchSize"
+      graft.sources.Warehouse.dropStale(spark, table)
+      val in = MemoryStream[Streams.LiDelta]
+      val q = Streams.maintainQ1Mv(in.toDF(), table,
+        s"/tmp/graft_sbench_ckpt_b${batchSize}_${System.nanoTime()}")
+      val t = System.nanoTime()
+      (0 until nEv grouped batchSize).foreach { batch =>
+        in.addData(batch.map(i => Streams.LiDelta(flags(i % 3), flags((i / 3) % 2),
+          (i % 50).toDouble, (i % 1000).toDouble, (i % 10) / 100.0,
+          (i % 8) / 100.0, shipTs(i))))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      q.stop()
+      val nBatches = (nEv + batchSize - 1) / batchSize
+      ((nEv / sec).round, sec / nBatches)
+    }
+
     val fmtD = (v: Double) => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // 100x headline key cardinality (r7 swept 10x): 100k live keys is the
     // regime where a per-key-state bug shows super-linear bytes or falling
@@ -182,8 +210,12 @@ object StreamBench {
       val (rps, rows) = mvSweep(g, nMv)
       s"""{"groups":$g,"rows_per_sec":$rps,"mv_rows":$rows}"""
     }.mkString("[", ",", "]")
+    val mvBatch = Seq(1000, 5000, 20000, nMv).distinct.filter(_ <= nMv).map { b =>
+      val (rps, secPerBatch) = mvBatchSweep(b, nMv)
+      s"""{"batch":$b,"rows_per_sec":$rps,"ms_per_batch":${fmtD(secPerBatch * 1000)}}"""
+    }.mkString("[", ",", "]")
 
-    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2,"mv_merge":$r3,"scale":{"ttl":$ttlScale,"mv":$mvScale}}""")
+    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2,"mv_merge":$r3,"scale":{"ttl":$ttlScale,"mv":$mvScale,"mv_batch":$mvBatch}}""")
     spark.stop()
   }
 }

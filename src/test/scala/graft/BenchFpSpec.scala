@@ -146,6 +146,19 @@ class BenchFpSpec extends AnyFunSuite {
     assert(Bench.readAllowFile(dir.resolve("absent").toString).isEmpty)
   }
 
+  test("readPrevSf reads the baseline's scale; guards cross-sf compares") {
+    val dir = java.nio.file.Files.createTempDirectory("benchsf")
+    val f = dir.resolve("bench.json")
+    java.nio.file.Files.write(f,
+      """{"metric":"total","plans":{"q1_agg":"0123456789ab"},"sf":"sf0.1","n":3}"""
+        .getBytes("UTF-8"))
+    assert(Bench.readPrevSf(f.toString).contains("sf0.1"))
+    assert(Bench.readPrevSf(dir.resolve("absent").toString).isEmpty)
+    // the main-loop guard: a baseline at another sf yields NO baseline
+    val crossSf = Bench.readPrevSf(f.toString).exists(_ != "testdata_sf1")
+    assert(crossSf, "sf mismatch must be detected")
+  }
+
   test("readPrevPlans degrades to empty on absent or malformed files") {
     assert(Bench.readPrevPlans("/nonexistent/bench.json").isEmpty)
     val dir = java.nio.file.Files.createTempDirectory("benchfp2")
