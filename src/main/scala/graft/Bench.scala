@@ -222,6 +222,16 @@ object Bench {
     // intersection of query names. Absent/mismatched file = no field.
     val oracleField = oracleSummary("ORACLE_TIMES.json", sfName,
       results.collect { case (k, v, _, _, _, _) if v > 0 => k -> v }.toMap)
+    // Scale anchor (r8 verdict #3): BENCH_SF1.json is the committed
+    // full-detail line of a bench run over the 10x-replicated sf1 corpus
+    // (tools/scale_testdata.py; run with SPARK_GRAFT_SF_DIR=testdata_sf1
+    // SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json). When THIS run is the
+    // canonical sf0.1, the line gains per-family sf1/sf0.1 scaling
+    // factors — the measured answer to "which plans are data-bound
+    // (scale ~10x), which sit on the per-job floor (scale ~1x), and
+    // which grew superlinearly (a shape that would not survive 100x)".
+    val sf1Field = sf1Summary("BENCH_SF1.json", sfName,
+      results.collect { case (k, v, _, _, _, _) if v > 0 => k -> v }.toMap)
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
     // at ~100 queries it exceeds the 2000-char stdout tail the driver
@@ -229,7 +239,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$oracleField,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$oracleField$sf1Field,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -272,6 +282,44 @@ object Bench {
     val sTot = common.map(sparkSec(_) * 1000).sum
     val oTot = common.map(oracleMs(_)).sum
     s""","oracle":{"nq":${common.size},"duckdb_total_ms":${r3(oTot)},"spark_total_ms":${r3(sTot)},"ratio_total":${r3(sTot / math.max(oTot, 0.001))},"families":${famRatios.mkString("{", ",", "}")}}"""
+  } catch { case _: Throwable => "" }
+
+  /** The `,"sf1":{...}` JSON fragment comparing this (sf0.1) run's
+    * medians against the committed sf1 bench detail at [[path]] — empty
+    * string when absent/unreadable, when this run is NOT at sf0.1 (the
+    * ratio is only meaningful against the canonical scale), or when the
+    * file's own sf is not the scaled corpus. Per family (letter prefix):
+    * scale_x = sf1 total / sf0.1 total over the name intersection of
+    * positive medians — ~10 means data-bound linear scaling, ~1 means the
+    * per-job floor still dominates at 10x data, >>10 flags a shape that
+    * would not survive 100x. Same degrade-to-no-field stance as
+    * [[oracleSummary]]: the anchor is an aid, never an abort. */
+  private[graft] def sf1Summary(path: String, sfName: String,
+      sparkSec: Map[String, Double]): String = try {
+    if (sfName != "sf0.1") return ""
+    val f = new java.io.File(path)
+    if (!f.exists()) return ""
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(f)
+    if (!root.path("sf").asText("").contains("sf1")) return ""
+    val it = root.path("queries").properties().iterator()
+    val sf1Sec = scala.collection.mutable.Map.empty[String, Double]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue.asDouble()
+      if (v > 0) sf1Sec(e.getKey) = v // negative = failed at sf1; excluded
+    }
+    val common = sparkSec.keySet.intersect(sf1Sec.keySet).toSeq.sorted
+    if (common.isEmpty) return ""
+    def fam(q: String): String = q.takeWhile(!_.isDigit)
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val famScale = common.groupBy(fam).toSeq.sortBy(_._1).map { case (fm, qs) =>
+      "\"" + fm + "\":" + r2(qs.map(sf1Sec(_)).sum / math.max(qs.map(sparkSec(_)).sum, 0.001))
+    }
+    val t01 = common.map(sparkSec(_)).sum
+    val t1 = common.map(sf1Sec(_)).sum
+    s""","sf1":{"nq":${common.size},"sf1_total_sec":${r2(t1)},"sf01_total_sec":${r2(t01)},"scale_x_total":${r2(t1 / math.max(t01, 0.001))},"cold_total_sec":${r2(root.path("cold_total").asDouble(-1))},"scale_x":${famScale.mkString("{", ",", "}")}}"""
   } catch { case _: Throwable => "" }
 
   /** The fingerprint gate's decision: which changed-plan queries are NOT
@@ -341,6 +389,16 @@ object Bench {
       .replaceAll("@[0-9a-fA-F]{4,}", "@obj")
       .replaceAll("0x[0-9a-fA-F]{4,}", "0xN")
       .replaceAll("#\\d+", "#n")
+      // Higher-order-function lambda variables print as `lambda x_197#805`
+      // — the NAME suffix is a session-global counter (one per lambda
+      // analysis), so it depends on how many HOF plans the session built
+      // before this one (bench n, warm-up retries, query order). The
+      // exprId scrub above catches the `#805`, not the `_197`: scrub the
+      // name counter too, or every filter/transform/zip_with query
+      // fingerprints differently across sessions with identical code
+      // (observed: 17 queries flagged vs a baseline built by a same-code
+      // session that had run a different number of analyses).
+      .replaceAll("\\blambda ([A-Za-z_][A-Za-z0-9_]*?)_\\d+#n", "lambda $1_n#n")
       .replaceAll("\\[id=#?\\d+\\]", "[id=n]")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=n]")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")

@@ -159,6 +159,51 @@ class BenchFpSpec extends AnyFunSuite {
     assert(crossSf, "sf mismatch must be detected")
   }
 
+  test("scrubPlan normalizes the session-global lambda-variable counter") {
+    // the name suffix (x_197) is a per-session analysis counter, distinct
+    // from the exprId (#805) — both must scrub or HOF plans fingerprint
+    // differently across sessions running identical code
+    val s = "filter(split(text#12,  , -1), lambdafunction(lambda x_197#805 " +
+      "IN (the,a,of), lambda x_197#805, false)) AS en_hits#9, " +
+      "zip_with(a#3, b#4, lambdafunction((lambda left_42#11 * lambda right_43#12), " +
+      "lambda left_42#11, lambda right_43#12, false))"
+    val t = Bench.scrubPlan(s)
+    assert(!t.contains("x_197"), t)
+    assert(t.contains("lambda x_n#n IN (the,a,of)"), t)
+    assert(t.contains("lambda left_n#n"), t)
+    assert(t.contains("lambda right_n#n"), t)
+    // two sessions, different counters -> identical scrub
+    assert(Bench.scrubPlan(s.replace("197", "4121").replace("42#", "77#")
+      .replace("43#", "78#").replace("_42", "_77").replace("_43", "_78")) == t)
+  }
+
+  test("sf1Summary folds the committed sf1 detail into per-family scale factors") {
+    val dir = java.nio.file.Files.createTempDirectory("benchsf1")
+    val f = dir.resolve("BENCH_SF1.json")
+    // q-family scales 10x (data-bound), m-family 1x (job floor); m9 failed
+    // at sf1 (negative marker) and must be excluded from the intersection
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","value":12.0,"unit":"sec","queries":""" +
+        """{"q1_agg":2.0,"q3_join_agg":4.0,"m2_get":0.1,"m9_exists":-0.5},""" +
+        """"sf":"testdata_sf1","n":3,"cold_total":30.5}""").getBytes("UTF-8"))
+    val sparkSec = Map("q1_agg" -> 0.2, "q3_join_agg" -> 0.4,
+      "m2_get" -> 0.1, "m9_exists" -> 0.2, "only_at_01" -> 1.0)
+    val frag = Bench.sf1Summary(f.toString, "sf0.1", sparkSec)
+    assert(frag.startsWith(""","sf1":{"""), frag)
+    assert(frag.contains(""""nq":3"""), frag)
+    assert(frag.contains(""""q":10.00"""), frag)
+    assert(frag.contains(""""m":1.00"""), frag)
+    assert(frag.contains(""""cold_total_sec":30.50"""), frag)
+    // only meaningful against the canonical sf0.1 run
+    assert(Bench.sf1Summary(f.toString, "testdata_sf1", sparkSec) == "")
+    // absent file / wrong sf in the file degrade to no field
+    assert(Bench.sf1Summary(dir.resolve("absent").toString, "sf0.1", sparkSec) == "")
+    val wrongSf = dir.resolve("wrong.json")
+    java.nio.file.Files.write(wrongSf,
+      """{"queries":{"q1_agg":2.0},"sf":"sf0.01"}""".getBytes("UTF-8"))
+    assert(Bench.sf1Summary(wrongSf.toString, "sf0.1", sparkSec) == "")
+  }
+
   test("readPrevPlans degrades to empty on absent or malformed files") {
     assert(Bench.readPrevPlans("/nonexistent/bench.json").isEmpty)
     val dir = java.nio.file.Files.createTempDirectory("benchfp2")

@@ -5,7 +5,7 @@ Runs DuckDB oracle SQL from outDir/oracle_sql.json against the sf parquet
 tables, compares with the Spark parquet dumps in outDir/<name>/.
 Columns sorted by name; rows sorted by all columns; values hashed.
 """
-import json, sys, math
+import json, sys, math, threading, time
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
@@ -28,18 +28,34 @@ def canon(df):
     rows.sort()
     return rows
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, budget_s=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = fail = 0
+    ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
         try:
-            expected = canon(con.sql(sql).df())
+            # soft per-oracle budget (same watchdog as oracle_times.py): at
+            # scaled sf a pathological DuckDB shape (a16/a17's residual
+            # reconstruction) must not hang the whole compare — it lands as
+            # SKIP (budget), not a correctness verdict.
+            t0 = time.perf_counter()
+            timer = threading.Timer(budget_s, con.interrupt) if budget_s else None
+            if timer:
+                timer.start()
+            try:
+                expected = canon(con.sql(sql).df())
+            finally:
+                if timer:
+                    timer.cancel()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            fail += 1
+            if budget_s and time.perf_counter() - t0 >= budget_s:
+                print(f"SKIP {name}: oracle exceeded {budget_s}s DuckDB budget")
+                skipped += 1
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                fail += 1
             continue
         try:
             got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
@@ -58,8 +74,9 @@ def main(sf_dir, out_dir):
             for r in list(gset - eset)[:3]:
                 print(f"  - spark  only: {r}")
             fail += 1
-    print(f"\n{ok} OK, {fail} FAIL")
+    print(f"\n{ok} OK, {fail} FAIL, {skipped} SKIP")
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else None))
