@@ -28,13 +28,15 @@ def canon(df):
     rows.sort()
     return rows
 
-def main(sf_dir, out_dir, budget_s=None):
+def main(sf_dir, out_dir, budget_s=None, exclude=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
+        if name in exclude:  # resume support: already verified in a prior run
+            continue
         try:
             # soft per-oracle budget (same watchdog as oracle_times.py): at
             # scaled sf a pathological DuckDB shape (a16/a17's residual
@@ -79,4 +81,5 @@ def main(sf_dir, out_dir, budget_s=None):
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  float(sys.argv[3]) if len(sys.argv) > 3 else None))
+                  float(sys.argv[3]) if len(sys.argv) > 3 else None,
+                  set(sys.argv[4].split(",")) if len(sys.argv) > 4 else ()))

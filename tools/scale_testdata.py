@@ -48,6 +48,16 @@ KEYS = {  # table -> (column -> key-space name)
 }
 COPY_AS_IS = ["region", "nation"]
 
+# Key-embedded name columns ('Supplier#000000178' = printf('%09d', key)):
+# they must be RE-DERIVED from the shifted key, or every replica carries the
+# same names and any name-grouped aggregation (TPC-H Q21 groups by s_name)
+# silently folds `factor` distinct suppliers into one — a replication
+# artifact, not a scale behavior. table -> (name_col, prefix, key_col)
+NAME_DERIVED = {
+    "customer": ("c_name", "Customer#", "c_custkey"),
+    "supplier": ("s_name", "Supplier#", "s_suppkey"),
+}
+
 
 def cipher_expr(col: str, i: int) -> str:
     rot = (7 * i) % 26
@@ -90,6 +100,11 @@ def main() -> None:
             for c in names:
                 if c in cols:
                     exprs.append(f"CAST({c} + {i * stride[cols[c]]} AS BIGINT) AS {c}")
+                elif t in NAME_DERIVED and c == NAME_DERIVED[t][0]:
+                    _, prefix, key = NAME_DERIVED[t]
+                    exprs.append(
+                        f"'{prefix}' || lpad(CAST({key} + {i * stride[cols[key]]} "
+                        f"AS VARCHAR), 9, '0') AS {c}")
                 elif t == "documents" and c == "text":
                     exprs.append(f"{cipher_expr(c, i)} AS {c}")
                 elif t == "documents" and c == "n_chars":
