@@ -210,8 +210,14 @@ object StreamBench {
       val (rps, rows) = mvSweep(g, nMv)
       s"""{"groups":$g,"rows_per_sec":$rps,"mv_rows":$rows}"""
     }.mkString("[", ",", "]")
-    val mvBatch = Seq(1000, 5000, 20000, nMv).distinct.filter(_ <= nMv).map { b =>
-      val (rps, secPerBatch) = mvBatchSweep(b, nMv)
+    // Sweep points reach past nMv deliberately: at 20k rows/batch the
+    // per-batch fixed cost still dominates (~515 ms flat 1k->20k, ~1 us/row
+    // marginal), so the knee sits in the 100k+ regime — measure it, don't
+    // extrapolate. Per-point load: >=4 batches for a stable average, <=40
+    // batches so the 1k point doesn't take minutes.
+    val mvBatch = Seq(1000, 5000, 20000, 100000).map { b =>
+      val nEvB = math.max(4 * b, math.min(40 * b, 200000))
+      val (rps, secPerBatch) = mvBatchSweep(b, nEvB)
       s"""{"batch":$b,"rows_per_sec":$rps,"ms_per_batch":${fmtD(secPerBatch * 1000)}}"""
     }.mkString("[", ",", "]")
 
