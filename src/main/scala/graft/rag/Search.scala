@@ -101,6 +101,55 @@ object Search {
       .orderBy("query_doc_id", "rnk")
   }
 
+  /** B5b: [[r5FindSimilar]]'s semantics on the SCALE PATH — the candidate
+    * set comes from d5's 16-bit/4-band random-hyperplane LSH blocking
+    * (graft.dedup.Dedup.Hyperplanes) instead of the all-pairs product.
+    * r5 is Q=N brute force by reference semantics
+    * (rag/retrieval.py:find_similar_documents per doc) and measured
+    * quadratic at sf1 (0.60 -> 32.0 s, PLANS.md); this is the corpus-wide
+    * batch variant that survives the decade: band signatures are ONE
+    * narrow pass over the corpus, candidates collide per (band, bv)
+    * bucket, and scoring touches candidate pairs only. Ranks are
+    * re-assigned among candidates, so a blocking miss promotes later
+    * neighbors — recall vs r5 is measured (FindSimilarBlockedSpec), not
+    * assumed, same contract as d7/a3.
+    *
+    * Joins are deliberately UN-hinted: the query/band sides here are
+    * corpus-proportional (the m7/r13 lesson — a forced broadcast of a
+    * corpus fraction is an OOM at scale), so the planner/AQE picks
+    * broadcast while they fit and degrades to shuffle when they don't. */
+  def r5bFindSimilarBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val bandTensor = graft.dedup.Dedup.Hyperplanes.grouped(4).toSeq
+    val bands = e.select(col("vec_id"),
+        posexplode(transform(typedlit(bandTensor), band =>
+          (0 until 4).map { o =>
+            when(Vec.dotNative(col("v"), element_at(band, o + 1)) > 0.0,
+              lit(1L << o)).otherwise(0L)
+          }.reduce(_ + _))))
+      .toDF("vec_id", "band", "bv")
+    val srcDocs = Tables.documents(spark, dir)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    val qb = bands.join(srcDocs, col("vec_id") === col("doc_id"))
+      .select(col("doc_id").as("query_doc_id"), col("band"), col("bv"))
+    val cand = bands.join(qb, Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("query_doc_id"))
+      .select("query_doc_id", "vec_id").distinct()
+    val q = e.select(col("vec_id").as("query_doc_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val sim = round(greatest(
+      cosineOf(col("qnrm"), col("nrm"), Vec.dotNative(col("qv"), col("v"))), lit(0.0)), 6)
+    val w = Window.partitionBy(col("query_doc_id"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+    cand.join(q, "query_doc_id").join(e, "vec_id")
+      .withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5 && col("similarity") >= 0.3)
+      .select(col("query_doc_id"), col("vec_id").as("doc_id"),
+        col("similarity"), col("rnk"))
+      .orderBy("query_doc_id", "rnk")
+  }
+
   /** B8: compute_similarity — pairwise cosine over a fixed probe set. */
   def r8PairwiseSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).filter(col("vec_id") < 20)
@@ -145,6 +194,7 @@ object Search {
     "r3_search_topk"         -> ((s, d) => r3SearchTopK(s, d)),
     "r4_search_filtered"     -> ((s, d) => r4SearchFiltered(s, d)),
     "r5_find_similar"        -> ((s, d) => r5FindSimilar(s, d)),
+    "r5b_find_similar_blocked" -> ((s, d) => r5bFindSimilarBlocked(s, d)),
     "r8_pairwise_similarity" -> ((s, d) => r8PairwiseSimilarity(s, d)),
     "a1_knn_bruteforce"      -> ((s, d) => a1KnnBruteforce(s, d)),
   )
@@ -201,6 +251,37 @@ object Search {
          |  SELECT q.query_doc_id, en.vec_id AS doc_id,
          |    ${cosSql(dotSql("q.qv", "en.v"), "q.qnrm", "en.nrm", clamp = true)} AS similarity
          |  FROM q JOIN en ON en.vec_id <> q.query_doc_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc_id ORDER BY similarity DESC, doc_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_doc_id, doc_id, similarity, rnk FROM ranked
+         |WHERE rnk <= 5 AND similarity >= 0.3
+         |ORDER BY query_doc_id, rnk""".stripMargin,
+    // Same hyperplane/band construction as d5's oracle (hash-proven there);
+    // scoring/ranking is r5's, restricted to the banded candidate set.
+    "r5b_find_similar_blocked" ->
+      s"""$CorpusCte, hp AS (
+         |  SELECT j, list_transform(range(0, 64), d ->
+         |    (CAST('0x' || substr(md5('hp' || CAST(j AS VARCHAR) || 'd' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)/1000.0) AS r
+         |  FROM range(0, 16) t(j)
+         |), bits AS (
+         |  SELECT en.vec_id, hp.j,
+         |    CASE WHEN ${dotSql("en.v", "hp.r")} > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM en, hp
+         |), bands AS (
+         |  SELECT vec_id, j // 4 AS band, CAST(sum(bit << (j % 4)) AS BIGINT) AS bv
+         |  FROM bits GROUP BY 1, 2
+         |), qd AS (
+         |  SELECT doc_id FROM documents WHERE source = 'src0'
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_doc_id, b.vec_id
+         |  FROM bands qb JOIN qd ON qb.vec_id = qd.doc_id
+         |  JOIN bands b ON qb.band = b.band AND qb.bv = b.bv AND b.vec_id <> qb.vec_id
+         |), scored AS (
+         |  SELECT c.query_doc_id, c.vec_id AS doc_id,
+         |    ${cosSql(dotSql("qe.v", "en.v"), "qe.nrm", "en.nrm", clamp = true)} AS similarity
+         |  FROM cand c JOIN en qe ON qe.vec_id = c.query_doc_id JOIN en ON en.vec_id = c.vec_id
          |), ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_doc_id ORDER BY similarity DESC, doc_id) AS rnk
          |  FROM scored
