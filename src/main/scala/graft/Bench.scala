@@ -301,7 +301,10 @@ object Bench {
     if (!f.exists()) return ""
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(f)
-    if (!root.path("sf").asText("").contains("sf1")) return ""
+    // exact-suffix match, not contains: "testdata_sf10"/"sf100" corpora
+    // would otherwise be silently ratio'd as if they were sf1 ("sf0.1"
+    // cannot sneak in: its last three chars are "0.1")
+    if (!root.path("sf").asText("").endsWith("sf1")) return ""
     val it = root.path("queries").properties().iterator()
     val sf1Sec = scala.collection.mutable.Map.empty[String, Double]
     while (it.hasNext) {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run-and-record harness for d5's blocking dial (r9 verdict item 3):
+  * times d5_embedding_neardup at 2/3/4(/5) bits-per-band x 4 bands and
+  * measures pair recall against the brute-force cosine>=0.4 ground truth
+  * — the d7-style contract (recall is measured, never assumed) applied to
+  * the hyperplane dial. Results land in PLANS.md §d5-dial, same
+  * run-and-record stance as SkewBench/StreamBench.
+  *
+  * Usage: `sbt "runMain graft.D5Dial [sfDir] [bitsCsv]"` (defaults
+  * /root/testdata/sf0.1 and 2,3,4). Emits one JSON line per setting plus
+  * a truth line.
+  */
+object D5Dial {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bits = args.lift(1).getOrElse("2,3,4").split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // Brute-force ground truth: every vec_a < vec_b pair with
+    // cosine >= 0.4 (same rounding as d5's verify). Quadratic by
+    // definition — this is the harness's oracle, not a shipped plan.
+    val truth = {
+      val e = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", graft.functions.Vec.norm2Native(col("v")))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("similarity",
+          round(when(col("na") * col("nb") === 0.0, 0.0)
+            .otherwise(graft.functions.Vec.dotNative(col("va"), col("vb"))
+              / (col("na") * col("nb"))), 6))
+        .filter(col("similarity") >= 0.4)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(true)
+    }
+    val nTruth = truth.count()
+    val t0 = System.nanoTime()
+    truth.count()
+    println(s"""{"harness":"d5_dial","sf":"${sfDir.split('/').last}","truth_pairs":$nTruth,"brute_sec":${fmt((System.nanoTime() - t0) / 1e9)}}""")
+
+    bits.foreach { r =>
+      def run(): (Long, Double) = {
+        val s0 = System.nanoTime()
+        val n = graft.dedup.Dedup.d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r).count()
+        (n, (System.nanoTime() - s0) / 1e9)
+      }
+      run() // cold (codegen/JIT for this literal tensor width)
+      val (nOut, sec) = run()
+      val caught = graft.dedup.Dedup.d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r)
+        .join(truth, Seq("vec_a", "vec_b")).count()
+      val recall = if (nTruth == 0) -1.0 else caught.toDouble / nTruth
+      println(s"""{"harness":"d5_dial","bits_per_band":$r,"bands":4,"total_bits":${4 * r},"pairs_out":$nOut,"recall":${fmt(recall)},"sec":${fmt(sec)}}""")
+    }
+    spark.stop()
+  }
+}

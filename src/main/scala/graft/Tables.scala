@@ -64,14 +64,17 @@ object Tables {
     * permissive temporal set (`tsAny`, incl. TIMESTAMP(NANOS) read as
     * bigint under nanosAsLong) because only [[events]] has a
     * normalization path for every shape after the guard. o_orderdate /
-    * l_shipdate are pinned to the shapes the queries actually handle
-    * today (naive micros → timestamp_ntz, plus timestamp/date, which
-    * compare identically against date literals under UTC); a drift to
-    * nanos-as-long there has NO normalization path and must fail loudly
-    * here, not downstream. Everything else is exact. */
+    * l_shipdate are pinned to the shapes the queries are actually tested
+    * against (naive micros → timestamp_ntz, plus timestamp, which under
+    * the pinned UTC session compares AND renders identically). `date` is
+    * deliberately NOT accepted (r9 verdict hygiene item): a date drift
+    * would silently change interval arithmetic, output types, and ~20
+    * plan fingerprints at once — like nanos-as-long it has no
+    * normalization path here and must fail loudly at the source, not
+    * surface as downstream replans. Everything else is exact. */
   private[graft] val Pinned: Map[String, Seq[(String, Set[String])]] = {
     val tsAny = Set("timestamp", "timestamp_ntz", "bigint", "date")
-    val ts = Set("timestamp", "timestamp_ntz", "date")
+    val ts = Set("timestamp", "timestamp_ntz")
     Map(
       "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
       "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),

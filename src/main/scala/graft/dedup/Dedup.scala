@@ -276,18 +276,36 @@ object Dedup {
   }
 
   /** Deterministic random-hyperplane coordinates (md5-derived; identical
-    * formula evaluates in the DuckDB oracle). 16 planes x 64 dims in
-    * [-1, 1.0005] steps of 1e-3. */
-  private[graft] val Hyperplanes: Seq[Seq[Double]] =
-    (0 until 16).map { j =>
+    * formula evaluates in the DuckDB oracle): n planes x 64 dims in
+    * [-1, 1.0005] steps of 1e-3. Prefix-stable: hyperplanes(k) is the
+    * first k rows of hyperplanes(n) for k <= n, so widening the dial
+    * never re-randomizes the planes an oracle already pinned. */
+  private[graft] def hyperplanes(n: Int): Seq[Seq[Double]] =
+    (0 until n).map { j =>
       (0 until 64).map { d =>
         ((DetHash.h60Local(s"hp${j}d$d") % 2001L) - 1000L) / 1000.0
       }
     }
 
-  /** C5: embedding near-dup via random-hyperplane LSH: 16 sign bits in
-    * 4 bands of 4; candidates collide on a full band; cosine >= 0.4 verify. */
-  def d5EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** The oracle-pinned default tensor: 16 planes (4 bands x 4 bits). */
+  private[graft] val Hyperplanes: Seq[Seq[Double]] = hyperplanes(16)
+
+  /** C5: embedding near-dup via random-hyperplane LSH: `bands` bands of
+    * `bitsPerBand` sign bits each; candidates collide on a full band;
+    * cosine >= 0.4 verify.
+    *
+    * `bitsPerBand` is the SCALE DIAL (r9 verdict item 3): candidate pairs
+    * per band bucket ~ N^2 / 2^bits, so a fixed bit-width is quadratic in
+    * corpus size — the dial must grow ~log2(N) to hold bucket occupancy
+    * (and therefore per-bucket pair work) constant. Each extra bit halves
+    * a band's collision probability p^bits (p = 1 - theta/pi), so recall
+    * at a fixed cosine threshold is traded against cost; `bands` buys
+    * recall back (1-(1-p^bits)^bands) at one more corpus pass per band.
+    * Measured curve (graft.D5Dial, PLANS.md §d5-dial): cost and recall at
+    * 2/3/4 bits x 4 bands at sf0.1 and sf1. The 4x4 default is pinned by
+    * the DuckDB oracle at driver scales. */
+  def d5EmbeddingNeardup(spark: SparkSession, dir: String,
+                         bitsPerBand: Int = 4, bands: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", Vec.norm2Native(col("v")))
@@ -296,26 +314,29 @@ object Dedup {
     // dot is folded exactly once per row — expressing the bits as a separate
     // projected column lets CollapseProject inline the whole fold into every
     // downstream use. The in-order fold matches the oracle's list_reduce.
-    val bandTensor = Hyperplanes.grouped(4).toSeq // 4 bands x 4 planes x 64 dims
-    val bands = e.select(col("vec_id"), col("v"), col("nrm"),
+    // bands x bitsPerBand planes x 64 dims
+    val bandTensor = hyperplanes(bands * bitsPerBand).grouped(bitsPerBand).toSeq
+    val banded = e.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(transform(typedlit(bandTensor), band =>
-          (0 until 4).map { o =>
+          (0 until bitsPerBand).map { o =>
             when(Vec.dotNative(col("v"), element_at(band, o + 1)) > 0.0,
               lit(1L << o)).otherwise(0L)
           }.reduce(_ + _))))
       .toDF("vec_id", "v", "nrm", "band", "bv")
     // Dedup candidates on the id pair ONLY (ints), then re-attach vectors:
     // shuffling the float arrays through the distinct would move ~100x the
-    // bytes. Locally the side tables broadcast; at warehouse scale both
-    // joins are bucket joins on vec_id against the bucketed corpus.
-    val cand = bands.as("x").join(bands.as("y"),
+    // bytes. The re-attach joins are UN-hinted (r10, same class as
+    // m7/r13/r5: `e` is the corpus — forcing its broadcast is an OOM at
+    // scale): AQE broadcasts while it fits; at warehouse scale both joins
+    // are bucket joins on vec_id against the bucketed corpus.
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
     cand
-      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))), "vec_a")
-      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .withColumn("similarity",
         round(when(col("na") * col("nb") === 0.0, 0.0)
           .otherwise(Vec.dotNative(col("va"), col("vb")) / (col("na") * col("nb"))), 6))

@@ -230,6 +230,45 @@ object MemoryOps {
         col("new_expires_at").as("expires_at"), now.as("updated_at"))
       .orderBy("memory_key")
 
+  /** A8b: memory_update's data/tags/metadata branch
+    * (memory/manager/operations.py:127-137) — the one reference update
+    * path m8 didn't model, and the B12 analog for memory: `data` is
+    * REPLACED wholesale (`memory.data = data`), `tags` and `metadata` are
+    * MERGED per key (`dict.update`: an update key overrides, untouched
+    * keys survive, new keys append), and updated_at is bumped. TTL fields
+    * are NOT touched on this branch (extend_ttl is None here — that's m8).
+    *
+    * The WAL carries no separate tag/metadata columns, so stored tags
+    * {"type": memory_type, "user": "u<id>"} and stored metadata
+    * {"policy": expiration_policy} are derived deterministically from the
+    * row (same modeling stance as m8's TTL-from-props derivation), and
+    * the merge is computed key-explicitly so both engines build
+    * byte-identical JSON. The update payload is row-dependent to exercise
+    * BOTH merge paths data-dependently: even user_id updates tags with
+    * {"type": "reviewed"} (override, `user` survives), odd with
+    * {"stage": "curated"} (append, both stored keys survive); metadata
+    * always appends {"curated": true} after the surviving policy key.
+    * One narrow projection over the bucketed memory table — no joins, no
+    * shuffle at any scale. */
+  def m8bUpdateData(spark: SparkSession, dir: String): DataFrame =
+    memoryTable(spark, dir)
+      .filter(col("user_id") % 5 === 2)
+      .withColumn("k", regexp_extract(col("data"), "\"k\": (\\d+)", 1).cast("int"))
+      .select(
+        col("memory_key"),
+        // data: replace, never merge (operations.py:128 assigns)
+        concat(lit("{\"v\": 2, \"k\": "), col("k"), lit("}")).as("data"),
+        when(col("user_id") % 2 === 0,
+          concat(lit("{\"type\": \"reviewed\", \"user\": \"u"),
+            col("user_id"), lit("\"}")))
+          .otherwise(concat(lit("{\"type\": \""), col("memory_type"),
+            lit("\", \"user\": \"u"), col("user_id"),
+            lit("\", \"stage\": \"curated\"}"))).as("tags"),
+        concat(lit("{\"policy\": \""), col("expiration_policy"),
+          lit("\", \"curated\": true}")).as("metadata"),
+        now.as("updated_at"))
+      .orderBy("memory_key")
+
   /** A6: expirations per day bucket — batch analog of the expiry event feed. */
   def m6ExpiryBuckets(spark: SparkSession, dir: String): DataFrame =
     memoryTable(spark, dir)
@@ -248,6 +287,7 @@ object MemoryOps {
     "m6_expiry_buckets"  -> ((s, d) => m6ExpiryBuckets(s, d)),
     "m7_delete_keys"     -> ((s, d) => m7DeleteKeys(s, d)),
     "m8_update_ttl"      -> ((s, d) => m8UpdateTtl(s, d)),
+    "m8b_update_data"    -> ((s, d) => m8bUpdateData(s, d)),
     "m9_exists"          -> ((s, d) => m9Exists(s, d)),
   )
 
@@ -372,5 +412,17 @@ object MemoryOps {
         |       ELSE created_at + to_seconds(new_ttl) END AS expires_at,
         |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
         |FROM upd3 ORDER BY memory_key""".stripMargin),
+
+    "m8b_update_data" -> (Cte +
+      """SELECT memory_key,
+        |  '{"v": 2, "k": ' || regexp_extract(data, '"k": (\d+)', 1) || '}' AS data,
+        |  CASE WHEN user_id % 2 = 0
+        |    THEN '{"type": "reviewed", "user": "u' || CAST(user_id AS VARCHAR) || '"}'
+        |    ELSE '{"type": "' || memory_type || '", "user": "u' ||
+        |         CAST(user_id AS VARCHAR) || '", "stage": "curated"}' END AS tags,
+        |  '{"policy": "' || expiration_policy || '", "curated": true}' AS metadata,
+        |  TIMESTAMP '2024-01-31 00:00:00' AS updated_at
+        |FROM mem2 WHERE user_id % 5 = 2
+        |ORDER BY memory_key""".stripMargin),
   )
 }

@@ -64,6 +64,11 @@ object Search {
     val raw = cosineOf(col("qnrm"), col("nrm"), Vec.dotNative(col("qv"), col("v")))
     val sim = round(if (clampZero) greatest(raw, lit(0.0)) else raw, 6)
     val w = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // Broadcast CONTRACT: `q` here is the user's query batch — fixed-Q in
+    // production (a search request carries a handful of vectors), so the
+    // hint is sound at 100 TB. The testdata's `vec_id % 100` predicate makes
+    // q corpus-proportional ONLY as a fixture artifact; a caller with an
+    // unbounded query side should use the un-hinted r5/r5b path instead.
     e.join(broadcast(q), cond)
       .withColumn("similarity", sim)
       .withColumn("rnk", row_number().over(w))
@@ -88,12 +93,19 @@ object Search {
     val srcDocs = Tables.documents(spark, dir)
       .filter(col("source") === "src0").select(col("doc_id"))
     val e = corpus(spark, dir)
-    val q = e.join(broadcast(srcDocs), col("vec_id") === col("doc_id"))
+    // Both joins deliberately UN-hinted (the m7/r13 lesson, applied here in
+    // r10): `srcDocs` and `q` are a fixed FRACTION of the corpus — forcing
+    // their broadcast would make r5 die at driver memory long before its
+    // owned quadratic dies at cluster time. The planner/AQE broadcasts
+    // while the side fits and degrades to shuffle when it doesn't; the
+    // non-equi q-join stays a BNL join either way (r5's owned quadratic —
+    // r5bFindSimilarBlocked is the scale path).
+    val q = e.join(srcDocs, col("vec_id") === col("doc_id"))
       .select(col("doc_id").as("query_doc_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val sim = round(greatest(
       cosineOf(col("qnrm"), col("nrm"), Vec.dotNative(col("qv"), col("v"))), lit(0.0)), 6)
     val w = Window.partitionBy(col("query_doc_id")).orderBy(col("similarity").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_doc_id"))
+    e.join(q, col("vec_id") =!= col("query_doc_id"))
       .withColumn("similarity", sim)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5 && col("similarity") >= 0.3)

@@ -202,6 +202,13 @@ class BenchFpSpec extends AnyFunSuite {
     java.nio.file.Files.write(wrongSf,
       """{"queries":{"q1_agg":2.0},"sf":"sf0.01"}""".getBytes("UTF-8"))
     assert(Bench.sf1Summary(wrongSf.toString, "sf0.1", sparkSec) == "")
+    // an sf10/sf100-named corpus must NOT pass as sf1 (exact-suffix match:
+    // its scale_x factors would be silently computed against the wrong
+    // decade while still labeled sf1/sf0.1)
+    val sf10 = dir.resolve("sf10.json")
+    java.nio.file.Files.write(sf10,
+      """{"queries":{"q1_agg":20.0},"sf":"testdata_sf10"}""".getBytes("UTF-8"))
+    assert(Bench.sf1Summary(sf10.toString, "sf0.1", sparkSec) == "")
   }
 
   test("readPrevPlans degrades to empty on absent or malformed files") {

@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("similarity") >= 0.4))
   }
 
+  test("d5 blocking dial: planes are prefix-stable, verification is dial-independent") {
+    // widening the dial must never re-randomize already-pinned planes
+    assert(Dedup.hyperplanes(8) == Dedup.hyperplanes(16).take(8))
+    // at any bit width the dial changes only the CANDIDATE set: every
+    // reported pair must carry the identical exact score the default
+    // (oracle-pinned 4x4) assigns it — a dial that perturbed scores would
+    // be a correctness bug, not a recall trade
+    def keyed(bits: Int) = Dedup.d5EmbeddingNeardup(spark, Sf, bitsPerBand = bits)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("similarity")).toMap
+    val base = keyed(4)
+    Seq(2, 3).foreach { bits =>
+      val dialed = keyed(bits)
+      assert(dialed.nonEmpty, s"dial $bits produced no pairs on the fixture")
+      dialed.keySet.intersect(base.keySet).foreach { k =>
+        assert(dialed(k) == base(k), s"score drift at $bits bits on $k")
+      }
+    }
+  }
+
   test("connected components handles a diameter-400 chain within the round cap") {
     import spark.implicits._
     // a path graph 0-1-2-...-400: worst case for plain neighbor propagation

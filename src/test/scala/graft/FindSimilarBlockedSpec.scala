@@ -16,7 +16,15 @@ class FindSimilarBlockedSpec extends SparkSpec {
 
   test("blocked scores match brute force per pair; recall above floor") {
     val brute = keyed(Search.r5FindSimilar(spark, Sf).collect())
-    val blocked = keyed(Search.r5bFindSimilarBlocked(spark, Sf).collect())
+    val blockedRows = Search.r5bFindSimilarBlocked(spark, Sf).collect()
+    val blocked = keyed(blockedRows)
+    // ranking invariants: <= k=5 neighbors per query, rnk dense 1..n (a
+    // dropped rnk filter or a broken window would break one of these)
+    blockedRows.groupBy(_.getAs[Long]("query_doc_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q reports ${rs.length} > 5 neighbors")
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length),
+        s"query $q rnk values not dense 1..${rs.length}")
+    }
     assert(brute.nonEmpty, "fixture must produce brute-force neighbors")
     assert(blocked.nonEmpty, "fixture must produce blocked neighbors")
     // every blocked pair that brute force also ranked must score identically

@@ -52,4 +52,32 @@ class MemoryOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ephemeral") + r.getAs[Long]("n_short_term") +
       r.getAs[Long]("n_long_term") + r.getAs[Long]("n_permanent") == total)
   }
+
+  test("m8b models the data/tags/metadata update branch: replace vs merge") {
+    // operations.py:127-137 — data replaced wholesale; tags/metadata
+    // dict.update semantics: update key overrides, untouched keys
+    // survive, new keys append; TTL fields untouched on this branch
+    val rows = MemoryOps.m8bUpdateData(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getAs[String]("memory_key")
+      val uid = key.stripPrefix("u").takeWhile(_.isDigit).toLong
+      assert(uid % 5 == 2, s"probe-set leak: $key")
+      // data: replaced (new shape, not the stored props)
+      assert(r.getAs[String]("data").startsWith("{\"v\": 2, \"k\": "))
+      val tags = r.getAs[String]("tags")
+      // merge: the stored `user` key always survives
+      assert(tags.contains(s""""user": "u$uid""""), tags)
+      if (uid % 2 == 0) // override path: update's type wins, no append
+        assert(tags.contains("\"type\": \"reviewed\"") && !tags.contains("stage"), tags)
+      else // append path: stored type survives, new key appended
+        assert(tags.contains("\"stage\": \"curated\"") &&
+          !tags.contains("reviewed"), tags)
+      // metadata: stored policy key survives, curated appended
+      val md = r.getAs[String]("metadata")
+      assert(md.contains("\"policy\": \"") && md.endsWith("\"curated\": true}"), md)
+      assert(r.getAs[java.sql.Timestamp]("updated_at").toString
+        .startsWith("2024-01-31"))
+    }
+  }
 }

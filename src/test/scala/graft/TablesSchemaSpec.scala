@@ -69,4 +69,19 @@ class TablesSchemaSpec extends SparkSpec {
     assert(e.getMessage.contains("TESTDATA SCHEMA DRIFT"))
     assert(e.getMessage.contains("events.ts"))
   }
+
+  test("a non-events temporal drift (o_orderdate -> date) is convicted too") {
+    // r9 verdict hygiene item: the shared temporal set must not let
+    // orders/lineitem date columns drift to shapes the queries were never
+    // tested against — date changes interval arithmetic and output types
+    // silently across ~20 plans
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift2").toString
+    spark.read.parquet(s"$Sf/orders.parquet")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val e = intercept[IllegalStateException](Tables.orders(spark, dir))
+    assert(e.getMessage.contains("TESTDATA SCHEMA DRIFT"))
+    assert(e.getMessage.contains("orders.o_orderdate"))
+  }
 }

@@ -99,4 +99,29 @@ class ZLayoutSpec extends SparkSpec {
     assert(overlapping < boxes.length,
       s"list_id=$probeList overlaps all ${boxes.length} files — no stat pruning possible")
   }
+
+  test("a13z caches invalidate when the source data regenerates in-session") {
+    // r9 verdict item 7: the z-code table and the memoized probed-list set
+    // are keyed on a data SIGNATURE, not just the path — the driver
+    // rewrites /root/testdata under the same path between rounds, and a
+    // live session must rebuild, not serve stale codes/prunings.
+    val dir = java.nio.file.Files.createTempDirectory("graft_regen").toString
+    val full = spark.read.parquet(s"$Sf/embeddings.parquet")
+    full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val before = graft.ann.Pq.a13zIvfPqTopK(spark, dir).collect()
+    assert(before.nonEmpty)
+    // regenerate UNDER THE SAME PATH: keep only the low half of vec_ids
+    val bound = full.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    full.filter(col("vec_id") <= bound)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val after = graft.ann.Pq.a13zIvfPqTopK(spark, dir).collect()
+    assert(after.nonEmpty)
+    // stale z-codes would surface pre-regeneration vec_ids above the bound
+    after.foreach { r =>
+      assert(r.getAs[Long]("vec_id") <= bound,
+        s"stale cache: vec_id ${r.getAs[Long]("vec_id")} > $bound after regen")
+      assert(r.getAs[Long]("query_id") <= bound)
+    }
+    assert(!before.sameElements(after), "regeneration must change the result")
+  }
 }

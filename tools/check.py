@@ -5,7 +5,7 @@ Runs DuckDB oracle SQL from outDir/oracle_sql.json against the sf parquet
 tables, compares with the Spark parquet dumps in outDir/<name>/.
 Columns sorted by name; rows sorted by all columns; values hashed.
 """
-import json, sys, math, threading, time
+import json, sys, math, threading
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
@@ -29,9 +29,12 @@ def canon(df):
     return rows
 
 def main(sf_dir, out_dir, budget_s=None, exclude=()):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+    con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
@@ -41,9 +44,17 @@ def main(sf_dir, out_dir, budget_s=None, exclude=()):
             # soft per-oracle budget (same watchdog as oracle_times.py): at
             # scaled sf a pathological DuckDB shape (a16/a17's residual
             # reconstruction) must not hang the whole compare — it lands as
-            # SKIP (budget), not a correctness verdict.
-            t0 = time.perf_counter()
-            timer = threading.Timer(budget_s, con.interrupt) if budget_s else None
+            # SKIP (budget), not a correctness verdict. The callback sets
+            # `fired` BEFORE interrupting: (a) SKIP is classified by the flag,
+            # not elapsed time, so a slow genuine oracle error still lands as
+            # FAIL; (b) a timer that fired at all (even after the query
+            # finished — the cancel() race) may leave a pending interrupt on
+            # the connection, so the connection is rebuilt before reuse.
+            fired = [False]
+            def watchdog():
+                fired[0] = True
+                con.interrupt()
+            timer = threading.Timer(budget_s, watchdog) if budget_s else None
             if timer:
                 timer.start()
             try:
@@ -51,8 +62,10 @@ def main(sf_dir, out_dir, budget_s=None, exclude=()):
             finally:
                 if timer:
                     timer.cancel()
+                if fired[0]:
+                    con = connect()  # possibly-poisoned connection: rebuild
         except Exception as e:
-            if budget_s and time.perf_counter() - t0 >= budget_s:
+            if fired[0] or isinstance(e, duckdb.InterruptException):
                 print(f"SKIP {name}: oracle exceeded {budget_s}s DuckDB budget")
                 skipped += 1
             else:

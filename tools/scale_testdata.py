@@ -102,9 +102,14 @@ def main() -> None:
                     exprs.append(f"CAST({c} + {i * stride[cols[c]]} AS BIGINT) AS {c}")
                 elif t in NAME_DERIVED and c == NAME_DERIVED[t][0]:
                     _, prefix, key = NAME_DERIVED[t]
+                    # pad to max(9, len): DuckDB lpad TRUNCATES over-width
+                    # values, so once shifted keys reach 1e9 (large factors)
+                    # a fixed-9 pad would silently collide derived names,
+                    # reintroducing the folded-groups artifact this derives
+                    # around. greatest() keeps the pad but never truncates.
+                    v = f"CAST({key} + {i * stride[cols[key]]} AS VARCHAR)"
                     exprs.append(
-                        f"'{prefix}' || lpad(CAST({key} + {i * stride[cols[key]]} "
-                        f"AS VARCHAR), 9, '0') AS {c}")
+                        f"'{prefix}' || lpad({v}, greatest(9, length({v})), '0') AS {c}")
                 elif t == "documents" and c == "text":
                     exprs.append(f"{cipher_expr(c, i)} AS {c}")
                 elif t == "documents" and c == "n_chars":
