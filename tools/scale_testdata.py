@@ -109,7 +109,8 @@ def main() -> None:
                     # around. greatest() keeps the pad but never truncates.
                     v = f"CAST({key} + {i * stride[cols[key]]} AS VARCHAR)"
                     exprs.append(
-                        f"'{prefix}' || lpad({v}, greatest(9, length({v})), '0') AS {c}")
+                        f"'{prefix}' || lpad({v}, "
+                        f"CAST(greatest(9, length({v})) AS INTEGER), '0') AS {c}")
                 elif t == "documents" and c == "text":
                     exprs.append(f"{cipher_expr(c, i)} AS {c}")
                 elif t == "documents" and c == "n_chars":
