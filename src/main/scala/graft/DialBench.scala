@@ -10,14 +10,21 @@ import org.apache.spark.sql.functions._
   * the hyperplane dial. Results land in PLANS.md §d5-dial, same
   * run-and-record stance as SkewBench/StreamBench.
   *
-  * Usage: `sbt "runMain graft.D5Dial [sfDir] [bitsCsv]"` (defaults
-  * /root/testdata/sf0.1 and 2,3,4). Emits one JSON line per setting plus
-  * a truth line.
+  * Usage: `sbt "runMain graft.D5Dial [sfDir] [settingsCsv]"` — each
+  * setting is `bits` (4 bands) or `bitsxbands` (e.g. `4x8`: recall
+  * compensation — more bands buy recall back at one extra corpus pass
+  * each). Defaults /root/testdata/sf0.1 and 2,3,4. Emits one JSON line
+  * per setting plus a truth line.
   */
 object D5Dial {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val bits = args.lift(1).getOrElse("2,3,4").split(',').map(_.trim.toInt).toSeq
+    val settings = args.lift(1).getOrElse("2,3,4").split(',').map(_.trim).map { tok =>
+      tok.split('x') match {
+        case Array(b, n) => (b.toInt, n.toInt)
+        case Array(b)    => (b.toInt, 4)
+      }
+    }.toSeq
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -34,38 +41,50 @@ object D5Dial {
     // Brute-force ground truth: every vec_a < vec_b pair with
     // cosine >= 0.4 (same rounding as d5's verify). Quadratic by
     // definition — this is the harness's oracle, not a shipped plan.
+    // At corpora where N^2 is out of reach (sf10: 4e10 pairs ~ 7 h), a
+    // third arg `sampleMod` > 1 restricts the truth to pairs TOUCHING a
+    // 1/mod uniform vector sample (cost (N/mod) x N); recall over a
+    // uniform sample of the true pairs is an unbiased estimate of recall
+    // over all of them, with ~sqrt(1/n_sampled_pairs) noise.
+    // (localCheckpoint(true) is EAGER: the brute join is paid here, so
+    // the timer starts before construction.)
+    val sampleMod = args.lift(2).map(_.toInt).getOrElse(1)
+    val t0 = System.nanoTime()
     val truth = {
       val e = graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", graft.functions.Vec.norm2Native(col("v")))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      val a = e.filter(col("vec_id") % sampleMod === 0)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("oid"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("qid") =!= col("oid"))
         .withColumn("similarity",
           round(when(col("na") * col("nb") === 0.0, 0.0)
             .otherwise(graft.functions.Vec.dotNative(col("va"), col("vb"))
               / (col("na") * col("nb"))), 6))
         .filter(col("similarity") >= 0.4)
-        .select("vec_a", "vec_b")
+        .select(least(col("qid"), col("oid")).as("vec_a"),
+          greatest(col("qid"), col("oid")).as("vec_b"))
+        .distinct()
         .localCheckpoint(true)
     }
     val nTruth = truth.count()
-    val t0 = System.nanoTime()
-    truth.count()
-    println(s"""{"harness":"d5_dial","sf":"${sfDir.split('/').last}","truth_pairs":$nTruth,"brute_sec":${fmt((System.nanoTime() - t0) / 1e9)}}""")
+    println(s"""{"harness":"d5_dial","sf":"${sfDir.split('/').last}","sample_mod":$sampleMod,"truth_pairs":$nTruth,"brute_sec":${fmt((System.nanoTime() - t0) / 1e9)}}""")
 
-    bits.foreach { r =>
+    settings.foreach { case (r, nb) =>
       def run(): (Long, Double) = {
         val s0 = System.nanoTime()
-        val n = graft.dedup.Dedup.d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r).count()
+        val n = graft.dedup.Dedup
+          .d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r, bands = nb).count()
         (n, (System.nanoTime() - s0) / 1e9)
       }
       run() // cold (codegen/JIT for this literal tensor width)
       val (nOut, sec) = run()
-      val caught = graft.dedup.Dedup.d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r)
+      val caught = graft.dedup.Dedup
+        .d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r, bands = nb)
         .join(truth, Seq("vec_a", "vec_b")).count()
       val recall = if (nTruth == 0) -1.0 else caught.toDouble / nTruth
-      println(s"""{"harness":"d5_dial","bits_per_band":$r,"bands":4,"total_bits":${4 * r},"pairs_out":$nOut,"recall":${fmt(recall)},"sec":${fmt(sec)}}""")
+      println(s"""{"harness":"d5_dial","bits_per_band":$r,"bands":$nb,"total_bits":${nb * r},"pairs_out":$nOut,"recall":${fmt(recall)},"sec":${fmt(sec)}}""")
     }
     spark.stop()
   }
