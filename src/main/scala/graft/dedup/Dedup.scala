@@ -346,6 +346,50 @@ object Dedup {
   }
 
 
+  /** The d5 dial's closed form (PLANS.md §d5-dial — validated against
+    * nine measured settings over two data decades): picks the cheapest
+    * (bitsPerBand, bands) meeting a recall floor at a cosine threshold.
+    * Goemans–Williamson: one random hyperplane separates a pair at angle
+    * theta with probability theta/pi, so a pair collides in one sign bit
+    * with p = 1 - theta/pi, in an r-bit band with p^r, and in at least
+    * one of b bands with 1 - (1-p^r)^b.
+    *
+    * r is the COST dial: 2^r buckets per band pins expected occupancy at
+    * ~targetBucket, so per-band candidate work is ~N x occupancy (linear
+    * in N at fixed occupancy), never N^2. b is the RECALL dial at one
+    * extra corpus pass each. If the floor needs more than maxBands
+    * passes the operating point is infeasible — p^r collapses at loose
+    * thresholds — and this THROWS so callers route to verify-after-block
+    * (r5b) or an ANN index instead of silently running a quadratic. */
+  def d5OperatingPoint(corpusCount: Long, simThreshold: Double,
+                       recallFloor: Double, targetBucket: Long = 1024L,
+                       maxBands: Int = 64): (Int, Int) = {
+    require(corpusCount > 0, s"corpusCount $corpusCount")
+    require(simThreshold > -1.0 && simThreshold < 1.0, s"simThreshold $simThreshold")
+    require(recallFloor > 0.0 && recallFloor < 1.0, s"recallFloor $recallFloor")
+    require(targetBucket > 0, s"targetBucket $targetBucket")
+    val p = 1.0 - math.acos(simThreshold) / math.Pi
+    val r = math.max(1, math.ceil(
+      math.log(corpusCount.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val pr = math.pow(p, r)
+    // 1 - (1-p^r)^b >= floor  <=>  b >= log(1-floor) / log(1-p^r)
+    val b = math.max(1, math.ceil(math.log1p(-recallFloor) / math.log1p(-pr)).toInt)
+    if (b > maxBands) throw new IllegalArgumentException(
+      f"d5 dial infeasible: N=$corpusCount%d at cosine>=$simThreshold%.2f needs " +
+        f"r=$r%d bits/band to hold buckets <=$targetBucket%d, but recall>=" +
+        f"$recallFloor%.2f then takes b=$b%d > maxBands=$maxBands%d bands " +
+        "(p^r collapses at loose thresholds); block-and-verify with a bounded " +
+        "k per probe (r5b) or an a-family ANN index instead")
+    (r, b)
+  }
+
+  /** Closed-form recall of a (bitsPerBand, bands) setting at a cosine
+    * threshold — the curve `graft.D5Dial` measures empirically. */
+  def d5ClosedFormRecall(bitsPerBand: Int, bands: Int, simThreshold: Double): Double = {
+    val p = 1.0 - math.acos(simThreshold) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bitsPerBand), bands)
+  }
+
   /** C6: dedup clusters — connected components over the verified MinHash
     * near-dup pairs, assigning every involved document a canonical
     * cluster id (the smallest member id) and cluster size. Real pipelines

@@ -63,6 +63,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d5 closed form reproduces the measured dial curve over two decades") {
+    // PLANS.md §d5-dial: recall = 1-(1-p^r)^b with p = 1 - acos(sim)/pi.
+    // The nine D5Dial measurements (sf0.1 / sf1 / sf10, ~0.02 band of
+    // truth-mass over-performance) pin the model; the tolerance brackets
+    // the largest observed deviation.
+    val measured = Seq( // (bits, bands, measured recall, scale)
+      (2, 4, 0.870, "sf0.1"), (3, 4, 0.676, "sf0.1"), (4, 4, 0.508, "sf0.1"),
+      (2, 4, 0.881, "sf1"), (3, 4, 0.704, "sf1"), (4, 4, 0.522, "sf1"),
+      (5, 4, 0.363, "sf1"), (4, 8, 0.771, "sf1"), (5, 8, 0.598, "sf1"),
+      (10, 4, 0.050, "sf10"), (12, 4, 0.023, "sf10"), (10, 8, 0.095, "sf10"))
+    measured.foreach { case (r, b, obs, sf) =>
+      val pred = Dedup.d5ClosedFormRecall(r, b, 0.4)
+      assert(math.abs(pred - obs) <= 0.03,
+        s"closed form $pred vs measured $obs at ${r}x$b ($sf)")
+    }
+  }
+
+  test("d5 operating point: cost dial from N, recall dial from the closed form") {
+    // near-dup regime at warehouse scale: r pins bucket occupancy ~1k,
+    // b comes off the closed form (PLANS.md §d5-dial second-decade rule)
+    assert(Dedup.d5OperatingPoint(1_000_000_000L, 0.9, 0.85) == (20, 42))
+    assert(Dedup.d5OperatingPoint(1_000_000_000L, 0.9, 0.90) == (20, 50))
+    // the chosen point must itself satisfy its floor
+    Seq((1_000L, 0.9, 0.5), (200_000L, 0.85, 0.7), (1_000_000_000L, 0.95, 0.9))
+      .foreach { case (n, sim, floor) =>
+        val (r, b) = Dedup.d5OperatingPoint(n, sim, floor)
+        assert(Dedup.d5ClosedFormRecall(r, b, sim) >= floor, s"($n,$sim,$floor)->($r,$b)")
+        assert(b <= 64)
+      }
+    // r grows with log2(N): +1 decade ~ +3.3 bits
+    val r1 = Dedup.d5OperatingPoint(1_000_000L, 0.9, 0.8)._1
+    val r2 = Dedup.d5OperatingPoint(10_000_000L, 0.9, 0.8)._1
+    assert(r2 - r1 >= 3 && r2 - r1 <= 4)
+    // a loose threshold at scale is INFEASIBLE and must throw, not
+    // silently run a quadratic — the sf10 8x4 disk-death lesson
+    val ex = intercept[IllegalArgumentException](
+      Dedup.d5OperatingPoint(1_000_000_000L, 0.4, 0.8))
+    assert(ex.getMessage.contains("infeasible"))
+  }
+
   test("connected components handles a diameter-400 chain within the round cap") {
     import spark.implicits._
     // a path graph 0-1-2-...-400: worst case for plain neighbor propagation
