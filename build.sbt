@@ -29,6 +29,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Scan-split sizing for the test corpora (r10): Spark splits parquet by
+  // BYTE ranges — min(maxPartitionBytes, max(openCostInBytes, size/cores))
+  // — then each split reads the row groups whose midpoint it covers. At
+  // the default 128 MB / 4 MB, the small-bytes/heavy-per-row tables
+  // (embeddings: 5 MB at sf1) scan as 1-2 tasks on a 32-core box, so
+  // CPU-bound vector work serializes on a LAYOUT accident, and big scaled
+  // facts (lineitem: 1.8 GB at sf10) get only ~14. 32 MB / 64 KB keeps
+  // every scan >= cores-wide at the corpus sizes under test while leaving
+  // sub-64 KB files whole. On a real cluster this is the same dial, sized
+  // to executor count x memory (brief: "size maxPartitionBytes so
+  // partitions fit in executor memory at the target SF").
+  "-Dspark.sql.files.maxPartitionBytes=33554432",
+  "-Dspark.sql.files.openCostInBytes=65536",
   // 16g (box has 128 GiB): at local[32] the 32 concurrent tasks share
   // this one heap, and the r7 driver-run saw identical-plan queries
   // blow up 10x+ in ways consistent with GC pressure under the old 8g

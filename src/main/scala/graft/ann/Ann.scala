@@ -18,16 +18,34 @@ import graft.rag.Search
   *
   * Scale design (§6): centroids are tiny and broadcast — assignment is a
   * narrow map over the corpus (no shuffle of the 100 TB side). The index
-  * would be persisted partitioned/bucketed BY list_id, so a probe is a
-  * partition-pruned scan of nprobe/nlists of the data; here the probe join
-  * shuffles on list_id which models the same pruning. Real deployments scale
-  * nlists ~ sqrt(N) and train centroids with k-means||; deterministic seeds
-  * keep the oracle replayable.
+  * IS persisted partitioned BY list_id (r10, [[ivfListTable]] — the a13
+  * ivfPqTable contract on the raw-vector path), so a probe is a
+  * partition-pruned read of nprobe/nlists of the data, paid once per
+  * corpus ("build once, probe forever"; Bench reports the build under
+  * `cold`). `nlists` is a real dial (grow ~ sqrt(N); graft.AnnDial
+  * measures the recall/cost curve); real deployments train centroids with
+  * k-means|| ([[KmeansIvf]] models that); deterministic centroid choice
+  * keeps the oracle replayable.
   */
 object Ann {
 
   def a2KnnIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(spark, dir, sameLabel = false)
+
+  /** The IVF SCALE DIAL (r10, the d5-dial lesson applied to the a-family):
+    * `nlists` is the coarse blocking constant, and holding it fixed makes
+    * IVF a constant-factor toy — probes scan nprobe/nlists of the corpus,
+    * so at nlists=8/nprobe=3 the "index" still reads 37.5% of every list
+    * payload and brute force catches it. Real deployments grow nlists ~
+    * sqrt(N) (FAISS guidance), which keeps per-list occupancy ~sqrt(N) and
+    * probe cost ~nprobe*sqrt(N) per query. Centroids are vec_id < nlists,
+    * so widening the dial never re-randomizes the prefix an oracle already
+    * pinned (same contract as d5's hyperplanes). Recall/cost across the
+    * dial is MEASURED (graft.AnnDial, PLANS.md §ivf-dial), never assumed;
+    * the 8/3 default stays byte-identical to the committed oracle plan. */
+  def a2KnnIvf(spark: SparkSession, dir: String, nlists: Int,
+               nprobe: Int): DataFrame =
+    ivfTopK(spark, dir, sameLabel = false, nlists = nlists, nprobe = nprobe)
 
   /** D10 (a10): metadata-FILTERED IVF search — the scale path behind
     * r4_search_filtered's brute-force shape: the label equality predicate
@@ -39,16 +57,22 @@ object Ann {
   def a10IvfFiltered(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(spark, dir, sameLabel = true)
 
-  private def centroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 8)
+  private def centroids(e: DataFrame, nlists: Int = 8): DataFrame =
+    e.filter(col("vec_id") < nlists)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
-  /** Corpus-side list assignment — ROW-LOCAL: the 8 centroids are pivoted
-    * into one broadcast row and the argmax (rounded cosine desc, cent_id
-    * tie-break) is a `least()` over (-cs, cent_id) structs — a narrow
-    * codegen'd map with NO exchange over the 100 TB side. (Negating the
-    * rounded cosine flips the order; Spark's double compare treats -0.0 and
-    * 0.0 as equal, exactly like a `.desc` sort and the oracle.)
+  /** Corpus-side list assignment — ROW-LOCAL: the nlists centroids are
+    * collected (sorted, so the one-row aggregate is deterministic) into a
+    * single broadcast array row, and the argmax (rounded cosine desc,
+    * cent_id tie-break) is `array_min` over `transform`-built (-cs,
+    * cent_id) structs — a narrow map with NO exchange over the 100 TB
+    * side, and O(nlists) work per row in ONE loop expression whatever the
+    * dial (the previous 8-way pivot + `least()` baked nlists into the
+    * expression TREE, which both capped the dial ~8 for codegen size and
+    * let constraint-inferred filters re-evaluate the whole 8-dot argmax
+    * 3x per row at the probe join). (Negating the rounded cosine flips
+    * the order; Spark's double compare treats -0.0 and 0.0 as equal,
+    * exactly like a `.desc` sort and the oracle.)
     * Returns (vec_id, list_id, label, v, nrm). Shared with the IVFPQ
     * composed index ([[Pq.a13IvfPqTopK]]).
     *
@@ -57,31 +81,54 @@ object Ann {
     * batch against the ORIGINAL index's centroid artifact, so the rows
     * being assigned and the centroid source must be separable. */
   private[graft] def listAssignment(e: DataFrame,
-                                  centSource: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids(centSource.getOrElse(e))
-    val centAggs = (0 until 8).map(i =>
-      max(when(col("cent_id") === i, struct(col("cv"), col("cnrm")))).as(s"ct$i"))
-    val centRow = cent.groupBy().agg(centAggs.head, centAggs.tail: _*)
-    def csOf(cv: Column, cnrm: Column): Column = round(
-      when(col("nrm") * cnrm === 0.0, 0.0)
-        .otherwise(Vec.dotNative(col("v"), cv) / (col("nrm") * cnrm)), 6)
-    val cands = (0 until 8).map { i =>
-      val ct = col(s"ct$i")
-      when(ct.isNotNull, struct(
-        negate(csOf(ct.getField("cv"), ct.getField("cnrm"))).as("ncs"),
-        lit(i.toLong).as("cent_id")))
-    }
+                                    centSource: Option[DataFrame] = None,
+                                    nlists: Int = 8): DataFrame = {
+    val cent = centroids(centSource.getOrElse(e), nlists)
+    val centRow = cent.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("cv"), col("cnrm")))).as("cents"))
     e.crossJoin(broadcast(centRow))
-      .select(col("vec_id"), least(cands: _*).getField("cent_id").as("list_id"),
+      .select(col("vec_id"),
+        array_min(transform(col("cents"), c => struct(
+          negate(round(
+            when(col("nrm") * c.getField("cnrm") === 0.0, 0.0)
+              .otherwise(Vec.dotNative(col("v"), c.getField("cv"))
+                / (col("nrm") * c.getField("cnrm"))), 6)).as("ncs"),
+          c.getField("cent_id").as("cent_id"))))
+          .getField("cent_id").as("list_id"),
         col("label"), col("v"), col("nrm"))
+  }
+
+  /** The IVF-flat index table: raw vectors + list assignment, written
+    * PARTITIONED BY list_id once per (session, corpus, data signature,
+    * dial) — the FAISS `IVFx,Flat` layout as physical parquet, and the
+    * a13 ivfPqTable contract applied to the raw-vector path: a2/a10
+    * probes are partition-pruned reads of nprobe/nlists of the data, not
+    * a per-run re-derivation of the assignment (which also re-evaluated
+    * the argmax 3x per row through constraint-inferred join filters).
+    * The data-signature key (a13z precedent) means a corpus regenerated
+    * under the same path rebuilds instead of serving stale lists. */
+  private def ivfListTable(spark: SparkSession, dir: String,
+                           nlists: Int): DataFrame = {
+    val e = Search.corpus(spark, dir)
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(Pq.srcSignature(dir).getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    val t = s"graft_ivf${nlists}_${graft.sources.Warehouse.tableSuffix(dir)}_$sig"
+    synchronized {
+      if (!spark.catalog.tableExists(t))
+        graft.sources.Warehouse.writePartitionedTable(
+          listAssignment(e, nlists = nlists), t, "list_id")
+    }
+    spark.table(t)
   }
 
   /** The probe set: each query's top-NPROBE centroids by rounded cosine.
     * Only the tiny probe set takes the explode + window path, because it
     * needs the top-nprobe centroids, not just the argmax.
     * Returns (query_id, list_id, qlabel, qv, qnrm). */
-  private[ann] def listProbes(e: DataFrame, nprobe: Int = 3): DataFrame = {
-    val cent = centroids(e)
+  private[ann] def listProbes(e: DataFrame, nprobe: Int = 3,
+                              nlists: Int = 8): DataFrame = {
+    val cent = centroids(e, nlists)
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
@@ -93,10 +140,11 @@ object Ann {
         col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qnrm"))
   }
 
-  private def ivfTopK(spark: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
+  private def ivfTopK(spark: SparkSession, dir: String, sameLabel: Boolean,
+                      nlists: Int = 8, nprobe: Int = 3): DataFrame = {
     val e = Search.corpus(spark, dir)  // vec_id, label, v, nrm
-    val asg = listAssignment(e)
-    val probes = listProbes(e)
+    val asg = ivfListTable(spark, dir, nlists)
+    val probes = listProbes(e, nprobe, nlists)
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)

@@ -126,7 +126,20 @@ def main() -> None:
                     exprs.append(c)
             selects.append(f"SELECT {', '.join(exprs)} FROM {pq(t)}")
         union = " UNION ALL ".join(selects)
-        con.execute(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        # ROW_GROUP_SIZE: parquet scans (Spark AND DuckDB) parallelize at
+        # row-group granularity, and DuckDB's default ~122k-row groups give
+        # the small-bytes/heavy-per-row tables (embeddings: 20k rows at sf1
+        # = ONE group) single-threaded scans — a layout artifact of the
+        # generator, not a property of the plans under test. Real warehouse
+        # tables at these engines' target scale carry thousands of groups;
+        # aim for ~64 groups per table (a 32-core box keeps every core in
+        # the scan), floored at DuckDB's 2048-row group minimum so small
+        # tables don't fragment into pure footer overhead.
+        n_out = con.execute(f"SELECT {factor} * count(*) FROM {pq(t)}").fetchone()[0]
+        rgs = max(2048, (n_out // 64 // 2048) * 2048)
+        con.execute(
+            f"COPY ({union}) TO '{dst}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs})")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
         print(f"[scale] {t}: {n} rows")
 
