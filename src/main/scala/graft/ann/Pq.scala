@@ -463,7 +463,22 @@ object Pq {
     val key = s"$path@${srcSignature(dir)}"
     synchronized {
       if (!zBuilt.contains(key)) {
-        writeZOrderedCodes(spark, dir, path)
+        // File count is a SCALE DIAL, not a constant (r10): a fixed
+        // files=8 caps the probe scan at 8 tasks — measured at sf10 as
+        // a13z 64 s vs a13's 15 s purely because the dir-per-list table
+        // reads one file per writer task while the z layout read 8. Size
+        // the z file count with the corpus (≈1 file per MB of source
+        // vectors, floor 8) so the scan stays cores-wide AND the per-file
+        // z-boxes stay small enough for footer stats to prune. The
+        // sf0.1/sf0.01 driver corpora stay at exactly 8 files — the
+        // committed layout the oracle and ZLayoutSpec pin — and the file
+        // count never appears in the logical plan, so fingerprints are
+        // unaffected at every scale.
+        val root = new java.io.File(s"$dir/embeddings.parquet")
+        val srcBytes =
+          if (root.isDirectory) root.listFiles().map(_.length).sum else root.length
+        writeZOrderedCodes(spark, dir, path,
+          files = math.max(8, (srcBytes >> 20).toInt))
         zBuilt += key
       }
     }
