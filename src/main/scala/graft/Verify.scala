@@ -16,8 +16,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_SKIP (names / prefix globs, FP_ALLOW rules): for
+    // scaled-corpus verification runs, where a handful of owned-quadratic
+    // shapes (d5's oracle-pinned 4x4 default, r5's per-doc brute force)
+    // are documented not to survive the scale — the driver never sets it,
+    // so the three driver scales always verify the FULL registry.
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP").map(_.trim).getOrElse("")
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      if (skip.nonEmpty && Bench.fpViolations(Seq(name), skip).isEmpty)
+        System.err.println(s"[verify] $name SKIPPED by SPARK_GRAFT_VERIFY_SKIP")
+      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

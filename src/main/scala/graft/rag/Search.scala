@@ -129,22 +129,31 @@ object Search {
     * Joins are deliberately UN-hinted: the query/band sides here are
     * corpus-proportional (the m7/r13 lesson — a forced broadcast of a
     * corpus fraction is an OOM at scale), so the planner/AQE picks
-    * broadcast while they fit and degrades to shuffle when they don't. */
-  def r5bFindSimilarBlocked(spark: SparkSession, dir: String): DataFrame = {
+    * broadcast while they fit and degrades to shuffle when they don't.
+    *
+    * `bitsPerBand`/`bands` are d5's SCALE DIAL, inherited (r10): the
+    * candidate term is ~N²·frac/2^bits, so the 4x4 default taken one
+    * decade up dies the same disk-spill death d5's does (measured at
+    * sf10); run scaled corpora at bits ~ log2(N/1k) per the d5 closed
+    * form. Planes are prefix-stable (Dedup.hyperplanes), the 4x4
+    * default byte-identical to the committed, oracle-pinned plan. */
+  def r5bFindSimilarBlocked(spark: SparkSession, dir: String,
+                            bitsPerBand: Int = 4, bands: Int = 4): DataFrame = {
     val e = corpus(spark, dir)
-    val bandTensor = graft.dedup.Dedup.Hyperplanes.grouped(4).toSeq
-    val bands = e.select(col("vec_id"),
+    val bandTensor = graft.dedup.Dedup.hyperplanes(bands * bitsPerBand)
+      .grouped(bitsPerBand).toSeq
+    val bands0 = e.select(col("vec_id"),
         posexplode(transform(typedlit(bandTensor), band =>
-          (0 until 4).map { o =>
+          (0 until bitsPerBand).map { o =>
             when(Vec.dotNative(col("v"), element_at(band, o + 1)) > 0.0,
               lit(1L << o)).otherwise(0L)
           }.reduce(_ + _))))
       .toDF("vec_id", "band", "bv")
     val srcDocs = Tables.documents(spark, dir)
       .filter(col("source") === "src0").select(col("doc_id"))
-    val qb = bands.join(srcDocs, col("vec_id") === col("doc_id"))
+    val qb = bands0.join(srcDocs, col("vec_id") === col("doc_id"))
       .select(col("doc_id").as("query_doc_id"), col("band"), col("bv"))
-    val cand = bands.join(qb, Seq("band", "bv"))
+    val cand = bands0.join(qb, Seq("band", "bv"))
       .filter(col("vec_id") =!= col("query_doc_id"))
       .select("query_doc_id", "vec_id").distinct()
     val q = e.select(col("vec_id").as("query_doc_id"),

@@ -48,6 +48,28 @@ class FindSimilarBlockedSpec extends SparkSpec {
     assert(recall >= 0.4, f"blocked recall $recall%.3f below floor 0.4")
   }
 
+  test("the inherited blocking dial changes candidates only, never scores") {
+    // r10: bitsPerBand/bands are real parameters (d5's dial; the 4x4
+    // default dies the d5 disk-death one decade up). Any pair a dialed
+    // variant reports must carry the identical score the default assigns
+    // when both rank it, and every invariant (k, dense rnk, threshold)
+    // must hold at any dial.
+    val base = keyed(Search.r5bFindSimilarBlocked(spark, Sf).collect())
+    Seq((2, 4), (5, 4), (4, 8)).foreach { case (b, n) =>
+      val rows = Search.r5bFindSimilarBlocked(spark, Sf, b, n).collect()
+      assert(rows.nonEmpty, s"dial ${b}x$n produced no pairs")
+      rows.groupBy(_.getAs[Long]("query_doc_id")).foreach { case (q, rs) =>
+        assert(rs.length <= 5, s"dial ${b}x$n query $q has ${rs.length} > 5")
+        assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length))
+      }
+      val dialed = keyed(rows)
+      dialed.foreach { case (k, s) =>
+        assert(s >= 0.3)
+        base.get(k).foreach(bs => assert(bs == s, s"score drift at $k, dial ${b}x$n"))
+      }
+    }
+  }
+
   test("every blocked pair shares at least one band signature") {
     // the candidate generator's own invariant: a reported neighbor must
     // collide with its query in >= 1 of the 4 bands (no candidate can come
