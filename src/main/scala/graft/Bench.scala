@@ -178,7 +178,18 @@ object Bench {
     // feed the driver's next gate a wrong-scale comparison. The sf guard
     // below makes even a same-file cross-sf comparison a no-baseline case
     // rather than a wall of phantom violations.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A subset run (BENCH_ONLY) with the default output path would silently
+    // overwrite the committed full baseline with a partial queries map,
+    // degrading every future plan/ratio comparison — so the default is
+    // derived to a .subset.json sidecar; only an explicit BENCH_OUT can
+    // direct a subset at a real baseline file (ADVICE r10).
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)) {
+        System.err.println(
+          "[bench] BENCH_ONLY subset without BENCH_OUT: writing BENCH_FULL.subset.json (baseline untouched)")
+        "BENCH_FULL.subset.json"
+      } else "BENCH_FULL.json"
+    }
     val sfName = sfDir.split('/').last
     val prevPlans =
       if (readPrevSf(outPath).exists(_ != sfName)) Map.empty[String, String]

@@ -19,12 +19,20 @@ import org.apache.spark.sql.functions._
 object D5Dial {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val settings = args.lift(1).getOrElse("2,3,4").split(',').map(_.trim).map { tok =>
-      tok.split('x') match {
-        case Array(b, n) => (b.toInt, n.toInt)
-        case Array(b)    => (b.toInt, 4)
-      }
-    }.toSeq
+    // Settings: `bits`, `bitsxbands`, or `auto[@floor]` — the last runs
+    // d5EmbeddingNeardupAuto (r11, verdict #2: the chooser IS the path),
+    // with the operating point computed from the live corpus count at the
+    // harness threshold (0.4) and the given recall floor (default 0.5).
+    // Left = auto floor, Right = explicit (bits, bands).
+    val settings: Seq[Either[Double, (Int, Int)]] =
+      args.lift(1).getOrElse("2,3,4").split(',').map(_.trim).map { tok =>
+        if (tok.startsWith("auto"))
+          Left(tok.split('@').lift(1).map(_.toDouble).getOrElse(0.5))
+        else tok.split('x') match {
+          case Array(b, n) => Right((b.toInt, n.toInt))
+          case Array(b)    => Right((b.toInt, 4))
+        }
+      }.toSeq
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -71,20 +79,34 @@ object D5Dial {
     val nTruth = truth.count()
     println(s"""{"harness":"d5_dial","sf":"${sfDir.split('/').last}","sample_mod":$sampleMod,"truth_pairs":$nTruth,"brute_sec":${fmt((System.nanoTime() - t0) / 1e9)}}""")
 
-    settings.foreach { case (r, nb) =>
+    settings.foreach { setting =>
+      // The auto token runs THROUGH d5EmbeddingNeardupAuto (count + chooser
+      // + run — what a pipeline caller hits); explicit tokens keep the
+      // literal-dial path. The chooser's pick is re-derived here only to
+      // report it alongside the closed-form prediction.
+      val (mode, floor, (r, nb), query) = setting match {
+        case Left(f) =>
+          val nCorpus = graft.Tables.embeddings(spark, sfDir).count()
+          val dials = graft.dedup.Dedup.d5OperatingPoint(nCorpus, 0.4, f)
+          ("auto", f, dials,
+            () => graft.dedup.Dedup.d5EmbeddingNeardupAuto(spark, sfDir,
+              simThreshold = 0.4, recallFloor = f))
+        case Right((b, n)) =>
+          ("explicit", -1.0, (b, n),
+            () => graft.dedup.Dedup.d5EmbeddingNeardup(spark, sfDir,
+              bitsPerBand = b, bands = n))
+      }
       def run(): (Long, Double) = {
         val s0 = System.nanoTime()
-        val n = graft.dedup.Dedup
-          .d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r, bands = nb).count()
+        val n = query().count()
         (n, (System.nanoTime() - s0) / 1e9)
       }
       run() // cold (codegen/JIT for this literal tensor width)
       val (nOut, sec) = run()
-      val caught = graft.dedup.Dedup
-        .d5EmbeddingNeardup(spark, sfDir, bitsPerBand = r, bands = nb)
-        .join(truth, Seq("vec_a", "vec_b")).count()
+      val caught = query().join(truth, Seq("vec_a", "vec_b")).count()
       val recall = if (nTruth == 0) -1.0 else caught.toDouble / nTruth
-      println(s"""{"harness":"d5_dial","bits_per_band":$r,"bands":$nb,"total_bits":${nb * r},"pairs_out":$nOut,"recall":${fmt(recall)},"sec":${fmt(sec)}}""")
+      val predicted = graft.dedup.Dedup.d5ClosedFormRecall(r, nb, 0.4)
+      println(s"""{"harness":"d5_dial","mode":"$mode","recall_floor":${fmt(floor)},"bits_per_band":$r,"bands":$nb,"total_bits":${nb * r},"pairs_out":$nOut,"recall":${fmt(recall)},"predicted_recall":${fmt(predicted)},"sec":${fmt(sec)}}""")
     }
     spark.stop()
   }

@@ -22,8 +22,10 @@ object Verify {
     // are documented not to survive the scale — the driver never sets it,
     // so the three driver scales always verify the FULL registry.
     val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP").map(_.trim).getOrElse("")
+    def skipped(name: String): Boolean =
+      skip.nonEmpty && Bench.fpViolations(Seq(name), skip).isEmpty
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (skip.nonEmpty && Bench.fpViolations(Seq(name), skip).isEmpty)
+      if (skipped(name))
         System.err.println(s"[verify] $name SKIPPED by SPARK_GRAFT_VERIFY_SKIP")
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -43,7 +45,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Skipped queries are dropped from oracle_sql.json too: otherwise
+    // check.py reports each skipped name as FAIL ("spark output
+    // unreadable") unless the caller mirrors the skip list in its exclude
+    // arg — one knob must control both sides (ADVICE r10). The driver
+    // never sets the skip env, so driver runs always emit the full map.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => !skipped(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -26,6 +26,23 @@ import graft.rag.Search
   * measures the recall/cost curve); real deployments train centroids with
   * k-means|| ([[KmeansIvf]] models that); deterministic centroid choice
   * keeps the oracle replayable.
+  *
+  * ==The fixed-Q broadcast contract (r11, the Search.scala query-side
+  * contract stated where the a-family hints are)==
+  * Every `broadcast(...)` of a probe/LUT/shortlist side in the a-family
+  * (here, [[Pq]], [[IvfPqR]], [[KmeansIvf]], [[GraphProbe]], [[Sq]])
+  * assumes the PRODUCTION shape: the query set is a fixed, small batch
+  * (top-k serving, dial measurement — O(queries × nprobe) or
+  * O(queries × subspaces) rows, KBs–MBs), while the corpus side is the
+  * 100 TB partition-pruned scan. Under the synthetic testdata the query
+  * set is `vec_id % 101` — corpus-PROPORTIONAL — so these hints are NOT
+  * justified by the test corpus; they are justified by the serving
+  * contract, and a caller with a corpus-sized query set (all-pairs
+  * offline join) must drop to the un-hinted d-family path (d5/r5b
+  * blocking) instead. Fixed-Q is ~1/101 of the corpus in testdata, well
+  * under any autoBroadcastJoinThreshold at driver scales, so the hint and
+  * AQE agree there; the hint exists to pin the plan at real scale where
+  * stats on a derived probe set are unavailable at planning time.
   */
 object Ann {
 
@@ -152,6 +169,8 @@ object Ann {
     val joinCond = asg("list_id") === probes("list_id") &&
       col("vec_id") =!= col("query_id") &&
       (if (sameLabel) col("label") === col("qlabel") else lit(true))
+    // fixed-Q contract (Ann scaladoc): probes is O(queries × nprobe),
+    // small by the serving contract, not by the testdata's vec_id % 101.
     asg.join(broadcast(probes), joinCond)
       .withColumn("similarity", sim)
       .withColumn("rnk", row_number().over(wq))

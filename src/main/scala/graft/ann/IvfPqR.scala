@@ -135,6 +135,7 @@ object IvfPqR {
       when(col("qnrm") * sqrt(col("rn2")) === 0.0, 0.0)
         .otherwise(approx / (col("qnrm") * sqrt(col("rn2")))), 6)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // fixed-Q contract (Ann scaladoc): probeLut is O(queries × nprobe).
     codes.join(broadcast(probeLut),
         col("list_id") === col("p_list") && col("vec_id") =!= col("query_id"))
       .withColumn("similarity", sim)

@@ -77,6 +77,7 @@ object KmeansIvf {
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
     val wr = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // fixed-Q contract (Ann scaladoc): probes is O(queries × nprobe).
     asg.join(broadcast(probes),
         asg("list_id") === probes("list_id") && col("vec_id") =!= col("query_id"))
       .withColumn("similarity", sim)

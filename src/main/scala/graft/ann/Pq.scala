@@ -146,6 +146,8 @@ object Pq {
     val codes = Option(codesOpt).getOrElse(encode(e, cb))
     val lut = queryLut(e, cb)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // fixed-Q contract (Ann scaladoc): the per-query LUT is O(queries),
+    // small by the serving contract, not by the testdata's vec_id % 101.
     codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .withColumn("similarity", adcSim)
       .withColumn("rnk", row_number().over(wq))
@@ -168,7 +170,8 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     // broadcast the (queries x 50)-row shortlist into the corpus scan —
     // without the hint the stats-less window output plans a sort-merge
-    // join that shuffles the raw-vector corpus
+    // join that shuffles the raw-vector corpus. Fixed-Q contract (Ann
+    // scaladoc): both sides are O(queries), small by the serving shape.
     val cand = e.select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(probes), "query_id")
@@ -417,6 +420,7 @@ object Pq {
     val probe = Ann.listProbes(e).select(col("query_id"), col("list_id"))
       .join(queryLut(e, cb), "query_id")
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // fixed-Q contract (Ann scaladoc): probe is O(queries × nprobe).
     codes.join(broadcast(probe),
         codes("list_id") === probe("list_id") && col("vec_id") =!= col("query_id"))
       .withColumn("similarity", adcSim)
@@ -514,6 +518,7 @@ object Pq {
       probe.select("list_id").distinct().collect().map(_.getLong(0)).sorted.toSeq)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     codes.filter(col("list_id").isin(probed.toIndexedSeq: _*))
+      // fixed-Q contract (Ann scaladoc): probe is O(queries × nprobe).
       .join(broadcast(probe),
         codes("list_id") === probe("list_id") && col("vec_id") =!= col("query_id"))
       .withColumn("similarity", adcSim)

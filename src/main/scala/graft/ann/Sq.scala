@@ -89,6 +89,7 @@ object Sq {
       when(col("qnrm") * sqrt(col("rn2")) === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), recon) / (col("qnrm") * sqrt(col("rn2")))), 6)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // fixed-Q contract (Ann scaladoc): q is the O(queries) probe batch.
     codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .crossJoin(broadcast(st))
       .withColumn("similarity", sim)

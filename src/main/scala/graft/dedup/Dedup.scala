@@ -305,7 +305,8 @@ object Dedup {
     * 2/3/4 bits x 4 bands at sf0.1 and sf1. The 4x4 default is pinned by
     * the DuckDB oracle at driver scales. */
   def d5EmbeddingNeardup(spark: SparkSession, dir: String,
-                         bitsPerBand: Int = 4, bands: Int = 4): DataFrame = {
+                         bitsPerBand: Int = 4, bands: Int = 4,
+                         simThreshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", Vec.norm2Native(col("v")))
@@ -340,9 +341,30 @@ object Dedup {
       .withColumn("similarity",
         round(when(col("na") * col("nb") === 0.0, 0.0)
           .otherwise(Vec.dotNative(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
-      .filter(col("similarity") >= 0.4)
+      .filter(col("similarity") >= simThreshold)
       .select("vec_a", "vec_b", "similarity")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** C5 AUTO MODE (r11 — the chooser IS the path): the pipeline entry
+    * point computes (bitsPerBand, bands) from the LIVE corpus count via
+    * [[d5OperatingPoint]] instead of trusting a caller-supplied literal,
+    * so the closed form that throws on infeasible operating points is
+    * what a pipeline actually hits — a corpus one decade larger silently
+    * gets ~3.3 more bits, never the sf10 8x4 disk-death. The count is
+    * one metadata-cheap pass, paid once per invocation (the build-once
+    * `*Table` pattern would cache it per corpus version at 100 TB).
+    * Oracle scales stay pinned: the registered `d5_embedding_neardup`
+    * query still calls the literal 4x4 default — this entry point is
+    * additive (DedupAutoSpec proves both the equivalence to the explicit
+    * dials and the registered default's independence from it). */
+  def d5EmbeddingNeardupAuto(spark: SparkSession, dir: String,
+                             simThreshold: Double = 0.4,
+                             recallFloor: Double = 0.5,
+                             targetBucket: Long = 1024L): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val (bits, bands) = d5OperatingPoint(n, simThreshold, recallFloor, targetBucket)
+    d5EmbeddingNeardup(spark, dir, bits, bands, simThreshold)
   }
 
 
@@ -670,6 +692,7 @@ object Dedup {
     "d9_incremental_dedup" -> ((s, d) => d9IncrementalDedup(s, d)),
     "d10_decontamination"  -> ((s, d) => d10Decontamination(s, d)),
     "d11_dup_text_fraction" -> ((s, d) => d11DupTextFraction(s, d)),
+    "d12_dup_spans"         -> ((s, d) => d12DupSpans(s, d)),
   )
 
   /** C11: duplicate-text fraction — the per-document substring-duplication
@@ -696,6 +719,64 @@ object Dedup {
       .withColumn("dup_frac",
         graft.functions.Exact.ratio6(col("n_dup_shingles"), col("n_shingles")))
       .orderBy("doc_id")
+  }
+
+  /** C12 (d12): duplicate SPANS — the Lee et al. 2022 substring-level
+    * dedup DELIVERABLE d11 only measures: d11 reports how much of each
+    * document is cross-document boilerplate; this emits the actual
+    * boundaries of the ≥[[D12MinSpanTokens]]-token repeated regions a
+    * pipeline removes (or keeps, flagged) before training.
+    *
+    * Semantics: a token position is duplicated when the 3-gram shingle
+    * starting there occurs in at least one OTHER document (df >= 2 over
+    * the distinct per-doc index — within-doc repeats alone don't count,
+    * matching d11). Adjacent duplicated shingle positions (gap <= 2, i.e.
+    * overlapping or touching 3-gram token windows) merge into one maximal
+    * span [span_start, span_end] (token indices, end inclusive =
+    * last shingle pos + 2); verdict = 'remove' when the span reaches
+    * [[D12MinSpanTokens]] tokens (Lee et al. use 50 BPE tokens at web
+    * scale; tuned here to the short synthetic docs), else 'keep'.
+    *
+    * Scale shape (the verdict-#6 contract — O(index), NO pair join):
+    * cross-doc df is d11's partial-agg groupBy over the materialized
+    * shingle index; the positional parse is one narrow pass over
+    * documents whose lead/lag/sum windows all share the doc_id hash
+    * partitioning (one exchange for the whole island chain); the df
+    * attach is a hash join on 8-byte keys; the span groupBy's
+    * (doc_id, island) clustering is satisfied by the window's doc_id
+    * partitioning — no second exchange. Nothing anywhere is
+    * O(duplication structure); cost is O(tokens + index). */
+  val D12MinSpanTokens = 10
+
+  def d12DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    // positional 3-gram shingles (doc_id, pos, hs) — shingleHashRows keeps
+    // only the distinct hash set; spans need every position, no distinct
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shp = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(win))
+      .withColumn("w2", lead(col("w"), 2).over(win))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        DetHash.h60(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("hs"))
+    val df = shingleIndex3(spark, dir).groupBy("hs").agg(count(lit(1)).as("df"))
+    val dup = shp.join(df, "hs").filter(col("df") >= 2)
+    // gaps-and-islands with a merge distance of 2: shingles at pos i and
+    // i+2 share token i+2, so their token spans touch and must fuse
+    val brk = when(lag(col("pos"), 1).over(win).isNull ||
+      col("pos") - lag(col("pos"), 1).over(win) > 2, 1L).otherwise(0L)
+    dup.withColumn("brk", brk)
+      .withColumn("island", sum(col("brk")).over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(2L)).as("span_end"))
+      .withColumn("n_tokens", col("span_end") - col("span_start") + lit(1L))
+      .withColumn("verdict",
+        when(col("n_tokens") >= D12MinSpanTokens, lit("remove")).otherwise(lit("keep")))
+      .select("doc_id", "span_start", "span_end", "n_tokens", "verdict")
+      .orderBy("doc_id", "span_start")
   }
 
   /** C10: benchmark decontamination — the pipeline op that keeps eval data
@@ -938,6 +1019,35 @@ object Dedup {
              "sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END)", "count(*)")} AS dup_frac
          |FROM shx s JOIN dfh ON dfh.h = s.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    "d12_dup_spans" -> (ShxCte +
+      s"""
+         |, shpos AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(range(1, len(ws)-1)) AS i, ws
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |), dfh AS (
+         |  SELECT h, count(*) AS df FROM shx GROUP BY h
+         |), dup AS (
+         |  SELECT doc_id, pos FROM shpos JOIN dfh USING (h) WHERE df >= 2
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM dup
+         |), isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+         |  max(pos) + 2 - min(pos) + 1 AS n_tokens,
+         |  CASE WHEN max(pos) + 2 - min(pos) + 1 >= $D12MinSpanTokens
+         |    THEN 'remove' ELSE 'keep' END AS verdict
+         |FROM isl2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin),
 
     "d10_decontamination" -> (ShxCte +
         s""", rare AS (

@@ -253,7 +253,12 @@ object MemoryOps {
   def m8bUpdateData(spark: SparkSession, dir: String): DataFrame =
     memoryTable(spark, dir)
       .filter(col("user_id") % 5 === 2)
-      .withColumn("k", regexp_extract(col("data"), "\"k\": (\\d+)", 1).cast("int"))
+      // Kept as the extracted STRING (no int cast): both engines' regexp
+      // no-match is then the same '' -> '{"v": 2, "k": }' — the cast made
+      // Spark NULL the whole concat while DuckDB kept the literal shell,
+      // so a props-shape drift would surface as an engine-semantics diff
+      // instead of a clean value diff (ADVICE r10).
+      .withColumn("k", regexp_extract(col("data"), "\"k\": (\\d+)", 1))
       .select(
         col("memory_key"),
         // data: replace, never merge (operations.py:128 assigns)

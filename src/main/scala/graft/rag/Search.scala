@@ -171,6 +171,22 @@ object Search {
       .orderBy("query_doc_id", "rnk")
   }
 
+  /** B5b AUTO MODE (r11, the d5 chooser applied at r5b's entry): dials
+    * come from `Dedup.d5OperatingPoint` on the live corpus count at
+    * r5b's own verify threshold (0.3), so a pipeline caller hits the
+    * closed form — and its infeasibility throw — rather than inheriting
+    * a literal tuned at another scale. The registered
+    * `r5b_find_similar_blocked` query keeps the oracle-pinned 4x4
+    * literal; this entry point is additive (DedupAutoSpec). */
+  def r5bFindSimilarBlockedAuto(spark: SparkSession, dir: String,
+                                recallFloor: Double = 0.5,
+                                targetBucket: Long = 1024L): DataFrame = {
+    val n = corpus(spark, dir).count()
+    val (bits, bands) =
+      graft.dedup.Dedup.d5OperatingPoint(n, 0.3, recallFloor, targetBucket)
+    r5bFindSimilarBlocked(spark, dir, bits, bands)
+  }
+
   /** B8: compute_similarity — pairwise cosine over a fixed probe set. */
   def r8PairwiseSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir).filter(col("vec_id") < 20)

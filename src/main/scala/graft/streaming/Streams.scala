@@ -171,6 +171,64 @@ object Streams {
     else chunked.dropDuplicates("chunk_hash")
   }
 
+  /** One streamed vector for H12 (public — Catalyst codegen requires it). */
+  case class IvfVec(vec_id: Long, label: String, v: Seq[Float])
+
+  /** H12: streaming IVF index maintenance (r11, verdict #7) — the last
+    * batch/stream asymmetry closed: a20 appends a vector batch to the
+    * list-partitioned IVF layout offline; this runs the SAME row-local
+    * assignment per micro-batch, so the index keeps serving while new
+    * vectors arrive. Assignment is against the FIXED centroid artifact
+    * (no retrain — retrain is a versioned re-index decision, as in a20),
+    * so each batch costs O(batch): a narrow map + one partitioned write,
+    * never a touch of existing lists.
+    *
+    * Commit/replay contract: each micro-batch lands as its own
+    * `ingest=<appId>_<batchId>` partition directory written with
+    * mode=Overwrite — foreachBatch is at-least-once, and a re-delivered
+    * batch OVERWRITES its own directory instead of double-appending
+    * (same identity rule as H11's marks: appId from the checkpoint dir,
+    * batchId from the stream). The per-directory `_SUCCESS` marker plays
+    * the staged-swap role at batch granularity — a write that died
+    * mid-batch leaves no marker, is never trusted by readers
+    * (readTableOrFiles discipline), and is replaced wholesale on replay;
+    * an H11-style whole-table swap would be O(corpus) per batch, which
+    * contradicts the O(batch) append contract (a transactional table
+    * format supplies the same guarantee with ACID appends at 100 TB).
+    * Probes read every ingest dir's `list_id=N`: list_id stays a partition column
+    * under every ingest dir, so partition pruning is unchanged —
+    * StreamIvfSpec proves streamed appends == a20's batch rebuild on the
+    * same data, replay idempotence, and the pruned read. */
+  private[graft] def appendIvfBatch(batch: DataFrame, indexDir: String,
+                                    centSource: DataFrame, batchTag: String,
+                                    nlists: Int = 8): Unit = {
+    val asg = graft.ann.Ann.listAssignment(
+      batch.withColumn("nrm", Vec.norm2Native(col("v"))),
+      Some(centSource), nlists)
+    asg.select("vec_id", "label", "v", "nrm", "list_id")
+      .write.mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/ingest=$batchTag")
+  }
+
+  def streamingIvfAppend(vectors: DataFrame, indexDir: String,
+                         centSource: DataFrame, checkpointDir: String,
+                         nlists: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendIvfBatch(batch.toDF(), indexDir, centSource,
+          s"${appId}_$batchId", nlists))
+      .start()
+  }
+
+  /** The streamed index, read back with both partition columns discovered
+    * (ingest for commit identity, list_id for probe pruning). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    spark.read.option("basePath", indexDir).parquet(indexDir)
+
   /** One lineitem-shaped delta row (the H11 MV stream's input schema;
     * public — Catalyst codegen requires it). */
   case class LiDelta(l_returnflag: String, l_linestatus: String, l_quantity: Double,

@@ -62,6 +62,12 @@ def main(sf_dir, out_dir, budget_s=None, exclude=()):
             finally:
                 if timer:
                     timer.cancel()
+                    # cancel() does not wait for an in-flight callback: if the
+                    # timer fired concurrently with cancel(), fired[0] could be
+                    # set AFTER the check below, leaving a pending interrupt to
+                    # poison the NEXT query (misclassified as a budget SKIP).
+                    # join() guarantees the callback has fully run or never will.
+                    timer.join()
                 if fired[0]:
                     con = connect()  # possibly-poisoned connection: rebuild
         except Exception as e:
