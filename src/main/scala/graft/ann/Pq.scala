@@ -162,8 +162,18 @@ object Pq {
     * vectors for exact cosine top-10. At 100 TB the exact math runs on
     * 50 rows per query instead of the corpus; recall is restored while the
     * scan stays code-only. */
-  def a7PqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = a5PqTopK(spark, dir, k = 50)
+  // rerankDepth is the PQ family's SCALE DIAL on clustered data (r11,
+  // PLANS §clustered-corpus): within a tight cluster the 8-byte codes
+  // cannot order near-identical vectors, so the ADC shortlist must be
+  // deep enough to COVER the query's cluster occupancy (~N/k members)
+  // before exact rerank can recover the true top-10 — R=50 is the
+  // oracle-pinned default (fits the uniform corpus and sf0.1 clusters);
+  // a clustered corpus at sf1 (~310/cluster) needs R in the hundreds.
+  // The nprobe analogy is exact: both dials trade a bounded candidate
+  // scan for recall, and both grow with occupancy, not corpus size.
+  def a7PqRerank(spark: SparkSession, dir: String,
+                 rerankDepth: Int = 50): DataFrame = {
+    val shortlist = a5PqTopK(spark, dir, k = rerankDepth)
       .select(col("query_id"), col("vec_id"))
     val e = Search.corpus(spark, dir)
     val probes = e.filter(col("vec_id") % 101 === 0)
@@ -188,7 +198,7 @@ object Pq {
 
   /** recall@10 of an approximate result set vs exact brute force over the
     * same query set — shared by a6 (pure ADC) and a8 (re-ranked). */
-  private[ann] def recallVsBruteForce(spark: SparkSession, dir: String,
+  private[graft] def recallVsBruteForce(spark: SparkSession, dir: String,
                                  approx: DataFrame): DataFrame = {
     val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
       threshold = -1.0, clampZero = false, sameLabel = false)

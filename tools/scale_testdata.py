@@ -27,8 +27,13 @@ Replica i transforms (deterministic, no RNG):
   - events.ts: kept (factor x event density in the same time window — the
     realistic shape for sessionization/windows at scale)
 
-Usage: python3 tools/scale_testdata.py [factor] [src_dir] [dst_dir]
-       (defaults: 10 /root/testdata/sf0.1 ./testdata_sf1)
+Usage: python3 tools/scale_testdata.py [factor] [src_dir] [dst_dir] [only_csv]
+       (defaults: 10 /root/testdata/sf0.1 ./testdata_sf1 <all>)
+       only_csv (r11): comma list of tables to SCALE; every other table is
+       COPIED from src unchanged — the q-family floor study (sf100) scales
+       the TPC-H relations a decade past sf10 without paying 50M ciphered
+       documents it never reads (the copied tables keep harness warm-ups
+       and non-q families loadable, at the src's scale).
 """
 import os
 import string
@@ -73,6 +78,7 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "./testdata_sf1"
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count()}")
@@ -93,6 +99,11 @@ def main() -> None:
         print(f"[scale] {t}: copied")
 
     for t, cols in KEYS.items():
+        if only is not None and t not in only:
+            con.execute(
+                f"COPY (SELECT * FROM {pq(t)}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+            print(f"[scale] {t}: copied (not in only-list)")
+            continue
         names = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM {pq(t)}").fetchall()]
         selects = []
         for i in range(factor):
