@@ -31,6 +31,14 @@ def canon(df):
 def main(sf_dir, out_dir, budget_s=None, exclude=()):
     def connect():
         c = duckdb.connect()
+        # scaled-corpus runs: an unbounded DuckDB (r19's two-pass BM25 at
+        # sf10 was measured past 57 GB RSS) can destabilize the box before
+        # the watchdog fires — cap it so it spills to disk instead.
+        import os
+        if os.environ.get("DUCKDB_MEM"):
+            c.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+        if os.environ.get("DUCKDB_THREADS"):
+            c.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
         for t in TABLES:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
