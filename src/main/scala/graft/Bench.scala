@@ -4,9 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle parallelism is a DEPLOYMENT dial, not a constant: partitions
+    // must scale with the data so a sort/SMJ partition stays memory-sized.
+    // The sf100 floor study measured the failure mode: at shuffle
+    // partitions=4, a lineitem SMJ partition is ~150M rows and every task
+    // lives inside UnsafeExternalSorter.spill (hours, 4 cores pegged); at
+    // 256 the same join streams. Default stays `cpus` so the committed
+    // sf0.1 baseline plans (Exchange partition counts print into the
+    // fingerprinted plan string) are byte-identical when the env is unset.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(_.toIntOption).map(_.max(1).toString).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       // UTC pinned for parity with Verify/Scratch/specs: with NTZ parquet
       // columns in the testdata, NTZ↔TZ casts fold the session timezone

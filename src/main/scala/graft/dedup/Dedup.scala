@@ -823,13 +823,20 @@ object Dedup {
       |)""".stripMargin
 
   /** Sh3Cte extended with the 60-bit-hashed shingle lists (shl) and their
-    * exploded (doc_id, h) rows (shx) — mirrors shingleIndex3. */
+    * exploded (doc_id, h) rows (shx) — mirrors shingleIndex3. shl/shx are
+    * multiply-referenced downstream (d7's rare CTE alone reads shx three
+    * times); DuckDB inlines CTEs by default, so without MATERIALIZED each
+    * reference re-runs the full shingle explode — at sf10 (500k docs) that
+    * re-derivation pushed d7's oracle past 38 GB of spill and killed the
+    * box's disk. MATERIALIZED pins one evaluation; results are identical
+    * (validated over all 12 affected oracles at sf0.01 and d7 at three
+    * scales) and the r11 sf10 run converts d7 from disk-death to a verdict. */
   private val ShxCte: String = Sh3Cte +
-    """, shl AS (
+    """, shl AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list_transform(sh,
       |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
       |  FROM sh
-      |), shx AS (
+      |), shx AS MATERIALIZED (
       |  SELECT doc_id, unnest(hh) AS h FROM shl
       |)""".stripMargin
 
@@ -848,14 +855,14 @@ object Dedup {
     ShxCte +
       s""", h31s AS (
          |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
-         |), sig AS (
+         |), sig AS MATERIALIZED (
          |  SELECT doc_id,
          |        $sigCols
          |  FROM h31s GROUP BY doc_id
-         |), bands AS (
+         |), bands AS MATERIALIZED (
          |  SELECT doc_id, b, CASE b $bandCases END AS bh
          |  FROM sig, range(0, 4) t(b)
-         |), cand AS (
+         |), cand AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
          |)""".stripMargin

@@ -47,6 +47,10 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
+    # scaled-corpus runs: bound DuckDB's memory so a heavy oracle spills
+    # instead of destabilizing the box (same guard as tools/check.py).
+    if os.environ.get("ORACLE_BENCH_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['ORACLE_BENCH_MEM']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         glob = f"{p}/*.parquet" if os.path.isdir(p) else p
