@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same deployment dial as Bench: scaled-corpus verification (sf100's
+    // 600M-row lineitem SMJs) needs more shuffle partitions than cpus so
+    // a sort partition stays memory-sized; unset == cpus, the driver's
+    // three scales are unaffected.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(_.toIntOption).map(_.max(1).toString).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -605,6 +605,48 @@ object Dedup {
         .otherwise(Exact.ratio6(col("n_caught"), col("n_true_pairs"))))
   }
 
+  /** C7b (d7s): d7's recall grade over a deterministic 1-in-101 QUERY
+    * SAMPLE — the scaled-corpus verification path (VERDICT r10 #3's
+    * "sampled-hash equivalent"). d7's exhaustive truth join costs
+    * sum(df^2) over the rare-shingle index; on a replication-scaled
+    * corpus every surviving rare shingle sits AT the df cap (sf10: each
+    * doc has ~100 replicas, so df(unique shingle) ~ 100), making the
+    * pair stream ~cap^2 x unique-shingles (~3.75B rows at sf10). Spark
+    * absorbs that distributed — d7 itself stays the committed full grade
+    * — but the single-node DuckDB oracle died on temp disk at sf10 even
+    * with the shared CTEs materialized. Restricting the truth join's
+    * LEFT (smaller-doc_id) side to doc_id % 101 == 0 divides the pair
+    * stream by the sample rate while leaving the GRADED OBJECT — the
+    * full LSH candidate index — untouched, so the recall estimate is
+    * exact over the sampled queries and the oracle is a hash compare at
+    * every scale. Same output schema as d7. */
+  def d7sLshRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val cand = lshCandidates(sig)
+    val nsh = sig.select(col("doc_id"), col("n"))
+    val rare = rareShingleIndex(spark, dir)
+    // sample filter on the bucketed index's x side only: the hs-bucketed
+    // self-join stays exchange-free, the pair stream shrinks 101x
+    val inter = rare.filter(col("doc_id") % 101 === 0).as("x")
+      .join(rare.as("y"),
+        col("x.hs") === col("y.hs") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(Exact.ratio6e(col("i"), col("na") + col("nb") - col("i")) >= 500000L)
+      .select("doc_a", "doc_b")
+      .localCheckpoint(true) // id pairs only; feeds two aggregates below
+    val candCp = cand.localCheckpoint(true) // as in d7: two consumers
+    val caught = truth.join(candCp, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(candCp.agg(count(lit(1)).as("n_lsh_candidates")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .withColumn("recall", when(col("n_true_pairs") === 0, lit(null).cast("double"))
+        .otherwise(Exact.ratio6(col("n_caught"), col("n_true_pairs"))))
+  }
+
   /** C8: the deduplicated corpus itself — what a training pipeline ships.
     * Survivors = exact-canonical docs (min doc_id per content hash, a
     * window over the hash partition — no join against a corpus-sized keep
@@ -688,6 +730,7 @@ object Dedup {
     "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
     "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
     "d7_lsh_recall"        -> ((s, d) => d7LshRecall(s, d)),
+    "d7s_lsh_recall_sampled" -> ((s, d) => d7sLshRecallSampled(s, d)),
     "d8_canonical_corpus"  -> ((s, d) => d8CanonicalCorpus(s, d)),
     "d9_incremental_dedup" -> ((s, d) => d9IncrementalDedup(s, d)),
     "d10_decontamination"  -> ((s, d) => d10Decontamination(s, d)),
@@ -891,6 +934,37 @@ object Dedup {
            |), inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |), truth AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN nsh x ON x.doc_id = doc_a
+           |  JOIN nsh y ON y.doc_id = doc_b
+           |  WHERE ${Exact.ratio6eSql("i", "x.n + y.n - i")} >= 500000
+           |), caught AS (
+           |  SELECT t.doc_a, t.doc_b FROM truth t
+           |  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+           |)
+           |SELECT
+           |  (SELECT count(*) FROM truth) AS n_true_pairs,
+           |  (SELECT count(*) FROM cand) AS n_lsh_candidates,
+           |  (SELECT count(*) FROM caught) AS n_caught,
+           |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+           |    ELSE ${Exact.ratio6Sql("(SELECT count(*) FROM caught)", "(SELECT count(*) FROM truth)")} END AS recall""".stripMargin),
+
+    // d7s: identical chain with the truth join's left side restricted to
+    // the 1-in-101 doc sample (see d7sLshRecallSampled scaladoc) — the
+    // pair stream shrinks by the sample rate, so this oracle stays
+    // single-node-feasible at sf10+ where d7's full truth dies on spill.
+    "d7s_lsh_recall_sampled" -> (MinhashCandCte +
+        s""", nsh AS (
+           |  SELECT doc_id, len(hh) AS n FROM shl
+           |), rare AS (
+           |  SELECT doc_id, h FROM shx
+           |  WHERE h IN (SELECT h FROM shx GROUP BY h HAVING count(*) <= $D7DfCap)
+           |), inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id % 101 = 0
            |  GROUP BY 1, 2
            |), truth AS (
            |  SELECT doc_a, doc_b FROM inter
