@@ -736,6 +736,7 @@ object Dedup {
     "d10_decontamination"  -> ((s, d) => d10Decontamination(s, d)),
     "d11_dup_text_fraction" -> ((s, d) => d11DupTextFraction(s, d)),
     "d12_dup_spans"         -> ((s, d) => d12DupSpans(s, d)),
+    "d13_scrubbed_corpus"   -> ((s, d) => d13ScrubbedCorpus(s, d)),
   )
 
   /** C11: duplicate-text fraction — the per-document substring-duplication
@@ -820,6 +821,49 @@ object Dedup {
         when(col("n_tokens") >= D12MinSpanTokens, lit("remove")).otherwise(lit("keep")))
       .select("doc_id", "span_start", "span_end", "n_tokens", "verdict")
       .orderBy("doc_id", "span_start")
+  }
+
+  /** C13 (d13): the SCRUBBED corpus — the text Lee et al.'s substring
+    * dedup actually ships. d11 measures boilerplate, d12 locates the
+    * removable spans; this excises every 'remove'-verdict span from its
+    * document and reassembles the surviving tokens, so a training
+    * pipeline consumes clean text directly (docs scrubbed to nothing
+    * remain present with empty text — dropping them is d8's document-
+    * level decision, not this operator's).
+    *
+    * Scale shape (same contract as d12 — NO pair join): the span set is
+    * d12's O(index) output filtered to 'remove'; the excision is one
+    * anti join of the token stream against it — equality on doc_id plus
+    * a pos-range predicate, so cost is O(tokens + tokens x spans-per-doc)
+    * with spans-per-doc bounded by doc length, never by corpus
+    * duplication structure. Reassembly sorts each doc's kept tokens
+    * inside a single aggregate row (array_sort over a collect_list —
+    * per-doc memory, the doc_id hash partition does the distribution).
+    * Row-goal parity: both engines emit one row per INPUT document. */
+  def d13ScrubbedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val spans = d12DupSpans(spark, dir)
+      .filter(col("verdict") === "remove")
+      .select(col("doc_id").as("s_doc_id"), col("span_start"), col("span_end"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val kept = toks.join(spans,
+      toks("doc_id") === col("s_doc_id") &&
+        col("pos").between(col("span_start"), col("span_end")), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ").as("scrubbed"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_total"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept"), lit(0L)).as("n_tokens_kept"),
+        (col("n_total") - coalesce(col("kept"), lit(0L))).as("n_tokens_removed"),
+        coalesce(col("scrubbed"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** C10: benchmark decontamination — the pipeline op that keeps eval data
@@ -1129,6 +1173,53 @@ object Dedup {
          |    THEN 'remove' ELSE 'keep' END AS verdict
          |FROM isl2 GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin),
+
+    // d13: d12's remove-verdict spans excised from the token stream; one
+    // row per input document (scrubbed-to-empty docs stay, text = '').
+    "d13_scrubbed_corpus" -> (ShxCte +
+      s"""
+         |, shpos AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(range(1, len(ws)-1)) AS i, ws
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |), dfh AS (
+         |  SELECT h, count(*) AS df FROM shx GROUP BY h
+         |), dup AS (
+         |  SELECT doc_id, pos FROM shpos JOIN dfh USING (h) WHERE df >= 2
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM dup
+         |), isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+         |  FROM isl2 GROUP BY doc_id, island
+         |  HAVING max(pos) + 2 - min(pos) + 1 >= $D12MinSpanTokens
+         |), toks AS (
+         |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+         |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |), kept AS (
+         |  SELECT t.doc_id, t.pos, t.w FROM toks t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS kept_n,
+         |    string_agg(w, ' ' ORDER BY pos) AS scrubbed
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_kept,
+         |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_removed,
+         |  coalesce(a.scrubbed, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
 
     "d10_decontamination" -> (ShxCte +
         s""", rare AS (
