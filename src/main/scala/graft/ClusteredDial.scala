@@ -19,17 +19,28 @@ import org.apache.spark.sql.functions._
   * §clustered-corpus; the nlists/nprobe sweep comes from graft.AnnDial on
   * the same directory (it is corpus-agnostic).
   *
-  * Usage: `sbt "runMain graft.ClusteredDial [sfDir]"` (default
+  * Usage: `sbt "runMain graft.ClusteredDial [sfDir] [outJson]"` (default
   * ./testdata_clustered/sf0.1). Emits one JSON line per member plus a
-  * truth line. Members: a2 (deterministic coarse IVF), a4 (k-means||
-  * coarse — the learned-vs-deterministic comparison the verdict asks
-  * for), a13 (IVFPQ), a16 (residual IVFPQ), a18 (k-means-coarse residual
-  * IVFPQ), a19 (graph-ordered probes), a5 (flat ADC, no pruning — the
-  * compression-only floor), a7 (ADC shortlist + exact rerank).
+  * truth line; with `outJson` the same lines are also written to a
+  * machine-readable artifact (CLUSTERED_r{N}.json — committed and diffed
+  * round-over-round, the DIALS_r10.json precedent, so a quietly broken
+  * index build is a visible diff rather than a prose regression).
+  * Members: a2 (deterministic coarse IVF), a4 (k-means|| coarse — the
+  * learned-vs-deterministic comparison the verdict asks for), a13
+  * (IVFPQ), a16 (residual IVFPQ), a18 (k-means-coarse residual IVFPQ),
+  * a19 (graph-ordered probes), a5 (flat ADC, no pruning — the
+  * compression-only floor), a7 (ADC shortlist + exact rerank), and (r12)
+  * the AUTO operating points a2_auto/a7_auto — the chooser-driven path
+  * ([[graft.ann.Ann.annOperatingPoint]]) run on the corpus the laws were
+  * measured on, with the chosen dials emitted beside the recall they
+  * deliver.
   */
 object ClusteredDial {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("./testdata_clustered/sf0.1")
+    val outJson = args.drop(1).headOption
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(line: String): Unit = { emitted += line; println(line) }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -45,7 +56,15 @@ object ClusteredDial {
     val t0 = System.nanoTime()
     val nTruth = graft.rag.Search.knn(spark, sfDir, col("vec_id") % 101 === 0,
         k = 10, threshold = -1.0, clampZero = false, sameLabel = false).count()
-    println(s"""{"harness":"clustered_dial","sf":"${sfDir.split('/').takeRight(2).mkString("/")}","truth_rows":$nTruth,"brute_sec":${fmt((System.nanoTime() - t0) / 1e9)},"scanned_fraction":0.375}""")
+    emit(s"""{"harness":"clustered_dial","sf":"${sfDir.split('/').takeRight(2).mkString("/")}","truth_rows":$nTruth,"brute_sec":${fmt((System.nanoTime() - t0) / 1e9)},"scanned_fraction":0.375}""")
+
+    // r12: the auto path's chosen dials, emitted so the artifact records
+    // what the chooser picked alongside what that choice delivered
+    val nCorpus = graft.rag.Search.corpus(spark, sfDir).count()
+    val occ = graft.ann.Ann.occupancyEstimate(
+      spark, sfDir, graft.ann.Ann.nlistsFor(nCorpus))
+    val point = graft.ann.Ann.annOperatingPoint(nCorpus, occ, 0.9)
+    emit(s"""{"harness":"clustered_dial","auto_point":{"n":$nCorpus,"occupancy":$occ,"recall_floor":0.9,"nlists":${point.nlists},"nprobe":${point.nprobe},"rerank_depth":${point.rerankDepth}}}""")
 
     val members: Seq[(String, () => DataFrame)] = Seq(
       "a2_ivf_det_8x3" -> (() => graft.ann.Ann.a2KnnIvf(spark, sfDir)),
@@ -60,6 +79,10 @@ object ClusteredDial {
       // before exact rerank can recover what the 8-byte codes blur
       "a7_pq_rerank_r200" -> (() => graft.ann.Pq.a7PqRerank(spark, sfDir, rerankDepth = 200)),
       "a7_pq_rerank_r800" -> (() => graft.ann.Pq.a7PqRerank(spark, sfDir, rerankDepth = 800)),
+      // r12: the chooser-driven entries — what a pipeline caller actually
+      // gets at recallFloor=0.9, graded on the corpus the laws came from
+      "a2_auto_f0.9" -> (() => graft.ann.Ann.a2KnnIvfAuto(spark, sfDir, recallFloor = 0.9)),
+      "a7_auto_f0.9" -> (() => graft.ann.Pq.a7PqRerankAuto(spark, sfDir, recallFloor = 0.9)),
     )
     members.foreach { case (name, mk) =>
       val c0 = System.nanoTime()
@@ -70,7 +93,11 @@ object ClusteredDial {
       val sec = (System.nanoTime() - s0) / 1e9
       val rec = graft.ann.Pq.recallVsBruteForce(spark, sfDir, mk())
         .agg(avg(col("recall")).as("r")).collect()(0).getDouble(0)
-      println(s"""{"harness":"clustered_dial","member":"$name","rows_out":$nOut,"mean_recall":${fmt(rec)},"cold_sec":${fmt(coldSec)},"sec":${fmt(sec)}}""")
+      emit(s"""{"harness":"clustered_dial","member":"$name","rows_out":$nOut,"mean_recall":${fmt(rec)},"cold_sec":${fmt(coldSec)},"sec":${fmt(sec)}}""")
+    }
+    outJson.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (emitted.mkString("\n") + "\n").getBytes("UTF-8")): Unit
     }
     spark.stop()
   }

@@ -179,6 +179,151 @@ object Ann {
       .orderBy("query_id", "rnk")
   }
 
+  // ------------------------------------------------------------ auto mode
+
+  /** An ANN operating point: the three dials the a-family's measured laws
+    * govern — coarse list count, probe width, and exact-rerank depth. */
+  case class AnnPoint(nlists: Int, nprobe: Int, rerankDepth: Int)
+
+  /** The fixed-Q contract's sanity bound (scaladoc above): every a-family
+    * probe-side `broadcast()` assumes a serving-shaped query batch. A
+    * probe set past this many rows is a misuse of the serving path (an
+    * offline all-pairs job wearing a serving hat) and must THROW, not OOM
+    * the driver at 100x — the d-family blocked paths (d5/r5b) are the
+    * corpus-proportional alternative. */
+  val MaxFixedQRows = 1000000L
+
+  private[graft] def fixedQGuard(probeRows: Long, entry: String): Unit =
+    if (probeRows > MaxFixedQRows) throw new IllegalArgumentException(
+      s"fixed-Q contract violation in $entry: probe set has $probeRows rows > " +
+        s"$MaxFixedQRows — the a-family broadcasts the query side by the " +
+        "serving contract (Ann scaladoc); a corpus-proportional query set " +
+        "must use the un-hinted blocked paths (d5_embedding_neardup / " +
+        "r5b_find_similar_blocked) instead")
+
+  /** The nlists LAW (FAISS guidance, measured in PLANS §clustered-corpus):
+    * grow nlists ~ sqrt(N) so per-list occupancy stays ~sqrt(N) and probe
+    * cost ~nprobe*sqrt(N). Measured: on the 64-Gaussian corpus at sf10,
+    * nlists 8→64 cut the probe 13.8 s → 1.6 s at equal-or-BETTER recall
+    * (1.000 at 1.6% scanned), and recall held 1.000 as nlists passed the
+    * true cluster count (128x3, sf1/sf10) — growing past alignment is
+    * safe. Capped at 65536: the centroid broadcast is O(nlists·dim). */
+  def nlistsFor(corpusCount: Long): Int = {
+    require(corpusCount > 0, s"corpusCount $corpusCount")
+    math.max(8, math.min(65536L, math.ceil(math.sqrt(corpusCount.toDouble)).toLong)).toInt
+  }
+
+  /** Occupancy statistic for the rerank law: the MAX inverted-list size of
+    * the built IVF index at `nlists` — one partial-agg pass over the
+    * build-once list table (the partitioned parquet artifact is the
+    * cheapest clusteredness statistic the corpus already owns). Max, not
+    * mean: the rerank shortlist must cover the WORST query's cluster
+    * crowd, and deterministic (vec_id < nlists) centroids shatter a true
+    * cluster across ~nlists/clusters lists, so max-list-size UNDER-states
+    * true cluster occupancy — [[annOperatingPoint]] folds in a 2x safety
+    * factor for exactly that bias. */
+  def occupancyEstimate(spark: SparkSession, dir: String, nlists: Int): Long =
+    ivfListTable(spark, dir, nlists)
+      .groupBy("list_id").agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).collect()(0).getLong(0)
+
+  /** The rerank-depth LAW, as MEASURED (PLANS §clustered-corpus, sf1 occ
+    * ~313 and sf10 occ ~3125 on the 64-Gaussian corpus): mean recall@10 of
+    * a7's ADC-shortlist + exact-rerank as a function of R/occupancy.
+    * Within a tight cluster the 8-byte codes cannot order near-identical
+    * vectors, so the shortlist must COVER the query's cluster crowd before
+    * exact rerank can recover the true top-10. Monotone in R/occ; both
+    * decades interleave on one curve, so the chooser interpolates it
+    * rather than trusting a closed form the data didn't validate. */
+  private val RerankRecallCurve: Seq[(Double, Double)] = Seq(
+    0.016 -> 0.052, 0.064 -> 0.167, 0.16 -> 0.274,
+    0.256 -> 0.474, 0.64 -> 0.803, 2.56 -> 1.0)
+
+  /** R/occupancy ratio needed for `recallFloor`, by inverse interpolation
+    * of [[RerankRecallCurve]] (clamped to the measured range: floors below
+    * the lowest measured recall still pay the lowest measured ratio). */
+  private[graft] def rerankRatioFor(recallFloor: Double): Double = {
+    val c = RerankRecallCurve
+    if (recallFloor <= c.head._2) c.head._1
+    else c.sliding(2).collectFirst {
+      case Seq((r0, f0), (r1, f1)) if recallFloor <= f1 =>
+        r0 + (r1 - r0) * (recallFloor - f0) / (f1 - f0)
+    }.getOrElse(c.last._1)
+  }
+
+  /** The a-family's d5-style operating-point chooser (r12, the direct
+    * sequel to d5OperatingPoint): (nlists, nprobe, rerankDepth) from live
+    * corpus statistics, encoding the two laws PLANS §clustered-corpus
+    * measured instead of literals tuned at another scale.
+    *
+    *  - nlists: [[nlistsFor]] — sqrt growth toward cluster alignment.
+    *  - nprobe: regime-split, honestly. `clusteredRegime=true` (the data
+    *    IVF exists for) keeps the measured small constant — recall
+    *    DECOUPLES from the scanned fraction once nlists reaches alignment
+    *    (1.000 at 1.6% scanned, three corpus decades). On structure-less
+    *    data (`clusteredRegime=false`) no index beats the scanned
+    *    fraction (§ivf-dial: recall ≈ nprobe/nlists), so the floor fixes
+    *    nprobe = ceil(floor·nlists); past `maxScanFraction` that is a
+    *    scan wearing an index hat and the chooser THROWS — route to a1
+    *    brute force, which is exact at the same cost.
+    *  - rerankDepth: [[rerankRatioFor]] · occupancy · 2 (the safety
+    *    factor for max-list-size understating true cluster occupancy
+    *    under splintered deterministic centroids), floored at the
+    *    oracle-pinned 50. A depth past `maxRerank` or the corpus count
+    *    means the 8-byte codes cannot shortlist this corpus at this
+    *    floor — THROW, route to a2 (raw-vector IVF) or a1.
+    */
+  def annOperatingPoint(corpusCount: Long, occupancyEstimate: Long,
+                        recallFloor: Double, clusteredRegime: Boolean = true,
+                        maxScanFraction: Double = 0.25,
+                        maxRerank: Int = 65536): AnnPoint = {
+    require(corpusCount > 0, s"corpusCount $corpusCount")
+    require(occupancyEstimate > 0, s"occupancyEstimate $occupancyEstimate")
+    require(recallFloor > 0.0 && recallFloor < 1.0, s"recallFloor $recallFloor")
+    val nlists = nlistsFor(corpusCount)
+    val nprobe =
+      if (clusteredRegime) 3
+      else {
+        val need = math.max(3, math.ceil(recallFloor * nlists).toInt)
+        if (need > maxScanFraction * nlists) throw new IllegalArgumentException(
+          f"ANN dial infeasible: recall>=$recallFloor%.2f on structure-less " +
+            f"data needs nprobe=$need%d of $nlists%d lists (recall ~ scanned " +
+            f"fraction, PLANS §ivf-dial) — past maxScanFraction=" +
+            f"$maxScanFraction%.2f that is a scan wearing an index hat; use " +
+            "a1_knn_bruteforce (exact at the same cost) or accept a lower floor")
+        need
+      }
+    val depth = math.max(50L, math.ceil(
+      rerankRatioFor(recallFloor) * occupancyEstimate * 2.0).toLong)
+    if (depth > maxRerank || depth >= corpusCount) throw new IllegalArgumentException(
+      f"ANN dial infeasible: recall>=$recallFloor%.2f at occupancy " +
+        f"~$occupancyEstimate%d needs rerankDepth=$depth%d (> maxRerank=" +
+        f"$maxRerank%d or >= corpus $corpusCount%d) — the 8-byte PQ codes " +
+        "cannot shortlist this corpus at this floor; use a2_knn_ivf (raw " +
+        "vectors, partition-pruned) or a1_knn_bruteforce")
+    AnnPoint(nlists, nprobe, depth.toInt)
+  }
+
+  /** D2 AUTO MODE (r12 — the chooser IS the path, mirroring
+    * d5EmbeddingNeardupAuto): nlists/nprobe come from [[annOperatingPoint]]
+    * on the live corpus count, so a pipeline caller gets the sqrt-law
+    * quantizer and the chooser's infeasibility throw instead of the
+    * oracle-pinned 8x3 literal whose failure the repo itself measured
+    * (37.5% scanned at 13.8 s where the aligned index takes 1.6 s, PLANS
+    * §clustered-corpus). The registered `a2_knn_ivf` query keeps the
+    * pinned literal — this entry point is additive (AnnAutoSpec). The
+    * corpus count doubles as the fixed-Q guard's probe-count witness
+    * (queries = N/101 under testdata), so the guard is free here. */
+  def a2KnnIvfAuto(spark: SparkSession, dir: String,
+                   recallFloor: Double = 0.9,
+                   clusteredRegime: Boolean = true): DataFrame = {
+    val n = Search.corpus(spark, dir).count()
+    fixedQGuard(n / 101 + 1, "a2KnnIvfAuto")
+    val occ = occupancyEstimate(spark, dir, nlistsFor(n))
+    val p = annOperatingPoint(n, occ, recallFloor, clusteredRegime)
+    ivfTopK(spark, dir, sameLabel = false, nlists = p.nlists, nprobe = p.nprobe)
+  }
+
   /** D3: IVF quality — recall@10 of the IVF search against the brute-force
     * ground truth for the same query set. Both sides are deterministic
     * (rounded similarity, id tie-break), so recall itself is oracle-checked:

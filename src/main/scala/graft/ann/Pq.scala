@@ -196,6 +196,26 @@ object Pq {
       .orderBy("query_id", "rnk")
   }
 
+  /** D7 AUTO MODE (r12, the d5EmbeddingNeardupAuto pattern for the PQ
+    * stack): rerankDepth comes from [[Ann.annOperatingPoint]] on live
+    * corpus statistics — corpus count plus the max-list occupancy of the
+    * build-once IVF artifact at the sqrt-law nlists (the cheapest
+    * clusteredness statistic the corpus already owns) — so a pipeline
+    * caller inherits the measured R ~ occupancy law and the chooser's
+    * infeasibility throw, never the oracle-pinned R=50 literal whose
+    * collapse the repo itself measured (recall 0.052 at 3,125/cluster,
+    * PLANS §clustered-corpus). The registered `a7_pq_rerank` query keeps
+    * the pinned literal — this entry point is additive (AnnAutoSpec).
+    * The corpus count doubles as the fixed-Q guard's witness. */
+  def a7PqRerankAuto(spark: SparkSession, dir: String,
+                     recallFloor: Double = 0.9): DataFrame = {
+    val n = Search.corpus(spark, dir).count()
+    Ann.fixedQGuard(n / 101 + 1, "a7PqRerankAuto")
+    val occ = Ann.occupancyEstimate(spark, dir, Ann.nlistsFor(n))
+    val p = Ann.annOperatingPoint(n, occ, recallFloor)
+    a7PqRerank(spark, dir, rerankDepth = p.rerankDepth)
+  }
+
   /** recall@10 of an approximate result set vs exact brute force over the
     * same query set — shared by a6 (pure ADC) and a8 (re-ranked). */
   private[graft] def recallVsBruteForce(spark: SparkSession, dir: String,
