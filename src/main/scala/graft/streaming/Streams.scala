@@ -171,8 +171,13 @@ object Streams {
     else chunked.dropDuplicates("chunk_hash")
   }
 
-  /** One streamed vector for H12 (public — Catalyst codegen requires it). */
-  case class IvfVec(vec_id: Long, label: String, v: Seq[Float])
+  /** One streamed vector for H12 (public — Catalyst codegen requires it).
+    * `label` is Int, matching the corpus table's parquet type exactly: a
+    * widened encoder type here would write micro-batch directories whose
+    * label column (string) disagrees with a batch-built base directory
+    * (int32), and the first reader to materialize the column would fail
+    * mid-scan (r12 — surfaced by the compaction spec's content compare). */
+  case class IvfVec(vec_id: Long, label: Int, v: Seq[Float])
 
   /** H12: streaming IVF index maintenance (r11, verdict #7) — the last
     * batch/stream asymmetry closed: a20 appends a vector batch to the
@@ -224,10 +229,143 @@ object Streams {
       .start()
   }
 
+  /** The fold manifest of the streamed index (r12): newline-delimited
+    * `compactTag<TAB>foldedTag,foldedTag,...` records, one per completed
+    * [[compactIvfIndex]] run. Versioned (`_folded.v1`, `_folded.v2`, ...)
+    * rather than overwritten in place: readers take the highest version
+    * that parses, so a writer crash can never leave a moment with NO
+    * manifest (the delete-then-rename overwrite would), and the manifest
+    * append IS the compaction's commit point — before it the new compact
+    * directory is ignored and the originals serve; after it the compact
+    * directory serves and every folded tag is dead forever, INCLUDING a
+    * replayed micro-batch that re-creates its directory after the fold
+    * (at-least-once streams replay tags, so deletion alone cannot retire
+    * one). */
+  private val FoldManifestPrefix = "_folded.v"
+
+  private def foldManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path):
+      (Int, Map[String, Seq[String]]) = {
+    val versions =
+      if (!fs.exists(dir)) Array.empty[(Int, org.apache.hadoop.fs.Path)]
+      else fs.listStatus(dir).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(FoldManifestPrefix))
+          scala.util.Try(n.stripPrefix(FoldManifestPrefix).toInt).toOption
+            .map(_ -> st.getPath)
+        else None
+      }
+    versions.sortBy(-_._1).collectFirst { case (v, p) =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val entries = text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(tag, folded) = line.split('\t')
+        tag -> folded.split(',').toSeq.filter(_.nonEmpty)
+      }.toMap
+      (v, entries)
+    }.getOrElse((0, Map.empty[String, Seq[String]]))
+  }
+
+  /** The ingest directories a reader may trust: `_SUCCESS`-committed
+    * (ADVICE r11: a foreachBatch writer that dies mid-batch leaves part
+    * files with no marker — readTableOrFiles discipline, applied per
+    * ingest dir), not folded into a committed compact directory, and —
+    * for compact directories themselves — recorded in the manifest (a
+    * compact write that died before its manifest commit is invisible). */
+  private def committedIngestDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val (_, manifest) = foldManifest(fs, dir)
+    val folded = manifest.values.flatten.toSet
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest="))
+      .map(_.getPath)
+      .filter { p =>
+        val tag = p.getName.stripPrefix("ingest=")
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+          !folded.contains(tag) &&
+          (!tag.startsWith("compact_") || manifest.contains(tag))
+      }
+      .sortBy(_.getName)
+  }
+
   /** The streamed index, read back with both partition columns discovered
-    * (ingest for commit identity, list_id for probe pruning). */
-  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
-    spark.read.option("basePath", indexDir).parquet(indexDir)
+    * (ingest for commit identity, list_id for probe pruning). Reads ONLY
+    * the committed, un-folded ingest directories ([[committedIngestDirs]])
+    * — a partial batch or a superseded (folded/replayed-after-fold)
+    * directory never contributes rows. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = committedIngestDirs(fs, dir)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"no committed ingest directories under $indexDir")
+    spark.read.option("basePath", indexDir).parquet(dirs.map(_.toString): _*)
+  }
+
+  /** H12's missing half (r12, verdict #2): fold the accumulated
+    * `ingest=*` micro-batch directories into ONE canonical
+    * list_id-partitioned compact directory — I6's compactPartitioned
+    * composed with the streamed layout. A long-running append stream
+    * lands one directory per batch forever; without this it walks into
+    * exactly the small-files wall compactPartitioned was built to repair.
+    *
+    * Cost is O(moved rows): one pruned read of the committed dirs, one
+    * hash repartition on list_id (one file per inverted list, the
+    * canonical index layout), one partitioned write. Commit protocol
+    * (scaladoc at [[FoldManifestPrefix]]): data first under
+    * `ingest=compact_<k>` (k deterministic — max committed compact id
+    * + 1, so a crashed attempt is overwritten, never leaked), then the
+    * manifest version append as the atomic commit point, then best-effort
+    * deletion of folded directories (leftovers — including a replayed
+    * batch directory re-created AFTER the fold — stay invisible via the
+    * manifest and are swept by the next compaction). At every instant a
+    * reader sees exactly one complete view: pre-commit the originals,
+    * post-commit the compact dir. StreamIvfSpec proves compacted ==
+    * pre-compact union (rows, probe results, pruning) and replay safety
+    * across the fold. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    // sweep leftovers a previous fold already retired (crash between its
+    // manifest commit and deletes, or a replay that re-created a dir)
+    val (ver0, manifest0) = foldManifest(fs, dir)
+    val folded0 = manifest0.values.flatten.toSet
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("ingest=") &&
+          folded0.contains(n.stripPrefix("ingest=")))
+        fs.delete(st.getPath, true): Unit
+    }
+    val dirs = committedIngestDirs(fs, dir)
+    if (dirs.size <= 1) return // already canonical
+    val tags = dirs.map(_.getName.stripPrefix("ingest="))
+    val nextId = manifest0.keys
+      .flatMap(t => scala.util.Try(t.stripPrefix("compact_").toInt).toOption)
+      .foldLeft(0)(math.max) + 1
+    val compactTag = s"compact_$nextId"
+    readIvfIndex(spark, indexDir)
+      .select("vec_id", "label", "v", "nrm", "list_id")
+      .repartition(col("list_id"))
+      .write.mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/ingest=$compactTag")
+    // the commit point: next manifest version carries the new fold record
+    val lines = (manifest0 + (compactTag -> tags)).toSeq.sortBy(_._1)
+      .map { case (t, f) => s"$t\t${f.mkString(",")}" }
+    val next = new org.apache.hadoop.fs.Path(dir, s"$FoldManifestPrefix${ver0 + 1}")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$FoldManifestPrefix${ver0 + 1}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, next))
+      throw new java.io.IOException(s"fold-manifest commit failed for $indexDir")
+    // best-effort GC; anything that survives stays manifest-invisible
+    tags.foreach(t => fs.delete(
+      new org.apache.hadoop.fs.Path(dir, s"ingest=$t"), true): Unit)
+  }
 
   /** One lineitem-shaped delta row (the H11 MV stream's input schema;
     * public — Catalyst codegen requires it). */

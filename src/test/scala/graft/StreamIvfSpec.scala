@@ -75,5 +75,58 @@ class StreamIvfSpec extends SparkSpec {
       s"list_id probe not partition-pruned:\n$scan")
     assert(probe.count() ==
       rebuilt.count { case (_, l) => l == 3L }, "pruned probe lost rows")
+
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ingestDirs(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("ingest=")).sorted
+
+    // ADVICE r11 (medium): a writer that dies mid-batch leaves part files
+    // with NO _SUCCESS — the reader must not trust them as committed rows
+    Streams.appendIvfBatch(existing.limit(7), indexDir, centSource, "torn")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/ingest=torn/_SUCCESS"),
+      false): Unit
+    assert(Streams.readIvfIndex(spark, indexDir).count() == before,
+      "reader trusted an uncommitted (no _SUCCESS) ingest directory")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/ingest=torn"), true): Unit
+
+    // r12 (verdict #2): compaction folds the per-batch directories into
+    // one canonical list_id-partitioned dir — same rows, same probe
+    // results, pruning intact, one committed directory on disk
+    // commit identity (ingest) is per-directory bookkeeping, not index
+    // content — compare the probe's content columns, order-insensitively
+    val preProbe = probe.select("vec_id", "label", "nrm")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    Streams.compactIvfIndex(spark, indexDir)
+    val compacted = Streams.readIvfIndex(spark, indexDir)
+    assert(compacted.count() == before, "compaction changed the row count")
+    val postAsg = compacted
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    assert(postAsg.sameElements(rebuilt), "compaction changed the assignment")
+    assert(ingestDirs() == Seq("ingest=compact_1"),
+      s"folded directories must be swept: ${ingestDirs()}")
+    val postProbe = Streams.readIvfIndex(spark, indexDir)
+      .filter(col("list_id") === 3)
+    assert(postProbe.select("vec_id", "label", "nrm")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == preProbe,
+      "probe results changed across compaction")
+    val postScan = postProbe.queryExecution.executedPlan.toString
+    assert(postScan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"list_id pruning lost across compaction:\n$postScan")
+
+    // replay safety ACROSS the fold: an at-least-once stream re-delivers
+    // a pre-compaction batch, re-creating its directory (with _SUCCESS) —
+    // the manifest must keep its rows dead, or the fold double-counts
+    Streams.appendIvfBatch(existing, indexDir, centSource, "base")
+    assert(Streams.readIvfIndex(spark, indexDir).count() == before,
+      "replayed pre-compaction batch resurrected folded rows")
+    // and the next compaction sweeps the zombie directory
+    Streams.compactIvfIndex(spark, indexDir)
+    assert(Streams.readIvfIndex(spark, indexDir).count() == before)
+    assert(!ingestDirs().contains("ingest=base"),
+      s"zombie replay directory must be swept: ${ingestDirs()}")
   }
 }
