@@ -774,12 +774,16 @@ object Dedup {
     * Semantics: a token position is duplicated when the 3-gram shingle
     * starting there occurs in at least one OTHER document (df >= 2 over
     * the distinct per-doc index — within-doc repeats alone don't count,
-    * matching d11). Adjacent duplicated shingle positions (gap <= 2, i.e.
-    * overlapping or touching 3-gram token windows) merge into one maximal
-    * span [span_start, span_end] (token indices, end inclusive =
-    * last shingle pos + 2); verdict = 'remove' when the span reaches
-    * [[D12MinSpanTokens]] tokens (Lee et al. use 50 BPE tokens at web
-    * scale; tuned here to the short synthetic docs), else 'keep'.
+    * matching d11). Duplicated shingle positions whose TOKEN windows
+    * overlap or touch (position gap <= 3: shingles at p and p+3 cover
+    * [p, p+2] and [p+3, p+5] — contiguous tokens, r11 ADVICE) merge into
+    * one maximal span [span_start, span_end] (token indices, end
+    * inclusive = last shingle pos + 2), so a contiguous duplicated token
+    * run is always ONE span and cannot dodge the removal threshold by
+    * splitting; verdict = 'remove' when the span reaches
+    * [[D12MinSpanTokens]] tokens (tuned to the short synthetic docs;
+    * [[D12ProductionMinSpanTokens]] is the published web-scale value),
+    * else 'keep'.
     *
     * Scale shape (the verdict-#6 contract — O(index), NO pair join):
     * cross-doc df is d11's partial-agg groupBy over the materialized
@@ -792,7 +796,16 @@ object Dedup {
     * O(duplication structure); cost is O(tokens + index). */
   val D12MinSpanTokens = 10
 
-  def d12DupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** The production removal threshold: Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", §3.1 ExactSubstr) use
+    * 50-token duplicated substrings at web scale. [[D12MinSpanTokens]]
+    * (10) is tuned to the driver's short synthetic documents so the
+    * remove branch is actually exercised and oracle-graded; a real corpus
+    * should pass this value explicitly. */
+  val D12ProductionMinSpanTokens = 50
+
+  def d12DupSpans(spark: SparkSession, dir: String,
+                  minSpanTokens: Int = D12MinSpanTokens): DataFrame = {
     // positional 3-gram shingles (doc_id, pos, hs) — shingleHashRows keeps
     // only the distinct hash set; spans need every position, no distinct
     val win = org.apache.spark.sql.expressions.Window
@@ -806,10 +819,13 @@ object Dedup {
         DetHash.h60(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("hs"))
     val df = shingleIndex3(spark, dir).groupBy("hs").agg(count(lit(1)).as("df"))
     val dup = shp.join(df, "hs").filter(col("df") >= 2)
-    // gaps-and-islands with a merge distance of 2: shingles at pos i and
-    // i+2 share token i+2, so their token spans touch and must fuse
+    // gaps-and-islands with a merge distance of 3: shingles at pos i and
+    // i+2 OVERLAP on token i+2, and shingles at i and i+3 produce the
+    // ADJACENT token windows [i, i+2] / [i+3, i+5] — both are one
+    // contiguous duplicated run and must fuse (gap > 3 leaves a genuinely
+    // un-duplicated token between the windows)
     val brk = when(lag(col("pos"), 1).over(win).isNull ||
-      col("pos") - lag(col("pos"), 1).over(win) > 2, 1L).otherwise(0L)
+      col("pos") - lag(col("pos"), 1).over(win) > 3, 1L).otherwise(0L)
     dup.withColumn("brk", brk)
       .withColumn("island", sum(col("brk")).over(
         win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
@@ -818,7 +834,7 @@ object Dedup {
         (max(col("pos")) + lit(2L)).as("span_end"))
       .withColumn("n_tokens", col("span_end") - col("span_start") + lit(1L))
       .withColumn("verdict",
-        when(col("n_tokens") >= D12MinSpanTokens, lit("remove")).otherwise(lit("keep")))
+        when(col("n_tokens") >= minSpanTokens, lit("remove")).otherwise(lit("keep")))
       .select("doc_id", "span_start", "span_end", "n_tokens", "verdict")
       .orderBy("doc_id", "span_start")
   }
@@ -839,8 +855,34 @@ object Dedup {
     * duplication structure. Reassembly sorts each doc's kept tokens
     * inside a single aggregate row (array_sort over a collect_list —
     * per-doc memory, the doc_id hash partition does the distribution).
-    * Row-goal parity: both engines emit one row per INPUT document. */
-  def d13ScrubbedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    * Row-goal parity: both engines emit one row per INPUT document.
+    *
+    * The per-document buffer bound is ENFORCED, not assumed (r12,
+    * verdict #5): one memoized narrow pre-pass measures the corpus's max
+    * token count and FAILS FAST past `maxDocTokens` — a pathological
+    * multi-GB document must surface as a named refusal before the
+    * single-task collect_list buffer turns it into an executor OOM
+    * (the GlobalRank reserved-name fail-fast pattern). The default bound
+    * (~4M tokens, tens of MB of struct buffer) is far above any web
+    * document; a corpus that legitimately exceeds it needs a chunked
+    * scrub (r17's chunking applied before d12), not a bigger buffer. */
+  val D13MaxDocTokens = 4000000L
+
+  /** Measured max doc token count, memoized per (session, corpus) like
+    * every build artifact — the guard costs one narrow scan once. */
+  private val d13MaxCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def d13ScrubbedCorpus(spark: SparkSession, dir: String,
+                        maxDocTokens: Long = D13MaxDocTokens): DataFrame = {
+    val worst = d13MaxCache.getOrElseUpdate(Warehouse.tableSuffix(dir),
+      Tables.documents(spark, dir)
+        .agg(max(size(split(col("text"), " ")))).collect()(0).getInt(0).toLong)
+    if (worst > maxDocTokens) throw new IllegalArgumentException(
+      s"d13 buffer bound exceeded: corpus $dir has a $worst-token document > " +
+        s"maxDocTokens=$maxDocTokens — the per-document reassembly buffer " +
+        "(array_sort over collect_list) is single-task memory; scrub " +
+        "oversized documents via chunking (r17) or raise the bound explicitly")
     val spans = d12DupSpans(spark, dir)
       .filter(col("verdict") === "remove")
       .select(col("doc_id").as("s_doc_id"), col("span_start"), col("span_end"))
@@ -1159,7 +1201,7 @@ object Dedup {
          |), isl AS (
          |  SELECT doc_id, pos,
          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
          |    THEN 1 ELSE 0 END AS brk
          |  FROM dup
          |), isl2 AS (
@@ -1190,7 +1232,7 @@ object Dedup {
          |), isl AS (
          |  SELECT doc_id, pos,
          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
          |    THEN 1 ELSE 0 END AS brk
          |  FROM dup
          |), isl2 AS (

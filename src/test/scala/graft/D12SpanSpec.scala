@@ -19,11 +19,14 @@ class D12SpanSpec extends SparkSpec {
       spans.foreach { case (s, e) =>
         assert(s >= 0 && e >= s + 2, s"doc $doc span ($s,$e) narrower than a 3-gram")
       }
-      // maximality: merged islands must not touch — a gap of zero between
-      // two reported spans means the island merge failed to fuse them
+      // maximality (r12, the r11 ADVICE fix): reported spans must not
+      // overlap, touch, OR be token-adjacent — adjacent windows (shingle
+      // gap exactly 3) now fuse, so consecutive spans always leave at
+      // least one genuinely un-duplicated token between them
       spans.sliding(2).foreach {
         case Array((_, e1), (s2, _)) =>
-          assert(s2 > e1, s"doc $doc spans overlap or touch: end $e1 vs next start $s2")
+          assert(s2 > e1 + 1,
+            s"doc $doc spans touch or abut: end $e1 vs next start $s2")
         case _ =>
       }
     }
@@ -52,6 +55,28 @@ class D12SpanSpec extends SparkSpec {
       assert(r.getAs[Long]("span_end") < lens(doc),
         s"doc $doc span_end ${r.getAs[Long]("span_end")} beyond ${lens(doc)} tokens")
     }
+  }
+
+  test("token-adjacent windows fuse; a contiguous run is ONE span (r11 ADVICE)") {
+    import spark.implicits._
+    // doc 0 duplicates shingles at positions 2 and 5 (gap exactly 3):
+    // token windows [2,4] and [5,7] are ADJACENT and must fuse into one
+    // [2,7] span — pre-fix they graded as two independent spans, letting
+    // a >= threshold contiguous run dodge removal. doc 1 holds the same
+    // shingles at gap 6: genuinely separate spans stay separate.
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12fix").toString
+    Seq((0L, "a0 a1 t2 t3 t4 t5 t6 t7 b8 b9", "en", "src0", 30L),
+        (1L, "t2 t3 t4 q0 q1 q2 t5 t6 t7", "en", "src0", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.d12DupSpans(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).sorted.toSeq).toMap
+    assert(got(0L) == Seq((2L, 7L)),
+      s"gap-3 windows must fuse into one [2,7] span, got ${got(0L)}")
+    assert(got(1L) == Seq((0L, 2L), (6L, 8L)),
+      s"gap-6 windows must stay separate, got ${got(1L)}")
   }
 
   test("plan is exchange-lean: no pair join, island agg rides the window partitioning") {

@@ -13,6 +13,15 @@ class D13ScrubSpec extends SparkSpec {
     .map(r => r.getAs[Long]("doc_id") -> r).toMap
   private lazy val spans = Dedup.d12DupSpans(spark, Sf).collect()
 
+  test("buffer bound is enforced: an oversized document is a named refusal") {
+    // r12 verdict #5: the single-task reassembly buffer must fail fast
+    // with a named error, never discover the bound as an executor OOM
+    val ex = intercept[IllegalArgumentException](
+      Dedup.d13ScrubbedCorpus(spark, Sf, maxDocTokens = 1L))
+    assert(ex.getMessage.contains("buffer bound"),
+      s"refusal must name the buffer bound: ${ex.getMessage}")
+  }
+
   test("one row per input document, token accounting exact") {
     val docs = graft.Tables.documents(spark, Sf)
       .selectExpr("doc_id", "size(split(text, ' ')) as n")
