@@ -144,13 +144,13 @@ object Ann {
     * needs the top-nprobe centroids, not just the argmax.
     * Returns (query_id, list_id, qlabel, qv, qnrm). */
   private[ann] def listProbes(e: DataFrame, nprobe: Int = 3,
-                              nlists: Int = 8): DataFrame = {
+                              nlists: Int = 8, qmod: Int = 101): DataFrame = {
     val cent = centroids(e, nlists)
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
     val wv = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    e.filter(col("vec_id") % 101 === 0)
+    e.filter(col("vec_id") % qmod === 0)
       .join(broadcast(cent), lit(true)).withColumn("cs", cs)
       .withColumn("rn", row_number().over(wv)).filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"),

@@ -146,7 +146,8 @@ object IvfPqR {
   }
 
   /** D16 (a16): residual-IVFPQ top-10 for the standard probe set. */
-  def a16IvfPqResidualTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def a16IvfPqResidualTopK(spark: SparkSession, dir: String, k: Int = 10,
+                           qmod: Int = 101): DataFrame = {
     val e = Search.corpus(spark, dir)
     val res = residuals(e)
     val rcb = residualCodebook(res)
@@ -155,7 +156,7 @@ object IvfPqR {
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), vd(col("v")).as("cvd"))
     // per-(query, probed list): the dot(q, c_list) offset
-    val probes = Ann.listProbes(e)
+    val probes = Ann.listProbes(e, qmod = qmod)
       .select(col("query_id"), col("list_id"), vd(col("qv")).as("qvd"), col("qnrm"))
       .join(broadcast(cent), col("list_id") === col("cent_id"))
       .withColumn("qc", Vec.dotNative(col("qvd"), col("cvd")))
@@ -205,14 +206,18 @@ object IvfPqR {
 
   /** D17 (a17): residual-IVFPQ recall@10 — graded against brute force so
     * the residual-vs-raw (a14) gain is a measured number. */
-  def a17IvfPqResidualRecall(spark: SparkSession, dir: String): DataFrame =
-    Pq.recallVsBruteForce(spark, dir, a16IvfPqResidualTopK(spark, dir))
+  def a17IvfPqResidualRecall(spark: SparkSession, dir: String,
+                             qmod: Int = 101): DataFrame =
+    Pq.recallVsBruteForce(spark, dir, a16IvfPqResidualTopK(spark, dir, qmod = qmod), qmod)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a16_ivfpqr_topk" -> ((s, d) => a16IvfPqResidualTopK(s, d)),
     "a17_ivfpqr_recall" -> ((s, d) => a17IvfPqResidualRecall(s, d)),
     "a18_ivfpqrk_topk" -> ((s, d) => a18IvfPqrKmeansTopK(s, d)),
     "a18_ivfpqrk_recall" -> ((s, d) => a18IvfPqrKmeansRecall(s, d)),
+    // r12, the d7s pattern (see Pq.scala): 1-in-13 query sample
+    "a16s_ivfpqr_topk" -> ((s, d) => a16IvfPqResidualTopK(s, d, qmod = 1313)),
+    "a17s_ivfpqr_recall" -> ((s, d) => a17IvfPqResidualRecall(s, d, qmod = 1313)),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -223,7 +228,7 @@ object IvfPqR {
   private def subSql(v: String, m: String): String =
     s"list_transform(range(1, ${D + 1}), j -> $v[$m*$D + j])"
 
-  private lazy val ResidualCte: String = {
+  private def residualCte(qmod: Int): String = {
     val codePivot = (0 until M).map(m =>
       s"max(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n        ")
     val cnPivot = (0 until M).map(m =>
@@ -283,7 +288,7 @@ object IvfPqR {
        |), probes0 AS (
        |  SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, nrm AS qnrm FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
-       |    FROM asg0 WHERE vec_id % 101 = 0) WHERE rn <= 3
+       |    FROM asg0 WHERE vec_id % $qmod = 0) WHERE rn <= 3
        |), pq AS (
        |  SELECT p.query_id, p.list_id, p.qnrm, ${dotSql("p.qv", "c.cv")} AS qc
        |  FROM probes0 p JOIN cent c ON c.cent_id = p.list_id
@@ -302,6 +307,14 @@ object IvfPqR {
        |  FROM scored)""".stripMargin
   }
 
+  private lazy val ResidualCte: String = residualCte(101)
+
+  /** The multi-referenced CTEs of the residual chain (see
+    * Pq.materializeShared — applied to the sampled variants only). */
+  private val ResidualSharedCtes = Seq(
+    "en", "cent", "asg0", "asg", "resid", "rcb", "cp", "cpx",
+    "probes0", "pq", "lut", "bf")
+
   val oracle: Map[String, String] = Map(
     "a16_ivfpqr_topk" -> (ResidualCte +
       """
@@ -313,5 +326,17 @@ object IvfPqR {
         |, ivfpqr AS (
         |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
         |)""".stripMargin + Pq.recallTailSql("ivfpqr")),
+
+    // ---- sampled variants (r12, d7s pattern — see Pq.scala)
+    "a16s_ivfpqr_topk" -> Pq.materializeShared(residualCte(1313) +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin, ResidualSharedCtes),
+
+    "a17s_ivfpqr_recall" -> Pq.materializeShared(residualCte(1313) +
+      """
+        |, ivfpqr AS (
+        |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
+        |)""".stripMargin + Pq.recallTailSql("ivfpqr", 1313), ResidualSharedCtes),
   )
 }

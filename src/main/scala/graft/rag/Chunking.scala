@@ -100,13 +100,14 @@ object Chunking {
     spark.table(t)
   }
 
-  def r18ChunkSearch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def r18ChunkSearch(spark: SparkSession, dir: String, k: Int = 5,
+                     qmod: Int = 101): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cf = chunkFeatureIndex(spark, dir)
     // query postings (tiny: |docs|/101 queries × ≤Dim active buckets) with
     // the exact squared norm attached — broadcast into the chunk index
     val qf = Embed.features(
-        Tables.documents(spark, dir).filter(col("doc_id") % 101 === 0)
+        Tables.documents(spark, dir).filter(col("doc_id") % qmod === 0)
           .select(col("doc_id").as("query_id"), col("text")), "query_id", "text")
       .filter(col("s") =!= 0)
       .select(col("query_id"), col("bucket").as("qb"), col("s").as("qs"))
@@ -130,27 +131,16 @@ object Chunking {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r17_chunking" -> ((s, d) => r17Chunking(s, d)),
     "r18_chunk_search" -> ((s, d) => r18ChunkSearch(s, d)),
+    // r12, the d7s pattern: 1-in-13 query sample on BOTH engines — the
+    // chunk index stays full-corpus; the oracle becomes sf10-feasible
+    "r18s_chunk_search" -> ((s, d) => r18ChunkSearch(s, d, qmod = 1313)),
   )
 
-  val oracle: Map[String, String] = Map(
-    "r17_chunking" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-         |  FROM documents
-         |), st AS (
-         |  SELECT doc_id, ws, unnest(range(0, len, $Stride)) AS start_pos FROM t
-         |), ch AS (
-         |  SELECT doc_id, start_pos // $Stride AS chunk_id, start_pos,
-         |    list_slice(ws, start_pos + 1, least(start_pos + $ChunkWords, len(ws))) AS cw
-         |  FROM st
-         |)
-         |SELECT doc_id, chunk_id, start_pos,
-         |  CAST(len(cw) AS BIGINT) AS n_chunk_words,
-         |  md5(array_to_string(cw, ' ')) AS chunk_hash
-         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "r18_chunk_search" ->
+  /** r18's oracle, parameterized by the query-doc sample modulus
+    * (r12 — 101 = the registered full query set; 1313 = the d7s-style
+    * 1-in-13 sample that keeps the chunk index full-corpus while the
+    * pair stage divides by 13). */
+  private def r18Sql(qmod: Int): String =
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
@@ -175,7 +165,7 @@ object Chunking {
          |), qtok AS (
          |  SELECT doc_id AS query_id, ${graft.functions.DetHash.h60Sql("'fh:' || w")} AS h
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |        FROM documents WHERE doc_id % 101 = 0)
+         |        FROM documents WHERE doc_id % $qmod = 0)
          |), qf AS (
          |  SELECT query_id, CAST(h % ${Embed.Dim} AS INT) AS bucket,
          |    sum(CASE WHEN (h // ${Embed.Dim}) % 2 = 1 THEN 1 ELSE -1 END) AS s
@@ -202,6 +192,27 @@ object Chunking {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY query_id ORDER BY similarity DESC, doc_id, chunk_id) AS rnk
          |  FROM scored)
-         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "r17_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, ws, unnest(range(0, len, $Stride)) AS start_pos FROM t
+         |), ch AS (
+         |  SELECT doc_id, start_pos // $Stride AS chunk_id, start_pos,
+         |    list_slice(ws, start_pos + 1, least(start_pos + $ChunkWords, len(ws))) AS cw
+         |  FROM st
+         |)
+         |SELECT doc_id, chunk_id, start_pos,
+         |  CAST(len(cw) AS BIGINT) AS n_chunk_words,
+         |  md5(array_to_string(cw, ' ')) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "r18_chunk_search" -> r18Sql(101),
+    "r18s_chunk_search" -> r18Sql(1313),
   )
 }

@@ -138,7 +138,8 @@ object Search {
     * form. Planes are prefix-stable (Dedup.hyperplanes), the 4x4
     * default byte-identical to the committed, oracle-pinned plan. */
   def r5bFindSimilarBlocked(spark: SparkSession, dir: String,
-                            bitsPerBand: Int = 4, bands: Int = 4): DataFrame = {
+                            bitsPerBand: Int = 4, bands: Int = 4,
+                            sampleMod: Option[Int] = None): DataFrame = {
     val e = corpus(spark, dir)
     val bandTensor = graft.dedup.Dedup.hyperplanes(bands * bitsPerBand)
       .grouped(bitsPerBand).toSeq
@@ -149,9 +150,14 @@ object Search {
               lit(1L << o)).otherwise(0L)
           }.reduce(_ + _))))
       .toDF("vec_id", "band", "bv")
+    // sampleMod (r12, the d7s pattern): a deterministic 1-in-k QUERY
+    // sample applied to BOTH engines — the graded index/blocking stays
+    // full-corpus, the owned-quadratic verify stage divides by k, and the
+    // DuckDB oracle becomes feasible one decade further up (sf10)
     val srcDocs = Tables.documents(spark, dir)
       .filter(col("source") === "src0").select(col("doc_id"))
-    val qb = bands0.join(srcDocs, col("vec_id") === col("doc_id"))
+    val qDocs = sampleMod.fold(srcDocs)(m => srcDocs.filter(col("doc_id") % m === 0))
+    val qb = bands0.join(qDocs, col("vec_id") === col("doc_id"))
       .select(col("doc_id").as("query_doc_id"), col("band"), col("bv"))
     val cand = bands0.join(qb, Seq("band", "bv"))
       .filter(col("vec_id") =!= col("query_doc_id"))
@@ -232,6 +238,8 @@ object Search {
     "r4_search_filtered"     -> ((s, d) => r4SearchFiltered(s, d)),
     "r5_find_similar"        -> ((s, d) => r5FindSimilar(s, d)),
     "r5b_find_similar_blocked" -> ((s, d) => r5bFindSimilarBlocked(s, d)),
+    "r5bs_find_similar_blocked" ->
+      ((s, d) => r5bFindSimilarBlocked(s, d, sampleMod = Some(13))),
     "r8_pairwise_similarity" -> ((s, d) => r8PairwiseSimilarity(s, d)),
     "a1_knn_bruteforce"      -> ((s, d) => a1KnnBruteforce(s, d)),
   )
@@ -297,7 +305,14 @@ object Search {
          |ORDER BY query_doc_id, rnk""".stripMargin,
     // Same hyperplane/band construction as d5's oracle (hash-proven there);
     // scoring/ranking is r5's, restricted to the banded candidate set.
-    "r5b_find_similar_blocked" ->
+    "r5b_find_similar_blocked" -> r5bSql(""),
+    "r5bs_find_similar_blocked" -> r5bSql(" AND doc_id % 13 = 0"),
+  ) ++ oracleTail
+
+  /** r5b's oracle, parameterized by the query-doc sample predicate (r12 —
+    * "" = the registered full query set; the sampled variant restricts
+    * the LEFT side only, exactly as the Spark path's `sampleMod`). */
+  private def r5bSql(samplePred: String): String =
       s"""$CorpusCte, hp AS (
          |  SELECT j, list_transform(range(0, 64), d ->
          |    (CAST('0x' || substr(md5('hp' || CAST(j AS VARCHAR) || 'd' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)/1000.0) AS r
@@ -310,7 +325,7 @@ object Search {
          |  SELECT vec_id, j // 4 AS band, CAST(sum(bit << (j % 4)) AS BIGINT) AS bv
          |  FROM bits GROUP BY 1, 2
          |), qd AS (
-         |  SELECT doc_id FROM documents WHERE source = 'src0'
+         |  SELECT doc_id FROM documents WHERE source = 'src0'$samplePred
          |), cand AS (
          |  SELECT DISTINCT qb.vec_id AS query_doc_id, b.vec_id
          |  FROM bands qb JOIN qd ON qb.vec_id = qd.doc_id
@@ -325,7 +340,9 @@ object Search {
          |)
          |SELECT query_doc_id, doc_id, similarity, rnk FROM ranked
          |WHERE rnk <= 5 AND similarity >= 0.3
-         |ORDER BY query_doc_id, rnk""".stripMargin,
+         |ORDER BY query_doc_id, rnk""".stripMargin
+
+  private def oracleTail: Map[String, String] = Map(
     "r8_pairwise_similarity" ->
       s"""$CorpusCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

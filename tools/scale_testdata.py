@@ -79,6 +79,13 @@ def main() -> None:
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "./testdata_sf1"
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if only is not None:
+        # r11 ADVICE: a typo'd table name would silently come through as a
+        # copy and a downstream sweep would measure the wrong scale
+        unknown = sorted(only - set(KEYS))
+        if unknown:
+            sys.exit(f"[scale] unknown only-list table(s) {unknown}; "
+                     f"scalable tables are {sorted(KEYS)}")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count()}")
