@@ -88,6 +88,11 @@ def main() -> None:
                      f"scalable tables are {sorted(KEYS)}")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # factor ~1000 builds a factor-way UNION ALL; DuckDB's default parser
+    # depth (1000) rejects it — raise the cap (r12). Very large factors
+    # should still prefer two-stage scaling (e.g. 100 then 10): the
+    # single-statement union re-scans the source `factor` times.
+    con.execute("SET max_expression_depth TO 100000")
     con.execute(f"SET threads={os.cpu_count()}")
 
     def pq(t: str) -> str:
