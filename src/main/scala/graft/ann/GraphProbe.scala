@@ -68,12 +68,12 @@ object GraphProbe {
     * surfaces centroids with higher query cosine that displace lists
     * actually holding true neighbors, a reminder that the
     * centroid-cosine proxy is not monotone in recall. */
-  private def graphProbes(e: DataFrame): DataFrame = {
+  private def graphProbes(e: DataFrame, qmod: Int): DataFrame = {
     val cent = e.filter(col("vec_id") < NLists)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val edges = centroidEdges(cent)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("cent_id"))
-    val qcos = e.filter(col("vec_id") % 101 === 0)
+    val qcos = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .join(broadcast(cent), lit(true))
       .withColumn("cs", cosRounded(col("qv"), col("qnrm"), col("cv"), col("cnrm")))
@@ -104,10 +104,10 @@ object GraphProbe {
 
   /** D19 (a19): top-10 via graph-ordered probes — a2's pruned list scan
     * with the greedy probe set. */
-  def a19GraphTopK(spark: SparkSession, dir: String): DataFrame = {
+  def a19GraphTopK(spark: SparkSession, dir: String, qmod: Int = 101): DataFrame = {
     val e = Search.corpus(spark, dir)
     val asg = Ann.listAssignment(e)
-    val probes = graphProbes(e)
+    val probes = graphProbes(e, qmod)
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
@@ -126,19 +126,25 @@ object GraphProbe {
   /** D19 recall: graph-ordered probes vs brute force — same ground truth
     * and tail as a3, so greedy-vs-exhaustive probe selection at equal
     * budget is a measured, oracle-checked number. */
-  def a19GraphRecall(spark: SparkSession, dir: String): DataFrame =
-    Pq.recallVsBruteForce(spark, dir, a19GraphTopK(spark, dir))
+  def a19GraphRecall(spark: SparkSession, dir: String, qmod: Int = 101): DataFrame =
+    Pq.recallVsBruteForce(spark, dir, a19GraphTopK(spark, dir, qmod), qmod)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a19_graph_topk" -> ((s, d) => a19GraphTopK(s, d)),
     "a19_graph_recall" -> ((s, d) => a19GraphRecall(s, d)),
+    // sampled variants (d7s pattern, qmod 1313): the centroid graph, edge
+    // list and list assignment stay full-corpus; only the query fan-out
+    // divides by 13 — converts the sf10 DuckDB-infeasible oracles
+    "a19s_graph_topk" -> ((s, d) => a19GraphTopK(s, d, qmod = 1313)),
+    "a19s_graph_recall" -> ((s, d) => a19GraphRecall(s, d, qmod = 1313)),
   )
 
   // ---------------------------------------------------------------- oracle
 
   private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
 
-  private lazy val GraphCte: String =
+  /** graphCte(101) is the registered text byte-for-byte. */
+  private def graphCte(qmod: Int): String =
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM en WHERE vec_id < $NLists),
@@ -162,7 +168,7 @@ object GraphProbe {
        |    FROM edges0) WHERE rn <= $Degree
        |), qcos AS (
        |  SELECT vec_id AS query_id, cent_id, v AS qv, nrm AS qnrm, cs
-       |  FROM asg0 WHERE vec_id % 101 = 0
+       |  FROM asg0 WHERE vec_id % $qmod = 0
        |), entry AS (
        |  SELECT query_id, cent_id AS entry FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, cent_id) AS rn
@@ -198,6 +204,13 @@ object GraphProbe {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
        |  FROM scored)""".stripMargin
 
+  private lazy val GraphCte: String = graphCte(101)
+
+  /** Shared CTEs materialized in the SAMPLED oracles only (d7 inlining
+    * lesson): en and asg0 are each read 2x+, and asg0 is the O(N x nlists)
+    * assignment scan — inlined, DuckDB recomputes it per reference. */
+  private val GraphSharedCtes = Seq("en", "asg0", "asg", "edges", "qcos", "bf")
+
   val oracle: Map[String, String] = Map(
     "a19_graph_topk" -> (GraphCte +
       s"""
@@ -209,5 +222,16 @@ object GraphProbe {
          |, graphp AS (
          |  SELECT query_id, vec_id FROM ranked WHERE rnk <= $TopK
          |)""".stripMargin + Pq.recallTailSql("graphp")),
+
+    "a19s_graph_topk" -> Pq.materializeShared(graphCte(1313) +
+      s"""
+         |SELECT query_id, vec_id, similarity, rnk FROM ranked WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin, GraphSharedCtes),
+
+    "a19s_graph_recall" -> Pq.materializeShared(graphCte(1313) +
+      s"""
+         |, graphp AS (
+         |  SELECT query_id, vec_id FROM ranked WHERE rnk <= $TopK
+         |)""".stripMargin + Pq.recallTailSql("graphp", 1313), GraphSharedCtes),
   )
 }
