@@ -63,8 +63,10 @@ object ClusteredDial {
     val nCorpus = graft.rag.Search.corpus(spark, sfDir).count()
     val occ = graft.ann.Ann.occupancyEstimate(
       spark, sfDir, graft.ann.Ann.nlistsFor(nCorpus))
-    val point = graft.ann.Ann.annOperatingPoint(nCorpus, occ, 0.9)
-    emit(s"""{"harness":"clustered_dial","auto_point":{"n":$nCorpus,"occupancy":$occ,"recall_floor":0.9,"nlists":${point.nlists},"nprobe":${point.nprobe},"rerank_depth":${point.rerankDepth}}}""")
+    val spl = graft.ann.Ann.splinterEstimate(
+      spark, sfDir, graft.ann.Ann.nlistsFor(nCorpus))
+    val point = graft.ann.Ann.annOperatingPoint(nCorpus, occ, 0.9, splinter = spl)
+    emit(s"""{"harness":"clustered_dial","auto_point":{"n":$nCorpus,"occupancy":$occ,"splinter":$spl,"recall_floor":0.9,"nlists":${point.nlists},"nprobe":${point.nprobe},"rerank_depth":${point.rerankDepth}}}""")
 
     val members: Seq[(String, () => DataFrame)] = Seq(
       "a2_ivf_det_8x3" -> (() => graft.ann.Ann.a2KnnIvf(spark, sfDir)),

@@ -227,6 +227,41 @@ object Ann {
       .groupBy("list_id").agg(count(lit(1)).as("sz"))
       .agg(max(col("sz"))).collect()(0).getLong(0)
 
+  /** Splinter statistic for the nprobe law (r12, the third-decade lesson):
+    * deterministic centroids (vec_id < nlists) are corpus ROWS, so once
+    * nlists exceeds the data's natural cluster count, one tight cluster
+    * contributes several near-duplicate centroids and its members scatter
+    * across that many inverted lists — measured: a2's auto point at
+    * clustered sf10 (nlists=448 over 64 true clusters, ~7 lists per crowd)
+    * delivered recall 0.763 UNDER its 0.9 floor at the fixed nprobe=3 that
+    * had held at the two smaller decades (1 and ~2-3 lists per crowd).
+    * The statistic is the worst centroid's near-duplicate count (rounded
+    * cosine >= tau, self included) = the number of lists one cluster crowd
+    * can splinter across; [[annOperatingPoint]] probes that many. Cost:
+    * one O(src x nlists) pass over the broadcast-sized centroid set only
+    * (never the corpus); past 4096 centroids the source side is
+    * stride-sampled — splinter is ~uniform per cluster (every cluster big
+    * enough to matter contributes many centroids), so a deterministic
+    * sample estimates the max well. tau = 0.5 sits in the measured gap
+    * between intra-cluster cosine (~0.89 at the clustered generator's
+    * sigma = 0.35) and the near-orthogonal inter-cluster band (~±0.125);
+    * structure-less corpora have no centroid pair past tau and return 1,
+    * leaving nprobe at the measured small constant. */
+  def splinterEstimate(spark: SparkSession, dir: String, nlists: Int,
+                       tau: Double = 0.5): Int = {
+    val cent = centroids(Search.corpus(spark, dir), nlists)
+    val srcStride = math.max(1L, nlists.toLong / 4096L)
+    val src = cent.filter(col("cent_id") % srcStride === 0)
+      .select(col("cent_id").as("src"), col("cv").as("sv"), col("cnrm").as("snrm"))
+    val cs = round(
+      when(col("snrm") * col("cnrm") === 0.0, 0.0)
+        .otherwise(Vec.dotNative(col("sv"), col("cv")) / (col("snrm") * col("cnrm"))), 6)
+    src.join(broadcast(cent), lit(true))
+      .filter(cs >= tau)
+      .groupBy("src").agg(count(lit(1)).as("nn"))
+      .agg(max(col("nn"))).collect()(0).getLong(0).toInt
+  }
+
   /** The rerank-depth LAW, as MEASURED (PLANS §clustered-corpus, sf1 occ
     * ~313 and sf10 occ ~3125 on the 64-Gaussian corpus): mean recall@10 of
     * a7's ADC-shortlist + exact-rerank as a function of R/occupancy.
@@ -258,9 +293,13 @@ object Ann {
     *
     *  - nlists: [[nlistsFor]] — sqrt growth toward cluster alignment.
     *  - nprobe: regime-split, honestly. `clusteredRegime=true` (the data
-    *    IVF exists for) keeps the measured small constant — recall
+    *    IVF exists for) probes max(3, [[splinterEstimate]]) lists — recall
     *    DECOUPLES from the scanned fraction once nlists reaches alignment
-    *    (1.000 at 1.6% scanned, three corpus decades). On structure-less
+    *    (1.000 at 1.6% scanned), but once nlists GROWS PAST the natural
+    *    cluster count the deterministic centroids duplicate and one crowd
+    *    splinters across ~splinter lists, each of which must be probed
+    *    (the third-decade miss: 0.763 under a 0.9 floor at 448 lists /
+    *    64 clusters / nprobe 3). On structure-less
     *    data (`clusteredRegime=false`) no index beats the scanned
     *    fraction (§ivf-dial: recall ≈ nprobe/nlists), so the floor fixes
     *    nprobe = ceil(floor·nlists); past `maxScanFraction` that is a
@@ -276,14 +315,27 @@ object Ann {
   def annOperatingPoint(corpusCount: Long, occupancyEstimate: Long,
                         recallFloor: Double, clusteredRegime: Boolean = true,
                         maxScanFraction: Double = 0.25,
-                        maxRerank: Int = 65536): AnnPoint = {
+                        maxRerank: Int = 65536,
+                        splinter: Int = 1): AnnPoint = {
     require(corpusCount > 0, s"corpusCount $corpusCount")
     require(occupancyEstimate > 0, s"occupancyEstimate $occupancyEstimate")
     require(recallFloor > 0.0 && recallFloor < 1.0, s"recallFloor $recallFloor")
+    require(splinter >= 1, s"splinter $splinter")
     val nlists = nlistsFor(corpusCount)
     val nprobe =
-      if (clusteredRegime) 3
-      else {
+      if (clusteredRegime) {
+        // probe every list the query's cluster crowd can splinter across
+        // ([[splinterEstimate]]); splinter 1 keeps the measured constant 3
+        val need = math.max(3, splinter)
+        if (need > maxScanFraction * nlists) throw new IllegalArgumentException(
+          f"ANN dial infeasible: clustered data splinters one crowd across " +
+            f"$splinter%d of $nlists%d lists — covering it (nprobe=$need%d) " +
+            f"exceeds maxScanFraction=$maxScanFraction%.2f, so the corpus is " +
+            "effectively one giant crowd at this nlists; use " +
+            "a1_knn_bruteforce or rebuild with a learned coarse quantizer " +
+            "(a4) whose centroids do not duplicate")
+        need
+      } else {
         val need = math.max(3, math.ceil(recallFloor * nlists).toInt)
         if (need > maxScanFraction * nlists) throw new IllegalArgumentException(
           f"ANN dial infeasible: recall>=$recallFloor%.2f on structure-less " +
@@ -320,7 +372,8 @@ object Ann {
     val n = Search.corpus(spark, dir).count()
     fixedQGuard(n / 101 + 1, "a2KnnIvfAuto")
     val occ = occupancyEstimate(spark, dir, nlistsFor(n))
-    val p = annOperatingPoint(n, occ, recallFloor, clusteredRegime)
+    val spl = splinterEstimate(spark, dir, nlistsFor(n))
+    val p = annOperatingPoint(n, occ, recallFloor, clusteredRegime, splinter = spl)
     ivfTopK(spark, dir, sameLabel = false, nlists = p.nlists, nprobe = p.nprobe)
   }
 

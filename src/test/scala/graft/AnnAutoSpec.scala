@@ -35,6 +35,18 @@ class AnnAutoSpec extends SparkSpec {
     // the sf10 clustered corpus's own numbers: 200k vectors, ~3125/cluster
     val p = Ann.annOperatingPoint(200000L, 3125L, 0.95)
     assert(p.nlists === 448 && p.nprobe === 3)
+    // the third-decade splinter law: 448 deterministic centroids over 64
+    // true clusters duplicate ~7x, and every splinter list must be probed
+    // (measured: recall 0.763 under the 0.9 floor at nprobe=3)
+    val ps = Ann.annOperatingPoint(200000L, 3125L, 0.95, splinter = 7)
+    assert(ps.nprobe === 7 && ps.nlists === 448)
+    assert(Ann.annOperatingPoint(200000L, 3125L, 0.95, splinter = 2).nprobe === 3,
+      "small splinters keep the measured constant 3")
+    // a splinter past the scan budget means the corpus is one giant crowd
+    // at this nlists — refuse rather than scan wearing an index hat
+    val exS = intercept[IllegalArgumentException](
+      Ann.annOperatingPoint(200000L, 3125L, 0.95, splinter = 200))
+    assert(exS.getMessage.contains("splinters"))
     assert(p.rerankDepth > 3125 && p.rerankDepth < 65536,
       s"R=${p.rerankDepth} must cover occupancy (R ~ 1-2x occ law)")
     // structure-less regime: the floor IS the scanned fraction — refuse
@@ -47,10 +59,17 @@ class AnnAutoSpec extends SparkSpec {
     assert(ex2.getMessage.contains("infeasible"))
   }
 
+  test("splinterEstimate sees no centroid near-duplicates on structure-less data") {
+    val n = graft.rag.Search.corpus(spark, Sf).count()
+    assert(Ann.splinterEstimate(spark, Sf, Ann.nlistsFor(n)) === 1,
+      "random 64-dim unit vectors are near-orthogonal — no pair past tau")
+  }
+
   test("a2 auto == a2 explicit at the chooser's operating point") {
     val n = graft.rag.Search.corpus(spark, Sf).count()
     val occ = Ann.occupancyEstimate(spark, Sf, Ann.nlistsFor(n))
-    val p = Ann.annOperatingPoint(n, occ, 0.9)
+    val spl = Ann.splinterEstimate(spark, Sf, Ann.nlistsFor(n))
+    val p = Ann.annOperatingPoint(n, occ, 0.9, splinter = spl)
     val auto = Ann.a2KnnIvfAuto(spark, Sf, recallFloor = 0.9)
       .collect().map(_.toSeq).toSeq
     val explicitly = Ann.a2KnnIvf(spark, Sf, p.nlists, p.nprobe)
