@@ -45,9 +45,71 @@ def main(sf_dir, out_dir, budget_s=None, exclude=()):
     con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = skipped = 0
+    # CHECK_SQL_COMPARE_ROWS=<n>: Spark dumps with >= n rows are compared
+    # INSIDE DuckDB (row counts + symmetric EXCEPT ALL over name-aligned
+    # columns) instead of the pure-python canon() path, which costs
+    # ~1.5 min AND ~0.5 GB per million output rows per side (r12: a 95M-row
+    # sf100e verdict would have taken ~5 h and OOM'd the box). Columnar
+    # compare is exact on typed values (stricter than the 17-digit float
+    # repr) and multiset-correct (EXCEPT ALL); NULLs compare equal (set-op
+    # distinct semantics, same as canon's "NULL" token). Off by default —
+    # small-scale runs keep the driver-mirroring canon path bit-for-bit.
+    import os as _os
+    sqlcmp_rows = int(_os.environ.get("CHECK_SQL_COMPARE_ROWS", "0"))
     for name, sql in sorted(oracle.items()):
         if name in exclude:  # resume support: already verified in a prior run
             continue
+        if sqlcmp_rows:
+            try:
+                dump = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                nspark = con.sql(f"SELECT count(*) FROM ({dump})").fetchone()[0]
+            except Exception as e:
+                print(f"FAIL {name}: spark output unreadable: {e}")
+                fail += 1
+                continue
+            if nspark >= sqlcmp_rows:
+                cols = ", ".join(
+                    f'"{c}"' for c in sorted(
+                        con.sql(f"SELECT * FROM ({dump}) LIMIT 0").columns))
+                cmp_sql = (
+                    f"WITH o AS ({sql}), s AS ({dump}) SELECT "
+                    f"(SELECT count(*) FROM o) AS n_oracle, "
+                    f"(SELECT count(*) FROM s) AS n_spark, "
+                    f"(SELECT count(*) FROM (SELECT {cols} FROM o EXCEPT ALL "
+                    f"SELECT {cols} FROM s)) AS o_minus_s, "
+                    f"(SELECT count(*) FROM (SELECT {cols} FROM s EXCEPT ALL "
+                    f"SELECT {cols} FROM o)) AS s_minus_o")
+                fired = [False]
+                def watchdog():
+                    fired[0] = True
+                    con.interrupt()
+                timer = threading.Timer(budget_s, watchdog) if budget_s else None
+                if timer:
+                    timer.start()
+                try:
+                    n_o, n_s, oms, smo = con.sql(cmp_sql).fetchone()
+                except Exception as e:
+                    if fired[0] or isinstance(e, duckdb.InterruptException):
+                        print(f"SKIP {name}: oracle exceeded {budget_s}s DuckDB budget (sql-compare)")
+                        skipped += 1
+                    else:
+                        print(f"FAIL {name}: oracle error (sql-compare): {e}")
+                        fail += 1
+                    continue
+                finally:
+                    if timer:
+                        timer.cancel()
+                        timer.join()
+                    if fired[0]:
+                        con = connect()
+                if n_o == n_s and oms == 0 and smo == 0:
+                    print(f"OK   {name}: {n_s} rows (sql-compare)")
+                    ok += 1
+                else:
+                    print(f"FAIL {name}: expected {n_o} rows got {n_s} "
+                          f"(oracle-only {oms}, spark-only {smo}) (sql-compare)")
+                    fail += 1
+                continue
         try:
             # soft per-oracle budget (same watchdog as oracle_times.py): at
             # scaled sf a pathological DuckDB shape (a16/a17's residual
