@@ -68,6 +68,15 @@ object ClusteredDial {
     val point = graft.ann.Ann.annOperatingPoint(nCorpus, occ, 0.9, splinter = spl)
     emit(s"""{"harness":"clustered_dial","auto_point":{"n":$nCorpus,"occupancy":$occ,"splinter":$spl,"recall_floor":0.9,"nlists":${point.nlists},"nprobe":${point.nprobe},"rerank_depth":${point.rerankDepth}}}""")
 
+    // r13: the family ROUTER's decision on the same stats — which index
+    // family the cost model picks in each regime, with the per-family
+    // costs it priced, so the artifact records the choice beside the
+    // measured outcome of every family it chose between
+    Seq(graft.ann.Router.ComputeBound, graft.ann.Router.IoBound).foreach { reg =>
+      val r = graft.ann.Router.route(nCorpus, occ, spl, 0.9, reg)
+      emit(s"""{"harness":"clustered_dial","route":{"regime":"${r.regime}","family":"${r.family}","nlists":${r.nlists},"nprobe":${r.nprobe},"rerank_depth":${r.rerankDepth},"cost_brute":${fmt(r.costBrute)},"cost_ivf":${fmt(r.costIvf)},"cost_pq":${fmt(r.costPq)}}}""")
+    }
+
     val members: Seq[(String, () => DataFrame)] = Seq(
       "a2_ivf_det_8x3" -> (() => graft.ann.Ann.a2KnnIvf(spark, sfDir)),
       "a4_ivf_kmeans_8x3" -> (() => graft.ann.KmeansIvf.a4KnnIvfKmeans(spark, sfDir)),
@@ -85,6 +94,14 @@ object ClusteredDial {
       // gets at recallFloor=0.9, graded on the corpus the laws came from
       "a2_auto_f0.9" -> (() => graft.ann.Ann.a2KnnIvfAuto(spark, sfDir, recallFloor = 0.9)),
       "a7_auto_f0.9" -> (() => graft.ann.Pq.a7PqRerankAuto(spark, sfDir, recallFloor = 0.9)),
+      // r13: the routed dispatch in BOTH regimes — compute should match
+      // the box's measured winner; io is the cluster model and its pick
+      // may measure slower HERE (that mismatch is the regime split's
+      // whole point, recorded rather than hidden)
+      "a_route_compute_f0.9" -> (() => graft.ann.Router.aRouteTopk(
+        spark, sfDir, recallFloor = 0.9, regime = graft.ann.Router.ComputeBound)),
+      "a_route_io_f0.9" -> (() => graft.ann.Router.aRouteTopk(
+        spark, sfDir, recallFloor = 0.9, regime = graft.ann.Router.IoBound)),
     )
     members.foreach { case (name, mk) =>
       val c0 = System.nanoTime()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{EventOps, Queries}
-import graft.ann.{Ann, GraphProbe, IvfPqR, KmeansIvf, Pq, Sq}
+import graft.ann.{Ann, GraphProbe, IvfPqR, KmeansIvf, Pq, Router, Sq}
 import graft.dedup.Dedup
 import graft.memory.MemoryOps
 import graft.multimodal.Binary
@@ -26,7 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MemoryOps.queries ++ RagOps.queries ++ Search.queries ++ Embed.queries ++ Lexical.queries ++ Mmr.queries ++ Chunking.queries ++ CrossEncoder.queries ++
-    TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Pq.queries ++
+    TextOps.queries ++ Dedup.queries ++ Ann.queries ++ Pq.queries ++ Router.queries ++
     KmeansIvf.queries ++ Sq.queries ++ IvfPqR.queries ++ GraphProbe.queries ++ Binary.queries ++ EventOps.queries ++ Pipeline.queries ++ Map(
     "q1_agg"       -> ((s, dir) => Queries.q1Agg(s, dir)),
     "q3_join_agg"  -> ((s, dir) => Queries.q3JoinAgg(s, dir)),
@@ -56,7 +56,7 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query (same column names + order). */
   def oracleSql: Map[String, String] =
     MemoryOps.oracle ++ RagOps.oracle ++ Search.oracle ++ Embed.oracle ++ Lexical.oracle ++ Chunking.oracle ++
-    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Sq.oracle ++ IvfPqR.oracle ++ GraphProbe.oracle ++ Binary.oracle ++
+    TextOps.oracle ++ Dedup.oracle ++ Ann.oracle ++ Pq.oracle ++ Router.oracle ++ Sq.oracle ++ IvfPqR.oracle ++ GraphProbe.oracle ++ Binary.oracle ++
     EventOps.oracle ++ Pipeline.oracle ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

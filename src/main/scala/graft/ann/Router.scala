@@ -1,0 +1,318 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rag.Search
+
+/** ANN FAMILY ROUTER (r13) — the sequel to the r12 operating-point
+  * chooser, closing its own "honest economics note" (PLANS
+  * §clustered-corpus): a7_auto at sf10 honors its floor (recall 1.000 at
+  * R=7518) but costs 66.8 s where brute force is 40.1 s and a2_auto is
+  * 8.9 s — the point was FEASIBLE, just uneconomical, and the chooser had
+  * no way to say so. [[Ann.annOperatingPoint]] picks dials WITHIN a family;
+  * [[Router.route]] picks the FAMILY, by an ordinal cost model over the
+  * same three live statistics (corpus count, max-list occupancy, centroid
+  * splinter), in one of two explicitly-declared cost regimes:
+  *
+  *  - '''compute-bound''' (this box, local[32], the regime every number
+  *    in PLANS was measured in): cost is exact-dot-equivalents per query.
+  *    The ADC lookup is NOT cheaper than a whole-stage-codegen'd 64-dim
+  *    dot here — the measured anchor pins alpha = cost(ADC)/cost(dot):
+  *    66.8 = 40.1·(alpha·N + R)/N at N=200k, R=7518 gives alpha ≈ 1.63.
+  *    Consequence (provable, not tuned): flat-PQ-rerank costs
+  *    1.63·N + R > N = brute ALWAYS, so the compute regime routes only
+  *    {brute, ivf_flat} — which is exactly what the sf10 run measured.
+  *  - '''io-bound''' (the 100 TB cluster regime the library is designed
+  *    for): cost is bytes scanned per query. A float32 vector row is
+  *    4·dim = 256 bytes; a PQ code row is 8 bytes. Here flat-PQ's scan
+  *    reads 32x less than brute, and ivf_flat wins only while
+  *    nprobe·occupancy stays under ~N/32 — the regime where the index
+  *    families earn their complexity.
+  *
+  * The model is ORDINAL, validated against the three measured sf10
+  * anchors: at (N=200k, occ=2371, splinter=7) it prices ivf_flat at
+  * ~17k dot-units, brute at 200k, pq_rerank at ~333k — the measured
+  * order (ivf 8.9 s < brute 40.1 s < pq 66.8 s), not the wall-clock
+  * ratios (fixed per-query overheads compress the ivf gap). Routing
+  * needs order only; RouterSpec pins this anchor.
+  *
+  * Family set = the three paths whose dials the chooser fully controls:
+  * a1 brute (exact), a2 ivf_flat (nlists, nprobe), a7 pq_rerank
+  * (rerankDepth). IVFPQ+R (a16) composes both prunings and wins the
+  * io-bound regime outright once its coarse dials are freed from the
+  * oracle-pinned nlists=8; until then the router's reason string
+  * recommends it but never dispatches a family at dials the cost model
+  * didn't choose.
+  *
+  * Reference anchor: the reference exposes one retrieval path
+  * (rag/retrieval.py:100 — ChromaDB's default index) and never chooses;
+  * the router is part of the added LLM-pipeline surface, not a port.
+  */
+object Router {
+
+  sealed trait Regime { def name: String }
+  case object ComputeBound extends Regime { val name = "compute" }
+  case object IoBound extends Regime { val name = "io" }
+
+  /** Measured on THIS box (PLANS §clustered-corpus, sf10, N=200k):
+    * 66.8 s = 40.1 s · (alpha·N + R)/N at R=7518 → alpha = 1.63. The ADC
+    * gather beats a codegen'd dot only on bytes, never on cycles here. */
+  val AdcAlpha = 1.63
+
+  /** float32 payload bytes per vector row (4·dim, dim=64 testdata). */
+  val VecBytes = 256.0
+
+  /** bytes per PQ code row (M=8 subquantizers x 1 byte). */
+  val CodeBytes = 8.0
+
+  /** Per-family per-query costs plus the dials that price them.
+    * Infeasible families carry cost -1.0 and dial -1 (never NULL — the
+    * driver's hash compare stringifies values). */
+  case class RouteDecision(regime: String, family: String, nlists: Int,
+                           nprobe: Int, rerankDepth: Int, n: Long,
+                           occupancy: Long, splinter: Int,
+                           costBrute: Double, costIvf: Double,
+                           costPq: Double)
+
+  /** The routing decision as a pure closed form over live statistics —
+    * unit-testable without a SparkSession, and transcribed operation-for-
+    * operation into the [[oracle]] SQL so the decision itself is
+    * hash-graded cross-engine.
+    *
+    * Feasibility reuses the chooser's refusal laws ([[Ann.annOperatingPoint]]):
+    * ivf_flat needs its splinter-covering nprobe within the scan budget;
+    * pq_rerank needs the recall-law depth under maxRerank and the corpus.
+    * brute is always feasible (exact). Winner = minimal cost among
+    * feasible families; ties break toward the EXACTER family (brute <
+    * ivf_flat < pq_rerank priority), so a degenerate index never displaces
+    * an equal-cost exact scan. */
+  def route(n: Long, occupancy: Long, splinter: Int, recallFloor: Double,
+            regime: Regime, clusteredRegime: Boolean = true,
+            maxScanFraction: Double = 0.25,
+            maxRerank: Int = 65536): RouteDecision = {
+    require(n > 0, s"n $n")
+    require(occupancy > 0, s"occupancy $occupancy")
+    require(recallFloor > 0.0 && recallFloor < 1.0, s"recallFloor $recallFloor")
+    require(splinter >= 1, s"splinter $splinter")
+    val nlists = Ann.nlistsFor(n)
+    // ivf_flat: nprobe by the splinter law (clustered) or the
+    // scanned-fraction law (structure-less), within the scan budget
+    val nprobeNeed =
+      if (clusteredRegime) math.max(3, splinter)
+      else math.max(3, math.ceil(recallFloor * nlists).toInt)
+    val ivfFeasible = nprobeNeed <= maxScanFraction * nlists
+    // pq_rerank: depth by the inverted recall curve, 2x occupancy safety
+    val depth = math.max(50L, math.ceil(
+      Ann.rerankRatioFor(recallFloor) * occupancy * 2.0).toLong)
+    val pqFeasible = depth <= maxRerank && depth < n
+    val (costBrute, costIvf, costPq) = regime match {
+      case ComputeBound => (
+        n.toDouble,
+        nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble,
+        AdcAlpha * n.toDouble + depth.toDouble)
+      case IoBound => (
+        n.toDouble * VecBytes,
+        (nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble) * VecBytes,
+        n.toDouble * CodeBytes + depth.toDouble * VecBytes)
+    }
+    // candidates in exactness-priority order; min by (cost, priority)
+    val candidates =
+      Seq(("brute", costBrute, 0), ("ivf_flat", costIvf, 1), ("pq_rerank", costPq, 2))
+        .filter { case (f, _, _) =>
+          f == "brute" || (f == "ivf_flat" && ivfFeasible) ||
+            (f == "pq_rerank" && pqFeasible) }
+    val family = candidates.minBy { case (_, c, p) => (c, p) }._1
+    RouteDecision(regime.name, family, nlists,
+      if (ivfFeasible) nprobeNeed else -1,
+      if (pqFeasible) depth.toInt else -1,
+      n, occupancy, splinter, costBrute,
+      if (ivfFeasible) costIvf else -1.0,
+      if (pqFeasible) costPq else -1.0)
+  }
+
+  /** Live statistics for [[route]]: corpus count, max-list occupancy of
+    * the build-once IVF artifact at the sqrt-law nlists, and the centroid
+    * splinter — the same three numbers the auto entry points already
+    * gather (all O(corpus) narrow passes or broadcast-sized scans). */
+  private def stats(spark: SparkSession, dir: String): (Long, Long, Int) = {
+    val n = Search.corpus(spark, dir).count()
+    val nlists = Ann.nlistsFor(n)
+    (n, Ann.occupancyEstimate(spark, dir, nlists),
+      Ann.splinterEstimate(spark, dir, nlists))
+  }
+
+  /** D21 (a21_route): the routing decision ITSELF as a graded query — one
+    * row per regime, every input statistic and per-family cost exposed, so
+    * the cross-engine hash gate covers the decision function, not just the
+    * dispatched result. Driver-side assembly is O(1): the three inputs are
+    * tiny distributed aggregates ([[stats]]). */
+  def a21Route(spark: SparkSession, dir: String,
+               recallFloor: Double = 0.9): DataFrame = {
+    val (n, occ, spl) = stats(spark, dir)
+    val rows = Seq(ComputeBound, IoBound).map { reg =>
+      route(n, occ, spl, recallFloor, reg)
+    }
+    import spark.implicits._
+    rows.toDF()
+      .select(col("regime"), col("family"), col("nlists"), col("nprobe"),
+        col("rerankDepth").as("rerank_depth"), col("n"),
+        col("occupancy"), col("splinter"),
+        round(col("costBrute"), 4).as("cost_brute"),
+        round(col("costIvf"), 4).as("cost_ivf"),
+        round(col("costPq"), 4).as("cost_pq"))
+      .orderBy("regime")
+  }
+
+  /** D21 (a21_routed_topk): dispatch — route in the given regime, then run
+    * the chosen family at the chosen dials over the standard qmod=101
+    * serving batch. Default regime is [[IoBound]]: a library caller is on
+    * the cluster the library is designed for; the registered query pins
+    * [[ComputeBound]] (the regime of the box the oracle grades on).
+    * In the compute regime the reachable set is {brute, ivf_flat} by the
+    * alpha > 1 proof in the object scaladoc — the oracle's gated UNION
+    * covers exactly that set, and a pq_rerank dispatch under compute would
+    * hash-FAIL rather than silently pass. */
+  def aRouteTopk(spark: SparkSession, dir: String,
+                 recallFloor: Double = 0.9,
+                 regime: Regime = IoBound,
+                 clusteredRegime: Boolean = true): DataFrame = {
+    val (n, occ, spl) = stats(spark, dir)
+    Ann.fixedQGuard(n / 101 + 1, "aRouteTopk")
+    val d = route(n, occ, spl, recallFloor, regime, clusteredRegime)
+    d.family match {
+      case "brute" =>
+        Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
+          threshold = -1.0, clampZero = false, sameLabel = false)
+      case "ivf_flat" =>
+        Ann.a2KnnIvf(spark, dir, nlists = d.nlists, nprobe = d.nprobe)
+      case "pq_rerank" =>
+        Pq.a7PqRerank(spark, dir, rerankDepth = d.rerankDepth)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_route" -> ((s, d) => a21Route(s, d)),
+    "a21_routed_topk" -> ((s, d) => aRouteTopk(s, d, regime = ComputeBound)),
+  )
+
+  private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
+
+  /** Shared stats CTEs: dynamic-dial assignment at the sqrt-law nlists —
+    * the [[Ann]] IvfCte shape with the literal 8 freed to a scalar. */
+  private val StatsCte: String =
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |en AS MATERIALIZED (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
+       |nl AS (SELECT CAST(greatest(8, least(65536, ceil(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS nlists,
+       |              count(*) AS n FROM en),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM en
+       |         WHERE vec_id < (SELECT nlists FROM nl)),
+       |asg0 AS MATERIALIZED (
+       |  SELECT en.vec_id, en.label, cent.cent_id, en.v, en.nrm,
+       |    round(CASE WHEN en.nrm*cent.cnrm = 0 THEN 0.0
+       |      ELSE ${dotSql("en.v", "cent.cv")}/(en.nrm*cent.cnrm) END, 6) AS cs
+       |  FROM en, cent
+       |), asg AS (
+       |  SELECT vec_id, label, cent_id AS list_id, v, nrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM asg0) WHERE rn = 1
+       |), occ AS (
+       |  SELECT max(sz) AS occupancy FROM (
+       |    SELECT count(*) AS sz FROM asg GROUP BY list_id)
+       |), spl AS (
+       |  -- centroid splinter: worst centroid's near-duplicate count at
+       |  -- tau=0.5, stride-sampled past 4096 source centroids
+       |  SELECT CAST(max(nn) AS INTEGER) AS splinter FROM (
+       |    SELECT s.cent_id, count(*) AS nn
+       |    FROM cent s JOIN cent c ON round(
+       |      CASE WHEN s.cnrm*c.cnrm = 0 THEN 0.0
+       |        ELSE ${dotSql("s.cv", "c.cv")}/(s.cnrm*c.cnrm) END, 6) >= 0.5
+       |    WHERE s.cent_id % greatest(1, (SELECT nlists FROM nl) // 4096) = 0
+       |    GROUP BY s.cent_id)
+       |), dials AS (
+       |  -- the [[route]] closed form, operation-for-operation: nprobe by
+       |  -- the splinter law, R by the inverted recall curve at floor 0.9
+       |  -- (segment (0.803,0.64)-(1.0,2.56)), 2x occupancy safety
+       |  SELECT nl.n, nl.nlists, occ.occupancy, spl.splinter,
+       |    greatest(3, spl.splinter) AS nprobe_need,
+       |    (greatest(3, spl.splinter) <= 0.25 * nl.nlists) AS ivf_feasible,
+       |    CAST(greatest(50, ceil(
+       |      (0.64 + (2.56 - 0.64) * (0.9 - 0.803) / (1.0 - 0.803))
+       |        * occ.occupancy * 2.0)) AS BIGINT) AS depth
+       |  FROM nl, occ, spl
+       |), dials2 AS MATERIALIZED (
+       |  SELECT *, (depth <= 65536 AND depth < n) AS pq_feasible FROM dials
+       |), costs AS MATERIALIZED (
+       |  SELECT f.regime, f.family, f.prio, CASE
+       |    WHEN f.regime = 'compute' AND f.family = 'brute' THEN CAST(n AS DOUBLE)
+       |    WHEN f.regime = 'compute' AND f.family = 'ivf_flat'
+       |      THEN CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)
+       |    WHEN f.regime = 'compute' THEN 1.63 * CAST(n AS DOUBLE) + CAST(depth AS DOUBLE)
+       |    WHEN f.family = 'brute' THEN CAST(n AS DOUBLE) * 256.0
+       |    WHEN f.family = 'ivf_flat'
+       |      THEN (CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) * 256.0
+       |    ELSE CAST(n AS DOUBLE) * 8.0 + CAST(depth AS DOUBLE) * 256.0 END AS cost
+       |  FROM dials2, (VALUES
+       |    ('compute', 'brute', 0), ('compute', 'ivf_flat', 1), ('compute', 'pq_rerank', 2),
+       |    ('io', 'brute', 0), ('io', 'ivf_flat', 1), ('io', 'pq_rerank', 2)
+       |  ) f(regime, family, prio)
+       |  WHERE f.family = 'brute'
+       |     OR (f.family = 'ivf_flat' AND dials2.ivf_feasible)
+       |     OR (f.family = 'pq_rerank' AND dials2.pq_feasible)
+       |), winner AS MATERIALIZED (
+       |  SELECT regime, family FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY regime ORDER BY cost, prio) AS rn
+       |    FROM costs) WHERE rn = 1
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "a21_route" -> (StatsCte +
+      """
+        |SELECT w.regime, w.family,
+        |  CAST(d.nlists AS INTEGER) AS nlists,
+        |  CAST(CASE WHEN d.ivf_feasible THEN d.nprobe_need ELSE -1 END AS INTEGER) AS nprobe,
+        |  CAST(CASE WHEN d.pq_feasible THEN d.depth ELSE -1 END AS INTEGER) AS rerank_depth,
+        |  d.n, CAST(d.occupancy AS BIGINT) AS occupancy, d.splinter,
+        |  round(max(CASE WHEN c.family = 'brute' THEN c.cost END), 4) AS cost_brute,
+        |  round(coalesce(max(CASE WHEN c.family = 'ivf_flat' THEN c.cost END), -1.0), 4) AS cost_ivf,
+        |  round(coalesce(max(CASE WHEN c.family = 'pq_rerank' THEN c.cost END), -1.0), 4) AS cost_pq
+        |FROM winner w
+        |JOIN costs c ON c.regime = w.regime
+        |CROSS JOIN dials2 d
+        |GROUP BY w.regime, w.family, d.nlists, d.ivf_feasible, d.nprobe_need,
+        |  d.pq_feasible, d.depth, d.n, d.occupancy, d.splinter
+        |ORDER BY w.regime""".stripMargin),
+
+    "a21_routed_topk" -> (StatsCte +
+      s"""
+        |, probes AS (
+        |  SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, nrm AS qnrm FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        |    FROM asg0 WHERE vec_id % 101 = 0)
+        |  WHERE rn <= (SELECT nprobe_need FROM dials2)
+        |), ivf_scored AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    round(CASE WHEN p.qnrm*a.nrm = 0 THEN 0.0
+        |      ELSE ${dotSql("p.qv", "a.v")}/(p.qnrm*a.nrm) END, 6) AS similarity
+        |  FROM probes p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        |), ivf_ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+        |  FROM ivf_scored
+        |), brute_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(CASE WHEN q.nrm*c.nrm = 0 THEN 0.0
+        |      ELSE ${dotSql("q.v", "c.v")}/(q.nrm*c.nrm) END, 6) AS similarity
+        |  FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 101 = 0
+        |), brute_ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+        |  FROM brute_scored
+        |)
+        |SELECT query_id, vec_id, similarity, rnk FROM ivf_ranked
+        |WHERE rnk <= 10 AND (SELECT family FROM winner WHERE regime = 'compute') = 'ivf_flat'
+        |UNION ALL
+        |SELECT query_id, vec_id, similarity, rnk FROM brute_ranked
+        |WHERE rnk <= 10 AND (SELECT family FROM winner WHERE regime = 'compute') = 'brute'
+        |ORDER BY query_id, rnk""".stripMargin),
+  )
+}

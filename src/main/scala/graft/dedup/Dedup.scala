@@ -997,6 +997,63 @@ object Dedup {
          |)""".stripMargin
   }
 
+  /** The d10 rare-shingle contamination chain (rare/shared) as a CTE body
+    * appendable after [[ShxCte]] — shared by the d10 oracle and the
+    * composed curation audit (P8). */
+  private[graft] lazy val D10SharedCteBody: String =
+    s""", rare AS (
+       |  SELECT doc_id, h FROM shx
+       |  WHERE h IN (SELECT h FROM shx GROUP BY h HAVING count(*) <= $D7DfCap)
+       |), shared AS (
+       |  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, count(*) AS n_shared
+       |  FROM rare t JOIN rare e ON t.h = e.h
+       |    AND t.doc_id % $D10EvalMod <> 0 AND e.doc_id % $D10EvalMod = 0
+       |  GROUP BY 1, 2 HAVING count(*) >= $D10MinShared
+       |)""".stripMargin
+
+  /** The d13 substring-scrub chain (positions -> duplicated windows ->
+    * islands -> remove spans -> kept tokens -> per-doc reassembly `agg`)
+    * as a CTE body appendable after [[ShxCte]] — shared by the d13 oracle
+    * and the composed curation audit (P8). */
+  private[graft] lazy val D13ScrubCteBody: String =
+    s"""
+       |, shpos AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(range(1, len(ws)-1)) AS i, ws
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |), dfh AS (
+       |  SELECT h, count(*) AS df FROM shx GROUP BY h
+       |), dup AS (
+       |  SELECT doc_id, pos FROM shpos JOIN dfh USING (h) WHERE df >= 2
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM dup
+       |), isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |), spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
+       |  FROM isl2 GROUP BY doc_id, island
+       |  HAVING max(pos) + 2 - min(pos) + 1 >= $D12MinSpanTokens
+       |), toks AS (
+       |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+       |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |), kept AS (
+       |  SELECT t.doc_id, t.pos, t.w FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS kept_n,
+       |    string_agg(w, ' ' ORDER BY pos) AS scrubbed
+       |  FROM kept GROUP BY doc_id
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_exact_dup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
@@ -1218,44 +1275,8 @@ object Dedup {
 
     // d13: d12's remove-verdict spans excised from the token stream; one
     // row per input document (scrubbed-to-empty docs stay, text = '').
-    "d13_scrubbed_corpus" -> (ShxCte +
+    "d13_scrubbed_corpus" -> (ShxCte + D13ScrubCteBody +
       s"""
-         |, shpos AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT) AS h
-         |  FROM (SELECT doc_id, unnest(range(1, len(ws)-1)) AS i, ws
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-         |), dfh AS (
-         |  SELECT h, count(*) AS df FROM shx GROUP BY h
-         |), dup AS (
-         |  SELECT doc_id, pos FROM shpos JOIN dfh USING (h) WHERE df >= 2
-         |), isl AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
-         |    THEN 1 ELSE 0 END AS brk
-         |  FROM dup
-         |), isl2 AS (
-         |  SELECT doc_id, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM isl
-         |), spans AS (
-         |  SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end
-         |  FROM isl2 GROUP BY doc_id, island
-         |  HAVING max(pos) + 2 - min(pos) + 1 >= $D12MinSpanTokens
-         |), toks AS (
-         |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
-         |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-         |), kept AS (
-         |  SELECT t.doc_id, t.pos, t.w FROM toks t
-         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-         |    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
-         |), agg AS (
-         |  SELECT doc_id, count(*) AS kept_n,
-         |    string_agg(w, ' ' ORDER BY pos) AS scrubbed
-         |  FROM kept GROUP BY doc_id
-         |)
          |SELECT d.doc_id,
          |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_kept,
          |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_removed,
@@ -1263,16 +1284,8 @@ object Dedup {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin),
 
-    "d10_decontamination" -> (ShxCte +
-        s""", rare AS (
-           |  SELECT doc_id, h FROM shx
-           |  WHERE h IN (SELECT h FROM shx GROUP BY h HAVING count(*) <= $D7DfCap)
-           |), shared AS (
-           |  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, count(*) AS n_shared
-           |  FROM rare t JOIN rare e ON t.h = e.h
-           |    AND t.doc_id % $D10EvalMod <> 0 AND e.doc_id % $D10EvalMod = 0
-           |  GROUP BY 1, 2 HAVING count(*) >= $D10MinShared
-           |), nt AS (
+    "d10_decontamination" -> (ShxCte + D10SharedCteBody +
+        s""", nt AS (
            |  SELECT doc_id, len(hh) AS n_train_grams FROM shl
            |)
            |SELECT train_doc_id, eval_doc_id, n_shared, n_train_grams,

@@ -250,7 +250,59 @@ object Pipeline {
       .orderBy("rank")
   }
 
+  /** P8 (r13): the per-document CURATION AUDIT — the composed end-to-end
+    * verdict a corpus release ships beside the data ("why is / isn't this
+    * document in the training set"): every filter layer the engine
+    * implements, joined into ONE row per input document with reason-coded
+    * flags —
+    *
+    *  - `keep_quality`: t5's verdict (exact-canonical ∧ quality score ∧
+    *    token band ∧ language allowlist);
+    *  - `neardup_drop`: the document lost its MinHash-LSH near-dup
+    *    cluster election (d6's connected components, non-canonical);
+    *  - `contaminated`: it shares >= [[Dedup.D10MinShared]] rare 3-gram
+    *    shingles with a held-out eval document (d10);
+    *  - `is_eval`: it IS held-out eval data (never trainable);
+    *  - `final_keep`: all of the above compose;
+    *  - `n_tokens_clean`: the token count AFTER d13's substring-level
+    *    span scrub — the number the surviving corpus actually
+    *    contributes to a token budget.
+    *
+    * Scale shape: every input is an artifact the engine already
+    * maintains — keep signals (one narrow pass + content-hash window),
+    * the bucketed cluster table, d10's bounded-df index probe, d13's
+    * windowed scrub — and the composition itself is four doc_id
+    * equi-joins the planner sizes (the flag sides are corpus-fraction
+    * sets; AQE broadcasts while they fit). Nothing here adds a shuffle
+    * the layers didn't already own, so the audit costs the sum of its
+    * parts at 100 TB, not a new join topology. */
+  def p8CurationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sig = TextOps.keepSignals(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("keep").as("keep_quality"))
+    val drops = Dedup.clusterTable(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id")).withColumn("nd", lit(true))
+    val contam = Dedup.d10Decontamination(spark, dir)
+      .select(col("train_doc_id").as("doc_id")).distinct()
+      .withColumn("ct", lit(true))
+    val toks = Dedup.d13ScrubbedCorpus(spark, dir)
+      .select(col("doc_id"), col("n_tokens_kept").as("n_tokens_clean"))
+    sig.join(drops, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(toks, Seq("doc_id"))
+      .withColumn("neardup_drop", coalesce(col("nd"), lit(false)))
+      .withColumn("contaminated", coalesce(col("ct"), lit(false)))
+      .withColumn("is_eval", col("doc_id") % Dedup.D10EvalMod === 0)
+      .withColumn("final_keep", col("keep_quality") && !col("neardup_drop") &&
+        !col("contaminated") && !col("is_eval"))
+      .select("doc_id", "lang", "source", "keep_quality", "neardup_drop",
+        "contaminated", "is_eval", "final_keep", "n_tokens_clean")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_curation_audit" -> ((s, d) => p8CurationAudit(s, d)),
     "p7_token_budget" -> ((s, d) => p7TokenBudget(s, d)),
     "p6_stratified_holdout" -> ((s, d) => p6StratifiedHoldout(s, d)),
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
@@ -262,6 +314,36 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    // p8: the full filter-stack composition — cluster CC (d6 chain) +
+    // decontamination probe (d10 chain) + substring scrub totals (d13
+    // chain) + keep signals (t5 fragment), all from the SHARED CTE
+    // bodies, so no layer's formula can drift between its own oracle and
+    // the composed one.
+    "p8_curation_audit" -> (Dedup.D6ClusterCte + Dedup.D10SharedCteBody +
+      Dedup.D13ScrubCteBody + ", " + TextOps.KeepSigCteBody.stripPrefix("WITH ") +
+      s"""
+         |, drops AS (
+         |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
+         |), contam AS (
+         |  SELECT DISTINCT train_doc_id AS doc_id FROM shared
+         |)
+         |SELECT k.doc_id, k.lang, k.source,
+         |  (k.is_canonical AND k.score_e6 >= 500000 AND k.n_words BETWEEN 25 AND 80
+         |    AND k.lang IN ('en', 'de', 'fr')) AS keep_quality,
+         |  (dr.doc_id IS NOT NULL) AS neardup_drop,
+         |  (ct.doc_id IS NOT NULL) AS contaminated,
+         |  (k.doc_id % ${Dedup.D10EvalMod} = 0) AS is_eval,
+         |  ((k.is_canonical AND k.score_e6 >= 500000 AND k.n_words BETWEEN 25 AND 80
+         |    AND k.lang IN ('en', 'de', 'fr'))
+         |   AND dr.doc_id IS NULL AND ct.doc_id IS NULL
+         |   AND k.doc_id % ${Dedup.D10EvalMod} <> 0) AS final_keep,
+         |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_clean
+         |FROM ksig k
+         |LEFT JOIN drops dr ON dr.doc_id = k.doc_id
+         |LEFT JOIN contam ct ON ct.doc_id = k.doc_id
+         |LEFT JOIN agg a ON a.doc_id = k.doc_id
+         |ORDER BY k.doc_id""".stripMargin),
+
     "p7_token_budget" ->
       (TextOps.ScoredCteSql + s"""
          |, ranked AS (

@@ -275,7 +275,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII scrub patterns (E10) — the Java-regex / RE2 COMMON SUBSET only
+    * (char classes, bounded repetition, alternation-free): no lookaround,
+    * no backrefs, so Spark's codegen'd `regexp_replace` and DuckDB's RE2
+    * compile the same automaton and leftmost-first semantics agree. */
+  private[text] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val PhoneRe = "\\+?[0-9][0-9\\-]{6,}[0-9]"
+  private[text] val IpRe    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** E10 (t10, r13): PII scrubbing — the redaction pass every
+    * training-data pipeline runs before release (emails / phone numbers /
+    * IPv4 literals → typed placeholder tokens), as a single narrow
+    * projection: count occurrences, then three chained `regexp_replace`
+    * calls (email → phone → IP; the classes are disjoint by construction
+    * — `<EMAIL>`/`<PHONE>` tokens carry no digit runs for later patterns
+    * to re-match). Zero shuffle; scales like t1-t8.
+    *
+    * The synthetic corpus carries no PII, so the operator embeds a
+    * DETERMINISTIC fixture per document (doc_id-derived email / E.164-ish
+    * phone / dotted-quad, each present for only a doc_id-dependent subset
+    * so counts genuinely vary 0-2) with the identical concat in the
+    * oracle — the graded artifact is the scrubbed text itself, so every
+    * replacement position hashes cross-engine. */
+  def t10PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val pii = concat(col("text"),
+      when(id % 3 =!= 0, concat(lit(" contact user"), s(id), lit("@mail"),
+        s(id % 7), lit(".com"))).otherwise(lit("")),
+      when(id % 4 =!= 1, concat(lit(" tel +1-555-"),
+        lpad(s(id % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 5 =!= 2, concat(lit(" host 10."), s(id % 256), lit(".0."),
+        s(id % 100))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" cc backup"), s(id), lit("@alt.org")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("pii", pii)
+      .withColumn("n_emails", size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips",    size(regexp_extract_all(col("pii"), lit(IpRe), lit(0))).cast("long"))
+      .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+        col("pii"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_pii_scrub"  -> ((s, d) => t10PiiScrub(s, d)),
     "t8_lm_score"    -> ((s, d) => t8LmScore(s, d)),
     "t1_langid"      -> ((s, d) => t1LangId(s, d)),
     "t2_quality"     -> ((s, d) => t2Quality(s, d)),
@@ -308,7 +354,50 @@ object TextOps {
        |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6 FROM c
        |)""".stripMargin
 
+  /** The SQL mirror of [[keepSignals]] as a WITH-less CTE body (kt/kc/
+    * ksig — names chosen to never collide with the dedup CTE chains),
+    * shared by the t5 oracle and the composed curation audit (P8): one
+    * Spark expression <-> one SQL fragment, the [[ScoredCteSql]] rule. */
+  private[graft] val KeepSigCteBody: String =
+    s"""kt AS (
+       |  SELECT doc_id, lang, source, md5(text) AS content_hash,
+       |    string_split(text, ' ') AS ws
+       |  FROM documents
+       |), kc AS (
+       |  SELECT doc_id, lang, source, content_hash, CAST(len(ws) AS BIGINT) AS n_words,
+       |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+       |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+       |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
+       |  FROM kt
+       |), ksig AS (
+       |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6,
+       |    doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+       |  FROM kc
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t10_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+         |    || CASE WHEN doc_id % 4 <> 1 THEN ' tel +1-555-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 5 <> 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' cc backup' || CAST(doc_id AS VARCHAR)
+         |         || '@alt.org' ELSE '' END AS pii
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(pii, '$PhoneRe')) AS n_phones,
+         |  len(regexp_extract_all(pii, '$IpRe')) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    pii, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+         |    '$IpRe', '<IP>', 'g') AS clean
+         |FROM p ORDER BY doc_id""".stripMargin,
+
     "t1_langid" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
@@ -343,28 +432,15 @@ object TextOps {
          |FROM sc ORDER BY doc_id""".stripMargin),
 
     "t5_keep_filter" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, md5(text) AS content_hash,
-         |    string_split(text, ' ') AS ws
-         |  FROM documents
-         |), c AS (
-         |  SELECT doc_id, lang, content_hash, CAST(len(ws) AS BIGINT) AS n_words,
-         |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
-         |    ((2000000*(${hitsSql(Seq("the", "a"))}) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
-         |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
-         |  FROM t
-         |), sc AS (
-         |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6,
-         |    doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
-         |  FROM c
-         |)
+      (s"WITH $KeepSigCteBody" +
+       """
          |SELECT doc_id, is_canonical,
          |  score_e6 >= 500000 AS quality_ok,
          |  n_words BETWEEN 25 AND 80 AS tokens_ok,
          |  lang IN ('en', 'de', 'fr') AS lang_ok,
          |  is_canonical AND score_e6 >= 500000 AND n_words BETWEEN 25 AND 80
          |    AND lang IN ('en', 'de', 'fr') AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |FROM ksig ORDER BY doc_id""".stripMargin),
 
     "t9_quality_rank" ->
       (ScoredCteSql + s"""

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ann.{Ann, Router}
+import graft.ann.Router.{ComputeBound, IoBound}
+
+/** The ANN family router (r13 — the sequel to the r12 chooser, closing
+  * its own economics note: a7_auto at sf10 was feasible but uneconomical,
+  * 66.8 s vs brute 40.1 s vs a2_auto 8.9 s, and nothing encoded that).
+  * These specs prove (a) the ordinal cost model reproduces the measured
+  * sf10 ordering, (b) the compute regime can never route flat-PQ (the
+  * alpha > 1 proof), (c) the io regime routes by bytes and flips where
+  * the model says it must, (d) feasibility reuses the chooser's refusal
+  * laws with -1 sentinels, and (e) dispatch is exactly the routed family
+  * at the routed dials. */
+class RouterSpec extends SparkSpec {
+
+  test("compute regime reproduces the measured sf10 ordering (ivf < brute < pq)") {
+    // PLANS §clustered-corpus: N=200k, occ~2371, splinter 7 measured
+    // ivf_flat 8.9 s < brute 40.1 s < pq_rerank 66.8 s
+    val d = Router.route(200000L, 2371L, 7, 0.9, ComputeBound)
+    assert(d.family === "ivf_flat")
+    assert(d.nlists === 448 && d.nprobe === 7)
+    assert(d.costIvf < d.costBrute && d.costBrute < d.costPq,
+      s"model must reproduce the measured order: $d")
+    // and the priced dials are the chooser's dials at the same stats
+    val p = Ann.annOperatingPoint(200000L, 2371L, 0.9, splinter = 7)
+    assert(d.nlists === p.nlists && d.nprobe === p.nprobe &&
+      d.rerankDepth === p.rerankDepth)
+  }
+
+  test("compute regime never routes pq_rerank (alpha > 1, R >= 50)") {
+    // cost_pq = 1.63*N + R > N = cost_brute for every N, R — provable,
+    // and the routed_topk oracle's gated UNION depends on it
+    val grid = for {
+      n <- Seq(100L, 1000L, 200000L, 10000000L)
+      occ <- Seq(10L, 300L, 3125L)
+      spl <- Seq(1, 3, 7)
+      if occ < n
+    } yield Router.route(n, occ, spl, 0.9, ComputeBound)
+    assert(grid.nonEmpty)
+    grid.foreach { d =>
+      assert(d.family !== "pq_rerank", s"alpha>1 violated: $d")
+      if (d.costPq > 0) assert(d.costPq > d.costBrute)
+    }
+  }
+
+  test("io regime routes by bytes: pq wins where ivf is splinter-infeasible") {
+    // one giant crowd splinters past the scan budget -> ivf refuses; the
+    // 8-byte-code scan (+ rerank) still reads ~27x less than brute
+    val d = Router.route(10000000L, 20000L, 2000, 0.9, IoBound)
+    assert(d.family === "pq_rerank")
+    assert(d.nprobe === -1 && d.costIvf === -1.0, "ivf must carry sentinels")
+    assert(d.costPq < d.costBrute)
+    // the same stats under compute-bound fall back to exact brute (the
+    // ADC scan costs 1.63x the dot scan it is supposed to replace)
+    assert(Router.route(10000000L, 20000L, 2000, 0.9, ComputeBound).family === "brute")
+  }
+
+  test("io regime prefers ivf_flat while the pruned scan beats the code scan") {
+    // uniform corpus: occupancy ~ sqrt(N), splinter 1 -> nprobe 3; the
+    // pruned raw read is tiny vs N*8 bytes of codes
+    val d = Router.route(1000000L, 1200L, 1, 0.9, IoBound)
+    assert(d.family === "ivf_flat")
+    assert(d.costIvf < d.costPq && d.costIvf < d.costBrute)
+  }
+
+  test("feasibility refusals carry -1 sentinels, brute always survives") {
+    // depth > maxRerank: occupancy so high the recall law needs an
+    // infeasible shortlist
+    val d = Router.route(10000000L, 100000L, 1, 0.9, IoBound)
+    assert(d.rerankDepth === -1 && d.costPq === -1.0)
+    // structure-less regime at a high floor: nprobe = ceil(0.9*nlists)
+    // blows the scan budget -> ivf sentinel, brute wins
+    val d2 = Router.route(200000L, 450L, 1, 0.9, IoBound, clusteredRegime = false)
+    assert(d2.nprobe === -1 && d2.costIvf === -1.0)
+    assert(d2.family === "brute" || d2.family === "pq_rerank")
+    intercept[IllegalArgumentException](Router.route(0L, 1L, 1, 0.9, IoBound))
+    intercept[IllegalArgumentException](Router.route(10L, 1L, 1, 1.5, IoBound))
+  }
+
+  test("a21_route grades both regimes with consistent dials") {
+    val rows = Router.a21Route(spark, Sf).collect()
+    assert(rows.length === 2)
+    val byRegime = rows.map(r => r.getString(0) -> r).toMap
+    assert(byRegime.keySet === Set("compute", "io"))
+    // testdata sf0.001: 500 uniform vectors -> nlists 23, splinter 1,
+    // nprobe 3; the compute winner must be ivf_flat (pruned scan < 500)
+    val c = byRegime("compute")
+    assert(c.getInt(2) === 23, "nlists = ceil(sqrt(500))")
+    assert(c.getInt(7) === 1, "uniform corpus must not splinter")
+    assert(c.getString(1) === "ivf_flat")
+    // both regimes price the same dials, only costs differ
+    assert(c.getInt(3) === byRegime("io").getInt(3))
+    assert(c.getInt(4) === byRegime("io").getInt(4))
+  }
+
+  test("dispatch is exactly the routed family at the routed dials") {
+    val routed = Router.aRouteTopk(spark, Sf, regime = ComputeBound).collect()
+    val d = Router.route(
+      500L,
+      Ann.occupancyEstimate(spark, Sf, Ann.nlistsFor(500L)),
+      Ann.splinterEstimate(spark, Sf, Ann.nlistsFor(500L)),
+      0.9, ComputeBound)
+    assert(d.family === "ivf_flat")
+    val direct = Ann.a2KnnIvf(spark, Sf, nlists = d.nlists, nprobe = d.nprobe).collect()
+    assert(routed.length === direct.length && routed.sameElements(direct),
+      "aRouteTopk must BE the dispatched family's plan, not a re-derivation")
+  }
+}
