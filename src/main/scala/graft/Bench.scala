@@ -436,6 +436,14 @@ object Bench {
       // (observed: 17 queries flagged vs a baseline built by a same-code
       // session that had run a different number of analyses).
       .replaceAll("\\blambda ([A-Za-z_][A-Za-z0-9_]*?)_\\d+#n", "lambda $1_n#n")
+      // The IVF-flat list table's name embeds a DATA-SIGNATURE suffix
+      // (Ann.ivfListTable: md5 of file names+sizes+MTIMES — the a13z
+      // regeneration guard): a cache key, not plan semantics. The driver
+      // resets every /root/testdata mtime at round start, so without this
+      // scrub the a2/a3/a10 fingerprints drift once per round against a
+      // baseline refreshed mid-round on identical code (caught r13, the
+      // first cross-round bench after the sig landed in the table name).
+      .replaceAll("\\b(graft_ivf\\d+_[0-9a-f]{16})_[0-9a-f]{8}\\b", "$1_sig")
       .replaceAll("\\[id=#?\\d+\\]", "[id=n]")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=n]")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")

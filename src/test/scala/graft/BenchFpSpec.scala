@@ -24,6 +24,22 @@ class BenchFpSpec extends AnyFunSuite {
     assert(!a.contains("#123"))
   }
 
+  test("scrubPlan drops the IVF list table's data-signature suffix") {
+    // the sig is md5 over file names+sizes+MTIMES (Pq.srcSignature) — the
+    // driver resets testdata mtimes every round, so two same-code rounds
+    // print different suffixes for the same semantic plan (caught r13)
+    val a = Bench.scrubPlan("FileScan parquet spark_catalog.default." +
+      "graft_ivf8_ddbe1476c5607681_d072d57d[vec_id#nL]")
+    val b = Bench.scrubPlan("FileScan parquet spark_catalog.default." +
+      "graft_ivf8_ddbe1476c5607681_00c0ffee[vec_id#nL]")
+    assert(a == b)
+    assert(a.contains("graft_ivf8_ddbe1476c5607681_sig"))
+    // the corpus-DIRECTORY hash before it is semantic (sf0.1 vs sf1
+    // index tables must NOT collide) — only the trailing sig normalizes
+    assert(Bench.scrubPlan("graft_ivf8_aaaaaaaaaaaaaaaa_d072d57d")
+      === "graft_ivf8_aaaaaaaaaaaaaaaa_sig")
+  }
+
   test("scrubPlan sorts set-ordered delimited lists but not output columns") {
     val x = Bench.scrubPlan(
       "PartitionFilters: [isnotnull(d#n), dynamicpruningexpression(d#n IN subquery)], output=[b, a]")
