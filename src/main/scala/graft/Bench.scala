@@ -443,7 +443,7 @@ object Bench {
       // scrub the a2/a3/a10 fingerprints drift once per round against a
       // baseline refreshed mid-round on identical code (caught r13, the
       // first cross-round bench after the sig landed in the table name).
-      .replaceAll("\\b(graft_ivf\\d+_[0-9a-f]{16})_[0-9a-f]{8}\\b", "$1_sig")
+      .replaceAll("\\b(graft_[a-z]+\\d+_[0-9a-f]{16})_[0-9a-f]{8}\\b", "$1_sig")
       .replaceAll("\\[id=#?\\d+\\]", "[id=n]")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=n]")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")

@@ -74,7 +74,7 @@ object ClusteredDial {
     // measured outcome of every family it chose between
     Seq(graft.ann.Router.ComputeBound, graft.ann.Router.IoBound).foreach { reg =>
       val r = graft.ann.Router.route(nCorpus, occ, spl, 0.9, reg)
-      emit(s"""{"harness":"clustered_dial","route":{"regime":"${r.regime}","family":"${r.family}","nlists":${r.nlists},"nprobe":${r.nprobe},"rerank_depth":${r.rerankDepth},"cost_brute":${fmt(r.costBrute)},"cost_ivf":${fmt(r.costIvf)},"cost_pq":${fmt(r.costPq)}}}""")
+      emit(s"""{"harness":"clustered_dial","route":{"regime":"${r.regime}","family":"${r.family}","nlists":${r.nlists},"nprobe":${r.nprobe},"rerank_depth":${r.rerankDepth},"cost_brute":${fmt(r.costBrute)},"cost_ivf":${fmt(r.costIvf)},"cost_ivfpqr":${fmt(r.costIvfPqR)},"cost_pq":${fmt(r.costPq)}}}""")
     }
 
     val members: Seq[(String, () => DataFrame)] = Seq(
@@ -92,6 +92,12 @@ object ClusteredDial {
       "a7_pq_rerank_r800" -> (() => graft.ann.Pq.a7PqRerank(spark, sfDir, rerankDepth = 800)),
       // r12: the chooser-driven entries — what a pipeline caller actually
       // gets at recallFloor=0.9, graded on the corpus the laws came from
+      // r13: the composed IVFPQ+refine index (the io-regime router's
+      // winner) at the pinned dials and at the chooser's operating point
+      "a22_ivfpq_rerank_8x3" -> (() => graft.ann.Pq.a22IvfPqRerank(spark, sfDir)),
+      "a22_auto_f0.9" -> (() => graft.ann.Pq.a22IvfPqRerank(spark, sfDir,
+        nlists = point.nlists, nprobe = point.nprobe,
+        rerankDepth = point.rerankDepth)),
       "a2_auto_f0.9" -> (() => graft.ann.Ann.a2KnnIvfAuto(spark, sfDir, recallFloor = 0.9)),
       "a7_auto_f0.9" -> (() => graft.ann.Pq.a7PqRerankAuto(spark, sfDir, recallFloor = 0.9)),
       // r13: the routed dispatch in BOTH regimes — compute should match

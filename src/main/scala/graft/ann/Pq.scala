@@ -173,13 +173,21 @@ object Pq {
   // The nprobe analogy is exact: both dials trade a bounded candidate
   // scan for recall, and both grow with occupancy, not corpus size.
   def a7PqRerank(spark: SparkSession, dir: String,
-                 rerankDepth: Int = 50, qmod: Int = 101): DataFrame = {
-    val shortlist = a5PqTopK(spark, dir, k = rerankDepth, qmod = qmod)
-      .select(col("query_id"), col("vec_id"))
+                 rerankDepth: Int = 50, qmod: Int = 101): DataFrame =
+    exactRerank(spark, dir,
+      a5PqTopK(spark, dir, k = rerankDepth, qmod = qmod)
+        .select(col("query_id"), col("vec_id")), qmod)
+
+  /** Exact cosine re-rank of ANY (query_id, vec_id) shortlist against the
+    * raw vectors — the "refine" stage shared by a7 (flat-ADC shortlist)
+    * and a22 (probe-pruned IVFPQ shortlist). Identical DataFrame ops to
+    * the pre-r13 inline a7 body, so the a7 plan fingerprint is unchanged. */
+  private def exactRerank(spark: SparkSession, dir: String,
+                          shortlist: DataFrame, qmod: Int): DataFrame = {
     val e = Search.corpus(spark, dir)
     val probes = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // broadcast the (queries x 50)-row shortlist into the corpus scan —
+    // broadcast the (queries x R)-row shortlist into the corpus scan —
     // without the hint the stats-less window output plans a sort-merge
     // join that shuffles the raw-vector corpus. Fixed-Q contract (Ann
     // scaladoc): both sides are O(queries), small by the serving shape.
@@ -196,6 +204,27 @@ object Pq {
       .select("query_id", "vec_id", "similarity", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  /** D24 (a22, r13): IVFPQ + exact re-rank — the full production index
+    * (FAISS `IVFx,PQy` + refine; Jégou et al. 2011 §V): coarse pruning
+    * to nprobe lists, ADC scoring of the probed 8-byte codes, top-R
+    * shortlist, exact cosine only on the R raw vectors. The piece the
+    * family was missing: a13's pure-ADC ranking collapses inside tight
+    * clusters (measured 0.012 recall at sf10-clustered occupancy — codes
+    * cannot order near-identical vectors) and a7's flat ADC scan reads
+    * every code; a22 composes BOTH prunings with the recall-restoring
+    * rerank, so at 100 TB a query reads nprobe/nlists of the 8-byte code
+    * table plus R raw vectors — the io-optimal shape the family router
+    * prices as `ivf_pq_r` ([[Router]]). All three dials
+    * (nlists, nprobe, rerankDepth) are [[Ann.annOperatingPoint]]'s;
+    * registered defaults stay oracle-pinned at 8/3/50. */
+  def a22IvfPqRerank(spark: SparkSession, dir: String, qmod: Int = 101,
+                     nlists: Int = 8, nprobe: Int = 3,
+                     rerankDepth: Int = 50): DataFrame =
+    exactRerank(spark, dir,
+      a13IvfPqTopK(spark, dir, k = rerankDepth, qmod = qmod,
+        nlists = nlists, nprobe = nprobe)
+        .select(col("query_id"), col("vec_id")), qmod)
 
   /** D7 AUTO MODE (r12, the d5EmbeddingNeardupAuto pattern for the PQ
     * stack): rerankDepth comes from [[Ann.annOperatingPoint]] on live
@@ -403,13 +432,28 @@ object Pq {
     * FAISS `IVFx,PQy` layout as physical parquet: the inverted lists ARE
     * partitions, the in-list payload is 8 bytes of codes per vector, and
     * a probe reads nprobe/nlists of the data via partition pruning. */
+  /** 8-hex data-signature suffix for dial-parameterized warehouse table
+    * names (the Ann.ivfListTable recipe): regeneration of the source data
+    * under the same path rebuilds instead of serving stale lists. The
+    * default-dial table keeps its historical sig-free name (committed
+    * fingerprints + cross-query reuse). Bench.scrubPlan normalizes the
+    * suffix out of plan fingerprints. */
+  private[ann] def sigSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(srcSignature(dir).getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+
   private def ivfPqTable(spark: SparkSession, dir: String, e: DataFrame,
-                         cb: DataFrame): DataFrame = {
-    val t = s"graft_ivfpq_${graft.sources.Warehouse.tableSuffix(dir)}"
+                         cb: DataFrame, nlists: Int = 8): DataFrame = {
+    val t =
+      if (nlists == 8) s"graft_ivfpq_${graft.sources.Warehouse.tableSuffix(dir)}"
+      else s"graft_ivfpq${nlists}_${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writePartitionedTable(
-          encode(e, cb).join(Ann.listAssignment(e).select("vec_id", "list_id"), "vec_id"),
+          encode(e, cb).join(
+            Ann.listAssignment(e, nlists = nlists).select("vec_id", "list_id"),
+            "vec_id"),
           t, "list_id")
     }
     spark.table(t)
@@ -444,12 +488,15 @@ object Pq {
     * At 100 TB a query touches nprobe/nlists of an 8-byte-per-vector
     * table — both prunings compose (partition pruning x code compression)
     * and no raw vector is ever read at query time. */
+  // nlists/nprobe freed r13 (the router's io-regime winner needs real
+  // dials): default 8/3 keeps the oracle-pinned table name and plan.
   def a13IvfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
-                   qmod: Int = 101): DataFrame = {
+                   qmod: Int = 101, nlists: Int = 8, nprobe: Int = 3): DataFrame = {
     val e = Search.corpus(spark, dir)
     val cb = codebook(e)
-    val codes = ivfPqTable(spark, dir, e, cb)
-    val probe = Ann.listProbes(e, qmod = qmod).select(col("query_id"), col("list_id"))
+    val codes = ivfPqTable(spark, dir, e, cb, nlists)
+    val probe = Ann.listProbes(e, nprobe = nprobe, nlists = nlists, qmod = qmod)
+      .select(col("query_id"), col("list_id"))
       .join(queryLut(e, cb, qmod), "query_id")
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     // fixed-Q contract (Ann scaladoc): probe is O(queries × nprobe).
@@ -591,6 +638,8 @@ object Pq {
     "a13s_ivfpq_topk" -> ((s, d) => a13IvfPqTopK(s, d, qmod = 1313)),
     "a13zs_ivfpq_topk" -> ((s, d) => a13zIvfPqTopK(s, d, qmod = 1313)),
     "a14s_ivfpq_recall" -> ((s, d) => a14IvfPqRecall(s, d, qmod = 1313)),
+    "a22_ivfpq_rerank" -> ((s, d) => a22IvfPqRerank(s, d)),
+    "a22s_ivfpq_rerank" -> ((s, d) => a22IvfPqRerank(s, d, qmod = 1313)),
   )
 
   // ---------------------------------------------------------------- oracle
@@ -831,5 +880,17 @@ object Pq {
         |, ivfpq AS (
         |  SELECT query_id, vec_id FROM ranked WHERE rnk <= 10
         |)""".stripMargin + recallTailSql("ivfpq", 1313), PqSharedCtes),
+
+    // a22: the IVFPQ chain's ADC ranking re-ranked exactly — RerankCte's
+    // shortlist reads `ranked`, which here is the probe-pruned variant
+    "a22_ivfpq_rerank" -> (IvfPqCte + RerankCte +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM rranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin),
+
+    "a22s_ivfpq_rerank" -> materializeShared(ivfPqCte(1313) + RerankCte +
+      """
+        |SELECT query_id, vec_id, similarity, rnk FROM rranked WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin, PqSharedCtes),
   )
 }

@@ -37,13 +37,16 @@ import graft.rag.Search
   * ratios (fixed per-query overheads compress the ivf gap). Routing
   * needs order only; RouterSpec pins this anchor.
   *
-  * Family set = the three paths whose dials the chooser fully controls:
-  * a1 brute (exact), a2 ivf_flat (nlists, nprobe), a7 pq_rerank
-  * (rerankDepth). IVFPQ+R (a16) composes both prunings and wins the
-  * io-bound regime outright once its coarse dials are freed from the
-  * oracle-pinned nlists=8; until then the router's reason string
-  * recommends it but never dispatches a family at dials the cost model
-  * didn't choose.
+  * Family set = the four paths whose dials the chooser fully controls:
+  * a1 brute (exact), a2 ivf_flat (nlists, nprobe), a22 ivf_pq_r
+  * (nlists, nprobe, rerankDepth — the composed FAISS `IVFx,PQy`+refine
+  * shape, added r13 BECAUSE the router's io regime priced it as the
+  * winner and it didn't exist), a7 pq_rerank (rerankDepth). In the
+  * compute regime ivf_pq_r is dominated by ivf_flat whenever both are
+  * feasible (alpha > 1 and depth > 0), so the compute-reachable set
+  * stays {brute, ivf_flat}; in the io regime ivf_pq_r wins once
+  * nprobe·occupancy·(vecBytes - codeBytes) exceeds the rerank payload —
+  * tight crowds at scale, exactly where the index earns its keep.
   *
   * Reference anchor: the reference exposes one retrieval path
   * (rag/retrieval.py:100 — ChromaDB's default index) and never chooses;
@@ -73,7 +76,7 @@ object Router {
                            nprobe: Int, rerankDepth: Int, n: Long,
                            occupancy: Long, splinter: Int,
                            costBrute: Double, costIvf: Double,
-                           costPq: Double)
+                           costIvfPqR: Double, costPq: Double)
 
   /** The routing decision as a pure closed form over live statistics —
     * unit-testable without a SparkSession, and transcribed operation-for-
@@ -106,21 +109,29 @@ object Router {
     val depth = math.max(50L, math.ceil(
       Ann.rerankRatioFor(recallFloor) * occupancy * 2.0).toLong)
     val pqFeasible = depth <= maxRerank && depth < n
-    val (costBrute, costIvf, costPq) = regime match {
+    // ivf_pq_r (a22, the composed FAISS `IVFx,PQy`+refine shape) needs
+    // BOTH prunings feasible: the splinter-covering probe set AND a
+    // recall-law rerank depth
+    val ivfPqRFeasible = ivfFeasible && pqFeasible
+    val (costBrute, costIvf, costIvfPqR, costPq) = regime match {
       case ComputeBound => (
         n.toDouble,
         nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble,
+        nlists.toDouble + AdcAlpha * (nprobeNeed.toDouble * occupancy.toDouble) + depth.toDouble,
         AdcAlpha * n.toDouble + depth.toDouble)
       case IoBound => (
         n.toDouble * VecBytes,
         (nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble) * VecBytes,
+        nlists.toDouble * VecBytes + nprobeNeed.toDouble * occupancy.toDouble * CodeBytes + depth.toDouble * VecBytes,
         n.toDouble * CodeBytes + depth.toDouble * VecBytes)
     }
     // candidates in exactness-priority order; min by (cost, priority)
     val candidates =
-      Seq(("brute", costBrute, 0), ("ivf_flat", costIvf, 1), ("pq_rerank", costPq, 2))
+      Seq(("brute", costBrute, 0), ("ivf_flat", costIvf, 1),
+        ("ivf_pq_r", costIvfPqR, 2), ("pq_rerank", costPq, 3))
         .filter { case (f, _, _) =>
           f == "brute" || (f == "ivf_flat" && ivfFeasible) ||
+            (f == "ivf_pq_r" && ivfPqRFeasible) ||
             (f == "pq_rerank" && pqFeasible) }
     val family = candidates.minBy { case (_, c, p) => (c, p) }._1
     RouteDecision(regime.name, family, nlists,
@@ -128,6 +139,7 @@ object Router {
       if (pqFeasible) depth.toInt else -1,
       n, occupancy, splinter, costBrute,
       if (ivfFeasible) costIvf else -1.0,
+      if (ivfPqRFeasible) costIvfPqR else -1.0,
       if (pqFeasible) costPq else -1.0)
   }
 
@@ -160,6 +172,7 @@ object Router {
         col("occupancy"), col("splinter"),
         round(col("costBrute"), 4).as("cost_brute"),
         round(col("costIvf"), 4).as("cost_ivf"),
+        round(col("costIvfPqR"), 4).as("cost_ivfpqr"),
         round(col("costPq"), 4).as("cost_pq"))
       .orderBy("regime")
   }
@@ -186,6 +199,9 @@ object Router {
           threshold = -1.0, clampZero = false, sameLabel = false)
       case "ivf_flat" =>
         Ann.a2KnnIvf(spark, dir, nlists = d.nlists, nprobe = d.nprobe)
+      case "ivf_pq_r" =>
+        Pq.a22IvfPqRerank(spark, dir, nlists = d.nlists, nprobe = d.nprobe,
+          rerankDepth = d.rerankDepth)
       case "pq_rerank" =>
         Pq.a7PqRerank(spark, dir, rerankDepth = d.rerankDepth)
     }
@@ -247,17 +263,24 @@ object Router {
        |    WHEN f.regime = 'compute' AND f.family = 'brute' THEN CAST(n AS DOUBLE)
        |    WHEN f.regime = 'compute' AND f.family = 'ivf_flat'
        |      THEN CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)
+       |    WHEN f.regime = 'compute' AND f.family = 'ivf_pq_r'
+       |      THEN CAST(nlists AS DOUBLE) + 1.63 * (CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) + CAST(depth AS DOUBLE)
        |    WHEN f.regime = 'compute' THEN 1.63 * CAST(n AS DOUBLE) + CAST(depth AS DOUBLE)
        |    WHEN f.family = 'brute' THEN CAST(n AS DOUBLE) * 256.0
        |    WHEN f.family = 'ivf_flat'
        |      THEN (CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) * 256.0
+       |    WHEN f.family = 'ivf_pq_r'
+       |      THEN CAST(nlists AS DOUBLE) * 256.0 + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE) * 8.0 + CAST(depth AS DOUBLE) * 256.0
        |    ELSE CAST(n AS DOUBLE) * 8.0 + CAST(depth AS DOUBLE) * 256.0 END AS cost
        |  FROM dials2, (VALUES
-       |    ('compute', 'brute', 0), ('compute', 'ivf_flat', 1), ('compute', 'pq_rerank', 2),
-       |    ('io', 'brute', 0), ('io', 'ivf_flat', 1), ('io', 'pq_rerank', 2)
+       |    ('compute', 'brute', 0), ('compute', 'ivf_flat', 1),
+       |    ('compute', 'ivf_pq_r', 2), ('compute', 'pq_rerank', 3),
+       |    ('io', 'brute', 0), ('io', 'ivf_flat', 1),
+       |    ('io', 'ivf_pq_r', 2), ('io', 'pq_rerank', 3)
        |  ) f(regime, family, prio)
        |  WHERE f.family = 'brute'
        |     OR (f.family = 'ivf_flat' AND dials2.ivf_feasible)
+       |     OR (f.family = 'ivf_pq_r' AND dials2.ivf_feasible AND dials2.pq_feasible)
        |     OR (f.family = 'pq_rerank' AND dials2.pq_feasible)
        |), winner AS MATERIALIZED (
        |  SELECT regime, family FROM (
@@ -275,6 +298,7 @@ object Router {
         |  d.n, CAST(d.occupancy AS BIGINT) AS occupancy, d.splinter,
         |  round(max(CASE WHEN c.family = 'brute' THEN c.cost END), 4) AS cost_brute,
         |  round(coalesce(max(CASE WHEN c.family = 'ivf_flat' THEN c.cost END), -1.0), 4) AS cost_ivf,
+        |  round(coalesce(max(CASE WHEN c.family = 'ivf_pq_r' THEN c.cost END), -1.0), 4) AS cost_ivfpqr,
         |  round(coalesce(max(CASE WHEN c.family = 'pq_rerank' THEN c.cost END), -1.0), 4) AS cost_pq
         |FROM winner w
         |JOIN costs c ON c.regime = w.regime

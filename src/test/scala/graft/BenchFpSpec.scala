@@ -38,6 +38,13 @@ class BenchFpSpec extends AnyFunSuite {
     // index tables must NOT collide) — only the trailing sig normalizes
     assert(Bench.scrubPlan("graft_ivf8_aaaaaaaaaaaaaaaa_d072d57d")
       === "graft_ivf8_aaaaaaaaaaaaaaaa_sig")
+    // every dial-parameterized sig-keyed table family normalizes the
+    // same way (r13: graft_ivfpq<N> joined graft_ivf<N>)
+    assert(Bench.scrubPlan("graft_ivfpq448_aaaaaaaaaaaaaaaa_00c0ffee")
+      === "graft_ivfpq448_aaaaaaaaaaaaaaaa_sig")
+    // the default-dial table names carry NO sig and must pass untouched
+    assert(Bench.scrubPlan("graft_ivfpq_aaaaaaaaaaaaaaaa")
+      === "graft_ivfpq_aaaaaaaaaaaaaaaa")
   }
 
   test("scrubPlan sorts set-ordered delimited lists but not output columns") {

@@ -26,11 +26,18 @@ class RouterSpec extends SparkSpec {
     val p = Ann.annOperatingPoint(200000L, 2371L, 0.9, splinter = 7)
     assert(d.nlists === p.nlists && d.nprobe === p.nprobe &&
       d.rerankDepth === p.rerankDepth)
+    // the SAME stats under the io regime route the composed a22 shape:
+    // the probed 8-byte code scan + R raw rows reads less than the
+    // probed raw-vector scan once the crowd is this tight
+    val dio = Router.route(200000L, 2371L, 7, 0.9, IoBound)
+    assert(dio.family === "ivf_pq_r", s"io must pick the composed index: $dio")
+    assert(dio.costIvfPqR < dio.costIvf && dio.costIvf < dio.costBrute)
   }
 
-  test("compute regime never routes pq_rerank (alpha > 1, R >= 50)") {
-    // cost_pq = 1.63*N + R > N = cost_brute for every N, R — provable,
-    // and the routed_topk oracle's gated UNION depends on it
+  test("compute regime never routes pq_rerank or ivf_pq_r (alpha > 1, R >= 50)") {
+    // cost_pq = 1.63*N + R > N = cost_brute, and cost_ivfpqr >
+    // cost_ivf_flat whenever both are feasible — provable, and the
+    // routed_topk oracle's gated two-branch UNION depends on it
     val grid = for {
       n <- Seq(100L, 1000L, 200000L, 10000000L)
       occ <- Seq(10L, 300L, 3125L)
@@ -39,8 +46,10 @@ class RouterSpec extends SparkSpec {
     } yield Router.route(n, occ, spl, 0.9, ComputeBound)
     assert(grid.nonEmpty)
     grid.foreach { d =>
-      assert(d.family !== "pq_rerank", s"alpha>1 violated: $d")
+      assert(d.family === "brute" || d.family === "ivf_flat",
+        s"compute-reachable set violated: $d")
       if (d.costPq > 0) assert(d.costPq > d.costBrute)
+      if (d.costIvfPqR > 0 && d.costIvf > 0) assert(d.costIvfPqR > d.costIvf)
     }
   }
 
@@ -92,6 +101,16 @@ class RouterSpec extends SparkSpec {
     // both regimes price the same dials, only costs differ
     assert(c.getInt(3) === byRegime("io").getInt(3))
     assert(c.getInt(4) === byRegime("io").getInt(4))
+  }
+
+  test("a22 at exhaustive rerank depth degenerates to exact ivf_flat") {
+    // shortlist depth >= probed candidate count => every probed candidate
+    // is exact-reranked, so a22 must equal a2's exact within-probed-lists
+    // ranking row for row (same dials 8x3, same tie-breaks)
+    val a22 = graft.ann.Pq.a22IvfPqRerank(spark, Sf, rerankDepth = 500).collect()
+    val ivf = Ann.a2KnnIvf(spark, Sf).collect()
+    assert(a22.length === ivf.length && a22.sameElements(ivf),
+      "exhaustive-R a22 must BE the exact probed ranking")
   }
 
   test("dispatch is exactly the routed family at the routed dials") {
