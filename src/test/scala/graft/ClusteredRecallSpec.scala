@@ -42,4 +42,30 @@ class ClusteredRecallSpec extends SparkSpec {
       f"a2 auto recall $rec%.3f under its promised 0.9 floor on the corpus " +
         "the chooser's laws were measured on")
   }
+
+  test("a22's rerank restores what pure ADC loses inside clusters (r13)") {
+    assume(available, s"$Dir absent — tools/clustered_embeddings.py generates it")
+    // measured at sf0.1-clustered: a13 (pure ADC within probed lists)
+    // 0.400 — the 8-byte codes cannot order intra-cluster near-duplicates
+    // — while a22's exact rerank of the same probed shortlist recovers
+    // 0.995. The gate pins the GAP, not just a level: rerank must beat
+    // ADC-only by a wide margin on clusterable data or the refine stage
+    // has quietly stopped reranking.
+    val adc = meanRecall(Pq.a13IvfPqTopK(spark, Dir))
+    val rr = meanRecall(Pq.a22IvfPqRerank(spark, Dir))
+    assert(rr >= 0.95, f"a22 recall $rr%.3f < 0.95 on the clustered corpus")
+    assert(rr >= adc + 0.3,
+      f"a22 ($rr%.3f) must far exceed pure-ADC a13 ($adc%.3f) — the " +
+        "rerank stage is the whole point of the refine shape")
+  }
+
+  test("the routed dispatch honors the floor in both regimes (r13)") {
+    assume(available, s"$Dir absent — tools/clustered_embeddings.py generates it")
+    import graft.ann.Router
+    Seq(Router.ComputeBound, Router.IoBound).foreach { reg =>
+      val rec = meanRecall(Router.aRouteTopk(spark, Dir, recallFloor = 0.9, regime = reg))
+      assert(rec >= 0.9,
+        f"routed dispatch (${reg.name}) recall $rec%.3f under the 0.9 floor")
+    }
+  }
 }
