@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MEASURED io per query for the ANN family (r13) — grounds the router's
+  * io-bound regime ([[graft.ann.Router]]): through r12 the io pricing was
+  * arithmetic over two constants (VecBytes=256, CodeBytes=8) and the
+  * nprobe/nlists pruning factor; this harness measures what each family's
+  * real plan actually selects for reading (post-pruning parquet file
+  * bytes, [[ScanBytes]]) in the SERVING shape the router prices — one
+  * query against a built index — on the clustered corpus the laws were
+  * measured on.
+  *
+  * Why single-query: partition pruning composes over the UNION of probed
+  * lists, so a 198-query batch probes essentially every list and reads
+  * the whole index regardless of family — the per-query io the 100 TB
+  * regime cares about is only visible at batch size ~1 (queries/cluster
+  * < 1). The harness pins `qmod = corpus count`, so exactly vec_id=0
+  * qualifies.
+  *
+  * Every member is built (cold run) BEFORE measurement, so the measured
+  * bytes are steady-state probe reads, not index construction. The
+  * `query_extract` member is the shared floor every family pays to load
+  * the query vector from the flat corpus file (the modulo predicate is
+  * not prunable); net = member − query_extract is the index-dependent
+  * read the io regime prices. Results land in IOBYTES_r{N}.json and
+  * PLANS.md §io-bytes; IoBytesSpec gates the ordering.
+  *
+  * Usage: `sbt "runMain graft.IoBytesDial [sfDir] [outJson]"`
+  * (default ./testdata_clustered/sf1).
+  */
+object IoBytesDial {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("./testdata_clustered/sf1")
+    val outJson = args.drop(1).headOption
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(line: String): Unit = { emitted += line; println(line) }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = graft.rag.Search.corpus(spark, sfDir)
+    val n = e.count()
+    val qmod = n.toInt // single query: only vec_id = 0 satisfies % n == 0
+    val nl = graft.ann.Ann.nlistsFor(n)
+    val occ = graft.ann.Ann.occupancyEstimate(spark, sfDir, nl)
+    val spl = graft.ann.Ann.splinterEstimate(spark, sfDir, nl)
+    val p = graft.ann.Ann.annOperatingPoint(n, occ, 0.9, splinter = spl)
+    emit(s"""{"harness":"io_bytes","sf":"${sfDir.split('/').takeRight(2).mkString("/")}","n":$n,"auto_point":{"nlists":${p.nlists},"nprobe":${p.nprobe},"rerank_depth":${p.rerankDepth},"occupancy":$occ,"splinter":$spl}}""")
+
+    val members: Seq[(String, () => DataFrame)] = Seq(
+      "query_extract" -> (() =>
+        e.filter(col("vec_id") % qmod === 0)),
+      "a1_brute" -> (() =>
+        graft.rag.Search.knn(spark, sfDir, col("vec_id") % qmod === 0,
+          k = 10, threshold = -1.0, clampZero = false, sameLabel = false)),
+      "a2_ivf_8x3" -> (() =>
+        graft.ann.Ann.a2KnnIvf(spark, sfDir, 8, 3, qmod = qmod)),
+      "a2_ivf_pruned_8x3" -> (() =>
+        graft.ann.Ann.a2KnnIvfPruned(spark, sfDir, 8, 3, qmod = qmod)),
+      "a2_ivf_pruned_auto" -> (() =>
+        graft.ann.Ann.a2KnnIvfPruned(spark, sfDir, p.nlists, p.nprobe,
+          qmod = qmod)),
+      "a5_pq_flat_adc" -> (() =>
+        graft.ann.Pq.a5PqTopK(spark, sfDir, qmod = qmod)),
+      "a13_ivfpq_8x3" -> (() =>
+        graft.ann.Pq.a13IvfPqTopK(spark, sfDir, qmod = qmod)),
+      "a22_flat_rerank_8x3" -> (() =>
+        graft.ann.Pq.a22IvfPqRerank(spark, sfDir, qmod = qmod,
+          prunedRerank = false)),
+      "a22_pruned_rerank_8x3" -> (() =>
+        graft.ann.Pq.a22IvfPqRerank(spark, sfDir, qmod = qmod)),
+      "a22_pruned_rerank_auto" -> (() =>
+        graft.ann.Pq.a22IvfPqRerank(spark, sfDir, qmod = qmod,
+          nlists = p.nlists, nprobe = p.nprobe,
+          rerankDepth = p.rerankDepth)),
+    )
+    // Attribution: the file-granular `filesSize` metric charges a whole
+    // file even when parquet row-group pruning reads a sliver, so scans
+    // of the monolithic corpus file (query extraction, centroid /
+    // codebook derivation — cached serving artifacts in production, tiny
+    // row-group-pruned reads here) are reported under `corpus_bytes`,
+    // never summed into the index account. `index_vec_bytes` = selected
+    // partitions of the raw-vector list tables (graft_ivf*);
+    // `index_code_bytes` = selected partitions/files of the PQ code
+    // tables (graft_ivfpq*/graft_pq*). The io regime prices the index
+    // reads; the spec gates them.
+    def classify(root: String): String =
+      if (root.contains("graft_ivfpq") || root.contains("pqcodes") ||
+          root.contains("graft_pq")) "code"
+      else if (root.contains("graft_ivf")) "vec"
+      else if (root.contains("embeddings.parquet")) "corpus"
+      else "other"
+    members.foreach { case (name, mk) =>
+      mk().count() // cold: index/codebook builds — excluded from measure
+      val t0 = System.nanoTime()
+      val (rows, reads) = ScanBytes.selectedScanReads(mk())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val by = reads.groupBy(r => classify(r.root))
+        .view.mapValues(rs => (rs.map(_.files).sum, rs.map(_.bytes).sum)).toMap
+      def b(k: String): Long = by.get(k).map(_._2).getOrElse(0L)
+      def fl(k: String): Long = by.get(k).map(_._1).getOrElse(0L)
+      emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
+    }
+
+    outJson.foreach { pth =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(pth),
+        (emitted.mkString("\n") + "\n").getBytes("UTF-8")): Unit
+    }
+    spark.stop()
+  }
+}

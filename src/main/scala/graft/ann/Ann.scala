@@ -61,8 +61,9 @@ object Ann {
     * dial is MEASURED (graft.AnnDial, PLANS.md §ivf-dial), never assumed;
     * the 8/3 default stays byte-identical to the committed oracle plan. */
   def a2KnnIvf(spark: SparkSession, dir: String, nlists: Int,
-               nprobe: Int): DataFrame =
-    ivfTopK(spark, dir, sameLabel = false, nlists = nlists, nprobe = nprobe)
+               nprobe: Int, qmod: Int = 101): DataFrame =
+    ivfTopK(spark, dir, sameLabel = false, nlists = nlists, nprobe = nprobe,
+      qmod = qmod)
 
   /** D10 (a10): metadata-FILTERED IVF search — the scale path behind
     * r4_search_filtered's brute-force shape: the label equality predicate
@@ -124,6 +125,23 @@ object Ann {
     * the argmax 3x per row through constraint-inferred join filters).
     * The data-signature key (a13z precedent) means a corpus regenerated
     * under the same path rebuilds instead of serving stale lists. */
+  /** The raw-vector list table, exposed for the a22 pruned-rerank read
+    * ([[Pq.a22IvfPqRerank]]): the refine stage retrieves its raw vectors
+    * from the probed partitions of THIS table instead of re-scanning the
+    * flat corpus file. */
+  private[ann] def listTable(spark: SparkSession, dir: String,
+                             nlists: Int): DataFrame =
+    ivfListTable(spark, dir, nlists)
+
+  /** The DISTINCT inverted lists a query batch probes, collected to the
+    * driver for a static `IN` partition filter (the a13z memoized-IN-set
+    * precedent). O(queries × nprobe) rows bounded by the fixed-Q
+    * contract; the result is ≤ nlists ids. */
+  private[ann] def probedListIds(e: DataFrame, nprobe: Int, nlists: Int,
+                                 qmod: Int): Seq[Long] =
+    listProbes(e, nprobe, nlists, qmod)
+      .select(col("list_id")).distinct().collect().map(_.getLong(0)).toSeq
+
   private def ivfListTable(spark: SparkSession, dir: String,
                            nlists: Int): DataFrame = {
     val e = Search.corpus(spark, dir)
@@ -157,11 +175,33 @@ object Ann {
         col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qnrm"))
   }
 
+  /** a2's SERVING read shape (r13, measured in IOBYTES_r13.json): the
+    * probed inverted lists selected by a static `IN` partition filter
+    * (probed ids collected driver-side — ≤ nprobe·Q rows by the fixed-Q
+    * contract, the a13z memoized-IN-set shape) instead of relying on
+    * dynamic partition pruning, which the stats-less broadcast probe join
+    * does NOT trigger on this plan — measured: the un-pruned a2 selects
+    * every list partition (full index bytes), the static filter selects
+    * exactly nprobe/nlists of them. Results are identical (the join
+    * condition already restricts candidates to probed lists); only the
+    * scan's selected-partition set changes, so the registered a2 keeps
+    * its oracle-pinned plan and this entry is additive. */
+  def a2KnnIvfPruned(spark: SparkSession, dir: String, nlists: Int = 8,
+                     nprobe: Int = 3, qmod: Int = 101): DataFrame =
+    ivfTopK(spark, dir, sameLabel = false, nlists = nlists, nprobe = nprobe,
+      qmod = qmod, staticPruned = true)
+
   private def ivfTopK(spark: SparkSession, dir: String, sameLabel: Boolean,
-                      nlists: Int = 8, nprobe: Int = 3): DataFrame = {
+                      nlists: Int = 8, nprobe: Int = 3,
+                      qmod: Int = 101,
+                      staticPruned: Boolean = false): DataFrame = {
     val e = Search.corpus(spark, dir)  // vec_id, label, v, nrm
-    val asg = ivfListTable(spark, dir, nlists)
-    val probes = listProbes(e, nprobe, nlists)
+    val asg0 = ivfListTable(spark, dir, nlists)
+    val asg =
+      if (staticPruned)
+        asg0.filter(col("list_id").isin(probedListIds(e, nprobe, nlists, qmod): _*))
+      else asg0
+    val probes = listProbes(e, nprobe, nlists, qmod)
     val sim = round(
       when(col("qnrm") * col("nrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)

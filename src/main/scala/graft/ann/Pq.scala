@@ -183,7 +183,8 @@ object Pq {
     * and a22 (probe-pruned IVFPQ shortlist). Identical DataFrame ops to
     * the pre-r13 inline a7 body, so the a7 plan fingerprint is unchanged. */
   private def exactRerank(spark: SparkSession, dir: String,
-                          shortlist: DataFrame, qmod: Int): DataFrame = {
+                          shortlist: DataFrame, qmod: Int,
+                          vecSource: Option[DataFrame] = None): DataFrame = {
     val e = Search.corpus(spark, dir)
     val probes = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -191,7 +192,11 @@ object Pq {
     // without the hint the stats-less window output plans a sort-merge
     // join that shuffles the raw-vector corpus. Fixed-Q contract (Ann
     // scaladoc): both sides are O(queries), small by the serving shape.
-    val cand = e.select(col("vec_id"), col("v"), col("nrm"))
+    // `vecSource` (r13): an alternative raw-vector source for the
+    // candidate read — a22 passes the probed partitions of the IVF list
+    // table so the refine retrieval reads nprobe/nlists of the vector
+    // bytes instead of the whole corpus file (measured: IOBYTES_r13).
+    val cand = vecSource.getOrElse(e).select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(probes), "query_id")
     val sim = round(
@@ -217,14 +222,35 @@ object Pq {
     * table plus R raw vectors — the io-optimal shape the family router
     * prices as `ivf_pq_r` ([[Router]]). All three dials
     * (nlists, nprobe, rerankDepth) are [[Ann.annOperatingPoint]]'s;
-    * registered defaults stay oracle-pinned at 8/3/50. */
+    * registered defaults stay oracle-pinned at 8/3/50.
+    *
+    * Refine retrieval (r13, measured in IOBYTES_r13.json): every
+    * shortlist row lives in a PROBED list, so the raw vectors the rerank
+    * touches are retrieved from the probed partitions of the IVF list
+    * table (static `IN` partition filter over the ≤ nprobe·Q distinct
+    * probed list ids — the a13z memoized-IN-set shape) instead of
+    * re-scanning the flat corpus file. On a parquet layout that makes the
+    * measured per-query read nprobe/nlists of (codes + vectors); the
+    * router's R·VecBytes io pricing additionally assumes a row-level
+    * retrieval store (see [[Router]] storage note). Results are
+    * byte-identical either way — the shortlist join selects the same
+    * rows — so the oracle is unchanged; only the scan source moved. */
   def a22IvfPqRerank(spark: SparkSession, dir: String, qmod: Int = 101,
                      nlists: Int = 8, nprobe: Int = 3,
-                     rerankDepth: Int = 50): DataFrame =
+                     rerankDepth: Int = 50,
+                     prunedRerank: Boolean = true): DataFrame = {
+    val vecSource = if (prunedRerank) {
+      val e = Search.corpus(spark, dir)
+      val probed = Ann.probedListIds(e, nprobe, nlists, qmod)
+      Some(Ann.listTable(spark, dir, nlists)
+        .filter(col("list_id").isin(probed: _*)))
+    } else None // pre-r13 shape: refine re-scans the flat corpus file
     exactRerank(spark, dir,
       a13IvfPqTopK(spark, dir, k = rerankDepth, qmod = qmod,
         nlists = nlists, nprobe = nprobe)
-        .select(col("query_id"), col("vec_id")), qmod)
+        .select(col("query_id"), col("vec_id")), qmod,
+      vecSource = vecSource)
+  }
 
   /** D7 AUTO MODE (r12, the d5EmbeddingNeardupAuto pattern for the PQ
     * stack): rerankDepth comes from [[Ann.annOperatingPoint]] on live
@@ -458,6 +484,22 @@ object Pq {
     }
     spark.table(t)
   }
+
+  /** IVFPQ rows for a NEW vector batch against the ORIGINAL corpus's
+    * codebook and centroids (r13, H14 — the a20/H12 "assign against the
+    * versioned artifact" rule applied to the code table): codebook and
+    * coarse centroids derive from `corpusSource`, never the batch, so a
+    * streamed append writes exactly the rows a full batch rebuild would
+    * (StreamIvfSpec proves equality). Row-local per batch row —
+    * O(batch · (M·K + nlists)) work, no shuffle of the existing index.
+    * Returns the [[ivfPqTable]] schema: vec_id, code0..cn7, list_id. */
+  private[graft] def encodeBatchAgainst(corpusSource: DataFrame,
+                                        batch: DataFrame,
+                                        nlists: Int = 8): DataFrame =
+    encode(batch, codebook(corpusSource)).join(
+      graft.ann.Ann.listAssignment(batch, Some(corpusSource), nlists)
+        .select("vec_id", "list_id"),
+      "vec_id")
 
   /** Alternative physical layout for the IVFPQ index: ONE flat directory
     * Z-ordered on (list_id, label) instead of a directory per inverted

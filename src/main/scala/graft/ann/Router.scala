@@ -58,6 +58,24 @@ object Router {
   case object ComputeBound extends Regime { val name = "compute" }
   case object IoBound extends Regime { val name = "io" }
 
+  /** The io regime's STORAGE precondition (r13, measured in
+    * IOBYTES_r13.json): pricing the refine stage at R·VecBytes assumes
+    * the store can retrieve R raw vectors by id ([[RowStore]] — a
+    * key-value store, or parquet with row-level secondary indexes). On a
+    * plain partitioned-parquet layout ([[PartitionStore]] — this repo's
+    * warehouse, measured by [[graft.IoBytesDial]]) the floor for "fetch
+    * the shortlist's raw vectors" is re-reading the PROBED PARTITIONS of
+    * the list table (a22's pruned rerank: 1.69 MB at 8x3 vs the 12.8 KB
+    * R·VecBytes ideal at sf1-clustered), and a flat-PQ shortlist spans
+    * arbitrary lists, so its retrieval floor is the whole corpus. Under
+    * PartitionStore, ivf_pq_r's io cost = ivf_flat's + the code read —
+    * ivf_flat provably dominates (RouterSpec pins the reachable set),
+    * which is exactly what the dial measures. The registered a21_route
+    * pins RowStore (the 100 TB design point the family exists for). */
+  sealed trait Retrieval { def name: String }
+  case object RowStore extends Retrieval { val name = "row_store" }
+  case object PartitionStore extends Retrieval { val name = "partition_store" }
+
   /** Measured on THIS box (PLANS §clustered-corpus, sf10, N=200k):
     * 66.8 s = 40.1 s · (alpha·N + R)/N at R=7518 → alpha = 1.63. The ADC
     * gather beats a codegen'd dot only on bytes, never on cycles here. */
@@ -93,7 +111,8 @@ object Router {
   def route(n: Long, occupancy: Long, splinter: Int, recallFloor: Double,
             regime: Regime, clusteredRegime: Boolean = true,
             maxScanFraction: Double = 0.25,
-            maxRerank: Int = 65536): RouteDecision = {
+            maxRerank: Int = 65536,
+            retrieval: Retrieval = RowStore): RouteDecision = {
     require(n > 0, s"n $n")
     require(occupancy > 0, s"occupancy $occupancy")
     require(recallFloor > 0.0 && recallFloor < 1.0, s"recallFloor $recallFloor")
@@ -119,11 +138,25 @@ object Router {
         nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble,
         nlists.toDouble + AdcAlpha * (nprobeNeed.toDouble * occupancy.toDouble) + depth.toDouble,
         AdcAlpha * n.toDouble + depth.toDouble)
-      case IoBound => (
-        n.toDouble * VecBytes,
-        (nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble) * VecBytes,
-        nlists.toDouble * VecBytes + nprobeNeed.toDouble * occupancy.toDouble * CodeBytes + depth.toDouble * VecBytes,
-        n.toDouble * CodeBytes + depth.toDouble * VecBytes)
+      case IoBound =>
+        // refine-retrieval bytes per the storage precondition (measured,
+        // IOBYTES_r13.json): RowStore fetches exactly the R shortlist
+        // vectors; PartitionStore's floor is re-reading the probed
+        // partitions (a22's pruned rerank) — and a FLAT shortlist spans
+        // arbitrary lists, so its partition-granular floor is the corpus
+        val ivfPqRFetch = retrieval match {
+          case RowStore => depth.toDouble * VecBytes
+          case PartitionStore => nprobeNeed.toDouble * occupancy.toDouble * VecBytes
+        }
+        val pqFetch = retrieval match {
+          case RowStore => depth.toDouble * VecBytes
+          case PartitionStore => n.toDouble * VecBytes
+        }
+        (
+          n.toDouble * VecBytes,
+          (nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble) * VecBytes,
+          nlists.toDouble * VecBytes + nprobeNeed.toDouble * occupancy.toDouble * CodeBytes + ivfPqRFetch,
+          n.toDouble * CodeBytes + pqFetch)
     }
     // candidates in exactness-priority order; min by (cost, priority)
     val candidates =
@@ -189,16 +222,24 @@ object Router {
   def aRouteTopk(spark: SparkSession, dir: String,
                  recallFloor: Double = 0.9,
                  regime: Regime = IoBound,
-                 clusteredRegime: Boolean = true): DataFrame = {
+                 clusteredRegime: Boolean = true,
+                 retrieval: Retrieval = RowStore): DataFrame = {
     val (n, occ, spl) = stats(spark, dir)
     Ann.fixedQGuard(n / 101 + 1, "aRouteTopk")
-    val d = route(n, occ, spl, recallFloor, regime, clusteredRegime)
+    val d = route(n, occ, spl, recallFloor, regime, clusteredRegime,
+      retrieval = retrieval)
     d.family match {
       case "brute" =>
         Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
           threshold = -1.0, clampZero = false, sameLabel = false)
       case "ivf_flat" =>
-        Ann.a2KnnIvf(spark, dir, nlists = d.nlists, nprobe = d.nprobe)
+        // the io regime prices reads, so its dispatch uses the measured
+        // serving read (static IN-pruned probed partitions,
+        // IOBYTES_r13.json); the compute regime keeps the oracle-pinned
+        // a2 plan the registered query grades
+        if (regime == IoBound)
+          Ann.a2KnnIvfPruned(spark, dir, nlists = d.nlists, nprobe = d.nprobe)
+        else Ann.a2KnnIvf(spark, dir, nlists = d.nlists, nprobe = d.nprobe)
       case "ivf_pq_r" =>
         Pq.a22IvfPqRerank(spark, dir, nlists = d.nlists, nprobe = d.nprobe,
           rerankDepth = d.rerankDepth)

@@ -229,6 +229,39 @@ object Streams {
       .start()
   }
 
+  /** H14 (r13): the H12 append applied to the PQ CODE table — the other
+    * index artifact the batch path materializes ([[graft.ann.Pq]]
+    * ivfPqTable, a13/a22's probe-side read). Encoding and coarse
+    * assignment both derive from `corpusSource` (the versioned
+    * codebook/centroid artifact — the a20 rule), so the streamed code
+    * rows are byte-identical to a batch rebuild's; the ingest-directory
+    * commit/replay/compaction contract is H12's verbatim (same writer
+    * discipline, same [[readIvfIndex]]/[[compactIvfIndex]] — the
+    * manifest machinery is schema-agnostic). O(batch·(M·K + nlists)) per
+    * batch, row-local, no touch of existing code partitions. */
+  private[graft] def appendIvfPqBatch(batch: DataFrame, indexDir: String,
+                                      corpusSource: DataFrame, batchTag: String,
+                                      nlists: Int = 8): Unit = {
+    val withNrm = batch.withColumn("nrm", Vec.norm2Native(col("v")))
+    graft.ann.Pq.encodeBatchAgainst(corpusSource, withNrm, nlists)
+      .write.mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/ingest=$batchTag")
+  }
+
+  def streamingIvfPqAppend(vectors: DataFrame, indexDir: String,
+                           corpusSource: DataFrame, checkpointDir: String,
+                           nlists: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = appIdFor(checkpointDir)
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendIvfPqBatch(batch.toDF(), indexDir, corpusSource,
+          s"${appId}_$batchId", nlists))
+      .start()
+  }
+
   /** The fold manifest of the streamed index (r12): newline-delimited
     * `compactTag<TAB>foldedTag,foldedTag,...` records, one per completed
     * [[compactIvfIndex]] run. Versioned (`_folded.v1`, `_folded.v2`, ...)
@@ -347,8 +380,12 @@ object Streams {
       .flatMap(t => scala.util.Try(t.stripPrefix("compact_").toInt).toOption)
       .foldLeft(0)(math.max) + 1
     val compactTag = s"compact_$nextId"
+    // schema-agnostic (r13): the raw-vector layout carries
+    // (vec_id, label, v, nrm), the H14 code layout (vec_id, code*, cn*) —
+    // either way `ingest` is commit bookkeeping, not index content, and
+    // list_id is the partition key both layouts share
     readIvfIndex(spark, indexDir)
-      .select("vec_id", "label", "v", "nrm", "list_id")
+      .drop("ingest")
       .repartition(col("list_id"))
       .write.mode("overwrite")
       .partitionBy("list_id")

@@ -113,6 +113,63 @@ class RouterSpec extends SparkSpec {
       "exhaustive-R a22 must BE the exact probed ranking")
   }
 
+  test("partition-store io regime: ivf_flat dominates the composed index") {
+    // IOBYTES_r13.json measured the parquet retrieval floor: fetching a
+    // shortlist's raw vectors re-reads the probed PARTITIONS, so
+    // ivf_pq_r's bytes = ivf_flat's + the code read, and a flat-PQ
+    // shortlist's floor is the whole corpus. The reachable set under
+    // (IoBound, PartitionStore) must therefore mirror the compute
+    // regime's {brute, ivf_flat} — provable over the stat grid
+    val grid = for {
+      n <- Seq(100L, 1000L, 200000L, 10000000L)
+      occ <- Seq(10L, 300L, 3125L, 20000L)
+      spl <- Seq(1, 3, 7, 2000)
+      if occ < n
+    } yield Router.route(n, occ, spl, 0.9, IoBound,
+      retrieval = Router.PartitionStore)
+    assert(grid.nonEmpty)
+    grid.foreach { d =>
+      assert(d.family === "brute" || d.family === "ivf_flat",
+        s"partition-store io-reachable set violated: $d")
+      if (d.costIvfPqR > 0 && d.costIvf > 0)
+        assert(d.costIvfPqR > d.costIvf,
+          s"parquet floor: composed index must cost ivf + codes: $d")
+      if (d.costPq > 0)
+        assert(d.costPq > d.costBrute,
+          s"flat shortlist's partition floor is the corpus + codes: $d")
+    }
+    // and RowStore (the default, the registered a21_route's pricing)
+    // still routes the composed index on the tight-crowd anchor
+    assert(Router.route(200000L, 2371L, 7, 0.9, IoBound,
+      retrieval = Router.RowStore).family === "ivf_pq_r")
+  }
+
+  test("a22's pruned rerank retrieval returns the flat-scan rows exactly") {
+    // r13 re-plan: the refine stage reads probed partitions of the IVF
+    // list table instead of re-scanning the corpus file — the shortlist
+    // join must select the very same rows either way
+    val pruned = graft.ann.Pq.a22IvfPqRerank(spark, Sf).collect()
+    val flat = graft.ann.Pq.a22IvfPqRerank(spark, Sf,
+      prunedRerank = false).collect()
+    assert(pruned.length === flat.length && pruned.sameElements(flat))
+    assert(pruned.nonEmpty)
+  }
+
+  test("a2KnnIvfPruned: same rows, fewer selected index bytes (measured)") {
+    // single query (qmod = corpus) so the probed set is 3 of 8 lists;
+    // at the default 5-query batch the probed union can cover every list
+    val full = Ann.a2KnnIvf(spark, Sf, 8, 3, qmod = 500)
+    val pruned = Ann.a2KnnIvfPruned(spark, Sf, 8, 3, qmod = 500)
+    assert(pruned.collect().sameElements(full.collect()))
+    def ivfBytes(df: org.apache.spark.sql.DataFrame): Long =
+      ScanBytes.selectedScanReads(df)._2
+        .filter(r => r.root.contains("graft_ivf")).map(_.bytes).sum
+    val (fb, pb) = (ivfBytes(full), ivfBytes(pruned))
+    assert(pb > 0, "pruned plan must still read the probed partitions")
+    assert(pb < fb,
+      s"static IN pruning must select fewer index bytes: pruned=$pb full=$fb")
+  }
+
   test("dispatch is exactly the routed family at the routed dials") {
     val routed = Router.aRouteTopk(spark, Sf, regime = ComputeBound).collect()
     val d = Router.route(

@@ -129,4 +129,59 @@ class StreamIvfSpec extends SparkSpec {
     assert(!ingestDirs().contains("ingest=base"),
       s"zombie replay directory must be swept: ${ingestDirs()}")
   }
+
+  test("H14: streamed PQ code appends == batch encode; compaction schema-agnostic") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = Search.corpus(spark, Sf)
+    val indexDir = freshDir("h14")
+    // codebook + centroids derive from the ORIGINAL corpus (the a20 /
+    // H12 versioned-artifact rule) — the stream only carries new rows
+    val corpusSource = e
+
+    val existing = e.filter(!graft.ann.Ann.A20NewBatch)
+      .select(col("vec_id"), col("label"), col("v"))
+    Streams.appendIvfPqBatch(existing, indexDir, corpusSource, "base")
+
+    val newRows = e.filter(graft.ann.Ann.A20NewBatch)
+      .select(col("vec_id"), col("label"), col("v")).as[IvfVec].collect()
+    assert(newRows.length > 10)
+    val feed = MemoryStream[IvfVec]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_h14_ckpt").toString
+    val q = Streams.streamingIvfPqAppend(feed.toDF(), indexDir, corpusSource, ckpt)
+    newRows.grouped(math.max(1, newRows.length / 3)).foreach { g =>
+      feed.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // streamed code rows must BE the batch encode of the whole corpus
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.filterNot(_ == "ingest").sorted
+      df.select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    val streamed = Streams.readIvfIndex(spark, indexDir)
+    val rebuilt = graft.ann.Pq.encodeBatchAgainst(corpusSource,
+      e.select("vec_id", "label", "v", "nrm"))
+    assert(streamed.drop("ingest").columns.sorted
+      .sameElements(rebuilt.columns.sorted),
+      s"code schema drifted: ${streamed.columns.mkString(",")}")
+    assert(canon(streamed) == canon(rebuilt),
+      "streamed code rows diverged from the batch encode")
+
+    // the H12 compaction machinery must fold the code layout unchanged
+    val before = streamed.count()
+    Streams.compactIvfIndex(spark, indexDir)
+    val compacted = Streams.readIvfIndex(spark, indexDir)
+    assert(compacted.count() == before)
+    assert(canon(compacted) == canon(rebuilt),
+      "compaction changed the code rows")
+    val scan = compacted.filter(col("list_id") === 3)
+      .queryExecution.executedPlan.toString
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      s"code-layout probe not partition-pruned:\n$scan")
+  }
 }
