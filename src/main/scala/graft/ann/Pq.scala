@@ -247,7 +247,8 @@ object Pq {
     } else None // pre-r13 shape: refine re-scans the flat corpus file
     exactRerank(spark, dir,
       a13IvfPqTopK(spark, dir, k = rerankDepth, qmod = qmod,
-        nlists = nlists, nprobe = nprobe)
+        nlists = nlists, nprobe = nprobe,
+        staticPrunedCodes = prunedRerank)
         .select(col("query_id"), col("vec_id")), qmod,
       vecSource = vecSource)
   }
@@ -532,11 +533,23 @@ object Pq {
     * and no raw vector is ever read at query time. */
   // nlists/nprobe freed r13 (the router's io-regime winner needs real
   // dials): default 8/3 keeps the oracle-pinned table name and plan.
+  // `staticPrunedCodes` (r13, IOBYTES finding): DPP fires on this probe
+  // join at the 8-list default but NOT at chooser-scale nlists (measured:
+  // the 142-list code scan selected all 142 files) — a22 passes true to
+  // apply the same collected probed-lists IN partition filter as the
+  // vector side (identical rows: the join already restricts to probed
+  // lists); default false keeps the registered a13 plan oracle-pinned.
   def a13IvfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
-                   qmod: Int = 101, nlists: Int = 8, nprobe: Int = 3): DataFrame = {
+                   qmod: Int = 101, nlists: Int = 8, nprobe: Int = 3,
+                   staticPrunedCodes: Boolean = false): DataFrame = {
     val e = Search.corpus(spark, dir)
     val cb = codebook(e)
-    val codes = ivfPqTable(spark, dir, e, cb, nlists)
+    val codes0 = ivfPqTable(spark, dir, e, cb, nlists)
+    val codes =
+      if (staticPrunedCodes)
+        codes0.filter(col("list_id").isin(
+          Ann.probedListIds(e, nprobe, nlists, qmod): _*))
+      else codes0
     val probe = Ann.listProbes(e, nprobe = nprobe, nlists = nlists, qmod = qmod)
       .select(col("query_id"), col("list_id"))
       .join(queryLut(e, cb, qmod), "query_id")

@@ -49,6 +49,28 @@ class SourcesSpec extends SparkSpec {
     assert(!files.contains("list_id=1") || files.contains("PartitionFilters"))
   }
 
+  test("partitioned index tables land ONE file per partition value") {
+    // IOBYTES_r13.json finding #4: without the build-time clustering
+    // shuffle, every write task emits a file into every partition dir it
+    // holds rows for — the 448-list code table measured 3,679 files and
+    // a 7-list "pruned" probe selected 3.5x the whole flat table in
+    // per-file overhead. writePartitionedTable now repartitions on the
+    // partition column (the H13 compaction fold's layout) at build time.
+    val asg = graft.rag.Search.corpus(spark, Sf)
+      .withColumn("list_id", (col("vec_id") % 4).cast("int"))
+      .select("vec_id", "list_id")
+    Warehouse.writePartitionedTable(asg, "graft_spec_filecount", "list_id")
+    val loc = new java.io.File(
+      Warehouse.tableLocation(spark, "graft_spec_filecount").toUri.getPath)
+    val perDir = loc.listFiles().filter(_.getName.startsWith("list_id="))
+      .map(d => d.getName -> d.listFiles()
+        .count(f => f.getName.endsWith(".parquet")))
+    assert(perDir.length === 4, s"expected 4 list dirs: ${perDir.mkString(",")}")
+    perDir.foreach { case (d, n) =>
+      assert(n === 1, s"$d must hold exactly one data file, found $n")
+    }
+  }
+
   test("events partitioned by day prune a date-range scan to matching days") {
     val ev = Tables.events(spark, Sf)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
