@@ -92,22 +92,30 @@ object IoBytesDial {
     // `index_code_bytes` = selected partitions/files of the PQ code
     // tables (graft_ivfpq*/graft_pq*). The io regime prices the index
     // reads; the spec gates them.
-    def classify(root: String): String =
+    def classifyOne(root: String): String =
       if (root.contains("graft_ivfpq") || root.contains("pqcodes") ||
           root.contains("graft_pq")) "code"
       else if (root.contains("graft_ivf")) "vec"
       else if (root.contains("embeddings.parquet")) "corpus"
       else "other"
+    // a multi-root scan (r14, ADVICE r13) whose roots classify the SAME
+    // way is attributed normally; roots straddling accounts surface as
+    // "mixed" in the artifact instead of silently crediting the first root
+    def classify(r: ScanBytes.ScanRead): String = {
+      val classes = (if (r.roots.nonEmpty) r.roots else Seq(r.root))
+        .map(classifyOne).distinct
+      if (classes.size == 1) classes.head else "mixed"
+    }
     members.foreach { case (name, mk) =>
       mk().count() // cold: index/codebook builds — excluded from measure
       val t0 = System.nanoTime()
       val (rows, reads) = ScanBytes.selectedScanReads(mk())
       val sec = (System.nanoTime() - t0) / 1e9
-      val by = reads.groupBy(r => classify(r.root))
+      val by = reads.groupBy(classify)
         .view.mapValues(rs => (rs.map(_.files).sum, rs.map(_.bytes).sum)).toMap
       def b(k: String): Long = by.get(k).map(_._2).getOrElse(0L)
       def fl(k: String): Long = by.get(k).map(_._1).getOrElse(0L)
-      emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
+      emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"mixed_bytes":${b("mixed")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
     }
 
     outJson.foreach { pth =>

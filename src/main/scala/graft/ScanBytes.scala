@@ -39,9 +39,14 @@ object ScanBytes {
       case q: QueryStageExec => scans(q.plan)
     }.flatten
 
-  /** One parquet scan of the executed plan: root path of the relation it
-    * reads, files and file bytes SELECTED for it after partition pruning. */
-  case class ScanRead(root: String, files: Long, bytes: Long)
+  /** One parquet scan of the executed plan: root path(s) of the relation
+    * it reads, files and file bytes SELECTED for it after partition
+    * pruning. `roots` carries EVERY root of a multi-root relation (r14,
+    * ADVICE r13 — a readIvfIndex-style multi-directory scan must not be
+    * silently attributed to its first root); `root` stays the primary for
+    * single-root relations, which is every scan this repo builds today. */
+  case class ScanRead(root: String, files: Long, bytes: Long,
+                      roots: Seq[String] = Nil)
 
   /** Execute `df` (collect — callers pass small query outputs) and return
     * (rows out, per-scan selected reads). Callers attribute each scan to
@@ -53,10 +58,12 @@ object ScanBytes {
   def selectedScanReads(df: DataFrame): (Long, Seq[ScanRead]) = {
     val rows = df.collect().length.toLong
     val reads = scans(df.queryExecution.executedPlan).map { f =>
+      val roots = f.relation.location.rootPaths.map(_.toString)
       ScanRead(
-        f.relation.location.rootPaths.headOption.map(_.toString).getOrElse(""),
+        roots.headOption.getOrElse(""),
         f.metrics.get("numFiles").map(_.value).getOrElse(0L),
-        f.metrics.get("filesSize").map(_.value).getOrElse(0L))
+        f.metrics.get("filesSize").map(_.value).getOrElse(0L),
+        roots)
     }
     (rows, reads)
   }

@@ -136,11 +136,19 @@ object Ann {
   /** The DISTINCT inverted lists a query batch probes, collected to the
     * driver for a static `IN` partition filter (the a13z memoized-IN-set
     * precedent). O(queries × nprobe) rows bounded by the fixed-Q
-    * contract; the result is ≤ nlists ids. */
+    * contract; the result is ≤ nlists ids. The contract is ENFORCED here
+    * (r14, ADVICE r13): the same aggregate that yields the distinct ids
+    * also counts the probe rows — the collect stays ≤ nlists rows and a
+    * caller violating fixed-Q gets the family's documented throw, never
+    * an unbounded driver collect. */
   private[ann] def probedListIds(e: DataFrame, nprobe: Int, nlists: Int,
-                                 qmod: Int): Seq[Long] =
-    listProbes(e, nprobe, nlists, qmod)
-      .select(col("list_id")).distinct().collect().map(_.getLong(0)).toSeq
+                                 qmod: Int): Seq[Long] = {
+    val perList = listProbes(e, nprobe, nlists, qmod)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("probe_rows"))
+      .collect()
+    fixedQGuard(perList.map(_.getLong(1)).sum, "probedListIds")
+    perList.map(_.getLong(0)).toSeq
+  }
 
   private def ivfListTable(spark: SparkSession, dir: String,
                            nlists: Int): DataFrame = {

@@ -239,16 +239,20 @@ object Pq {
                      nlists: Int = 8, nprobe: Int = 3,
                      rerankDepth: Int = 50,
                      prunedRerank: Boolean = true): DataFrame = {
-    val vecSource = if (prunedRerank) {
+    // the probed-list id set is ONE driver-side collect (r14, ADVICE r13):
+    // both pruned scans — the code table inside a13 and the refine's
+    // vector retrieval — share it, instead of each re-running the
+    // query-scan + window job that computes it
+    val probed = if (prunedRerank) {
       val e = Search.corpus(spark, dir)
-      val probed = Ann.probedListIds(e, nprobe, nlists, qmod)
-      Some(Ann.listTable(spark, dir, nlists)
-        .filter(col("list_id").isin(probed: _*)))
+      Some(Ann.probedListIds(e, nprobe, nlists, qmod))
     } else None // pre-r13 shape: refine re-scans the flat corpus file
+    val vecSource = probed.map(ids =>
+      Ann.listTable(spark, dir, nlists).filter(col("list_id").isin(ids: _*)))
     exactRerank(spark, dir,
       a13IvfPqTopK(spark, dir, k = rerankDepth, qmod = qmod,
         nlists = nlists, nprobe = nprobe,
-        staticPrunedCodes = prunedRerank)
+        prunedListIds = probed)
         .select(col("query_id"), col("vec_id")), qmod,
       vecSource = vecSource)
   }
@@ -533,23 +537,24 @@ object Pq {
     * and no raw vector is ever read at query time. */
   // nlists/nprobe freed r13 (the router's io-regime winner needs real
   // dials): default 8/3 keeps the oracle-pinned table name and plan.
-  // `staticPrunedCodes` (r13, IOBYTES finding): DPP fires on this probe
-  // join at the 8-list default but NOT at chooser-scale nlists (measured:
-  // the 142-list code scan selected all 142 files) — a22 passes true to
-  // apply the same collected probed-lists IN partition filter as the
-  // vector side (identical rows: the join already restricts to probed
-  // lists); default false keeps the registered a13 plan oracle-pinned.
+  // `prunedListIds` (r13 as a boolean, r14 as the ids themselves per
+  // ADVICE — the caller collects once and shares): DPP fires on this
+  // probe join at the 8-list default but NOT at chooser-scale nlists
+  // (measured: the 142-list code scan selected all 142 files) — a22
+  // passes its collected probed-lists set to apply the same static IN
+  // partition filter as the vector side (identical rows: the join
+  // already restricts to probed lists); default None keeps the
+  // registered a13 plan oracle-pinned.
   def a13IvfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
                    qmod: Int = 101, nlists: Int = 8, nprobe: Int = 3,
-                   staticPrunedCodes: Boolean = false): DataFrame = {
+                   prunedListIds: Option[Seq[Long]] = None): DataFrame = {
     val e = Search.corpus(spark, dir)
     val cb = codebook(e)
     val codes0 = ivfPqTable(spark, dir, e, cb, nlists)
-    val codes =
-      if (staticPrunedCodes)
-        codes0.filter(col("list_id").isin(
-          Ann.probedListIds(e, nprobe, nlists, qmod): _*))
-      else codes0
+    val codes = prunedListIds match {
+      case Some(ids) => codes0.filter(col("list_id").isin(ids: _*))
+      case None => codes0
+    }
     val probe = Ann.listProbes(e, nprobe = nprobe, nlists = nlists, qmod = qmod)
       .select(col("query_id"), col("list_id"))
       .join(queryLut(e, cb, qmod), "query_id")

@@ -78,14 +78,23 @@ object Router {
 
   /** Measured on THIS box (PLANS §clustered-corpus, sf10, N=200k):
     * 66.8 s = 40.1 s · (alpha·N + R)/N at R=7518 → alpha = 1.63. The ADC
-    * gather beats a codegen'd dot only on bytes, never on cycles here. */
+    * gather beats a codegen'd dot only on bytes, never on cycles here.
+    * Re-measure path: [[graft.IoBytesDial]] produces the two wall-times
+    * the derivation needs on any box. */
   val AdcAlpha = 1.63
 
-  /** float32 payload bytes per vector row (4·dim, dim=64 testdata). */
-  val VecBytes = 256.0
+  /** float32 payload bytes per vector row — 4·dim, derived LIVE from the
+    * corpus schema by the entry points (r14, verdict #2: the r13 literal
+    * 256.0 hardcoded dim=64; a dim=768 caller got io costs silently wrong
+    * by 12x — and the ivf_flat↔ivf_pq_r crossover moves with dim). */
+  def vecBytesOf(dim: Int): Double = { require(dim > 0, s"dim $dim"); 4.0 * dim }
 
-  /** bytes per PQ code row (M=8 subquantizers x 1 byte). */
-  val CodeBytes = 8.0
+  /** bytes per PQ code row — one byte per subquantizer. [[Pq.M]] is the
+    * single constant the code-table SCHEMA (code0..code{M-1}) is generated
+    * from ([[Pq]] encode), so deriving from it IS deriving from the
+    * schema; PqSpec pins codeColumns(table) == Pq.M so the two can't
+    * drift. */
+  def codeBytesOf(pqM: Int): Double = { require(pqM > 0, s"pqM $pqM"); pqM.toDouble }
 
   /** Per-family per-query costs plus the dials that price them.
     * Infeasible families carry cost -1.0 and dial -1 (never NULL — the
@@ -112,7 +121,10 @@ object Router {
             regime: Regime, clusteredRegime: Boolean = true,
             maxScanFraction: Double = 0.25,
             maxRerank: Int = 65536,
-            retrieval: Retrieval = RowStore): RouteDecision = {
+            retrieval: Retrieval = RowStore,
+            dim: Int = 64, pqM: Int = Pq.M): RouteDecision = {
+    val VecBytes = vecBytesOf(dim)
+    val CodeBytes = codeBytesOf(pqM)
     require(n > 0, s"n $n")
     require(occupancy > 0, s"occupancy $occupancy")
     require(recallFloor > 0.0 && recallFloor < 1.0, s"recallFloor $recallFloor")
@@ -180,11 +192,16 @@ object Router {
     * the build-once IVF artifact at the sqrt-law nlists, and the centroid
     * splinter — the same three numbers the auto entry points already
     * gather (all O(corpus) narrow passes or broadcast-sized scans). */
-  private def stats(spark: SparkSession, dir: String): (Long, Long, Int) = {
-    val n = Search.corpus(spark, dir).count()
+  private def stats(spark: SparkSession, dir: String): (Long, Long, Int, Int) = {
+    // one narrow pass yields both the count and the embedding DIMENSION
+    // (max(size) == any row's size — fixed-width corpus; max keeps the
+    // aggregate deterministic and matches the oracle's max(len(v)))
+    val head = Search.corpus(spark, dir)
+      .agg(count(lit(1)), max(size(col("v")))).head()
+    val (n, dim) = (head.getLong(0), head.getInt(1))
     val nlists = Ann.nlistsFor(n)
     (n, Ann.occupancyEstimate(spark, dir, nlists),
-      Ann.splinterEstimate(spark, dir, nlists))
+      Ann.splinterEstimate(spark, dir, nlists), dim)
   }
 
   /** D21 (a21_route): the routing decision ITSELF as a graded query — one
@@ -194,9 +211,9 @@ object Router {
     * tiny distributed aggregates ([[stats]]). */
   def a21Route(spark: SparkSession, dir: String,
                recallFloor: Double = 0.9): DataFrame = {
-    val (n, occ, spl) = stats(spark, dir)
+    val (n, occ, spl, dim) = stats(spark, dir)
     val rows = Seq(ComputeBound, IoBound).map { reg =>
-      route(n, occ, spl, recallFloor, reg)
+      route(n, occ, spl, recallFloor, reg, dim = dim)
     }
     import spark.implicits._
     rows.toDF()
@@ -224,10 +241,10 @@ object Router {
                  regime: Regime = IoBound,
                  clusteredRegime: Boolean = true,
                  retrieval: Retrieval = RowStore): DataFrame = {
-    val (n, occ, spl) = stats(spark, dir)
+    val (n, occ, spl, dim) = stats(spark, dir)
     Ann.fixedQGuard(n / 101 + 1, "aRouteTopk")
     val d = route(n, occ, spl, recallFloor, regime, clusteredRegime,
-      retrieval = retrieval)
+      retrieval = retrieval, dim = dim)
     d.family match {
       case "brute" =>
         Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
@@ -251,17 +268,39 @@ object Router {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_route" -> ((s, d) => a21Route(s, d)),
     "a21_routed_topk" -> ((s, d) => aRouteTopk(s, d, regime = ComputeBound)),
+    // r14 (verdict r13 #3): the io-regime dispatch — aRouteTopk's DEFAULT
+    // path, the one a cluster caller takes — as a graded query, pinning
+    // the PartitionStore retrieval this repo's warehouse actually is.
+    // Under PartitionStore the reachable set is provably {brute,
+    // ivf_flat} (ivf_pq_r = ivf_flat + the code read; pq_rerank = brute +
+    // the code read — RouterSpec pins it), so the oracle is the same
+    // gated UNION with the io winner's gate.
+    "a21_routed_topk_io" -> ((s, d) =>
+      aRouteTopk(s, d, regime = IoBound, retrieval = PartitionStore)),
   )
 
   private def dotSql(a: String, b: String): String = Search.dotSql(a, b)
 
   /** Shared stats CTEs: dynamic-dial assignment at the sqrt-law nlists —
-    * the [[Ann]] IvfCte shape with the literal 8 freed to a scalar. */
-  private val StatsCte: String =
+    * the [[Ann]] IvfCte shape with the literal 8 freed to a scalar.
+    * Parameterized by the io regime's refine-fetch pricing ([[Retrieval]],
+    * mirroring [[route]]'s match): RowStore fetches the R shortlist rows;
+    * PartitionStore re-reads the probed partitions (ivf_pq_r) or the
+    * whole corpus (flat pq shortlist). */
+  private def statsCte(retrieval: Retrieval): String = {
+    val (ivfPqRFetch, pqFetch) = retrieval match {
+      case RowStore => (
+        "CAST(depth AS DOUBLE) * (4.0 * dim)",
+        "CAST(depth AS DOUBLE) * (4.0 * dim)")
+      case PartitionStore => (
+        "CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE) * (4.0 * dim)",
+        "CAST(n AS DOUBLE) * (4.0 * dim)")
+    }
     s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |en AS MATERIALIZED (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0),
        |nl AS (SELECT CAST(greatest(8, least(65536, ceil(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS nlists,
-       |              count(*) AS n FROM en),
+       |              count(*) AS n,
+       |              CAST(max(len(v)) AS INTEGER) AS dim FROM en),
        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM en
        |         WHERE vec_id < (SELECT nlists FROM nl)),
        |asg0 AS MATERIALIZED (
@@ -290,7 +329,7 @@ object Router {
        |  -- the [[route]] closed form, operation-for-operation: nprobe by
        |  -- the splinter law, R by the inverted recall curve at floor 0.9
        |  -- (segment (0.803,0.64)-(1.0,2.56)), 2x occupancy safety
-       |  SELECT nl.n, nl.nlists, occ.occupancy, spl.splinter,
+       |  SELECT nl.n, nl.nlists, nl.dim, occ.occupancy, spl.splinter,
        |    greatest(3, spl.splinter) AS nprobe_need,
        |    (greatest(3, spl.splinter) <= 0.25 * nl.nlists) AS ivf_feasible,
        |    CAST(greatest(50, ceil(
@@ -300,19 +339,23 @@ object Router {
        |), dials2 AS MATERIALIZED (
        |  SELECT *, (depth <= 65536 AND depth < n) AS pq_feasible FROM dials
        |), costs AS MATERIALIZED (
+       |  -- byte prices are LIVE (r14): vec_bytes = 4.0*dim from the corpus
+       |  -- schema (nl CTE), code_bytes = M interpolated from the SAME Scala
+       |  -- constant the code-table schema is generated from (Pq.M), alpha
+       |  -- from Router.AdcAlpha — no engine-local literal can drift
        |  SELECT f.regime, f.family, f.prio, CASE
        |    WHEN f.regime = 'compute' AND f.family = 'brute' THEN CAST(n AS DOUBLE)
        |    WHEN f.regime = 'compute' AND f.family = 'ivf_flat'
        |      THEN CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)
        |    WHEN f.regime = 'compute' AND f.family = 'ivf_pq_r'
-       |      THEN CAST(nlists AS DOUBLE) + 1.63 * (CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) + CAST(depth AS DOUBLE)
-       |    WHEN f.regime = 'compute' THEN 1.63 * CAST(n AS DOUBLE) + CAST(depth AS DOUBLE)
-       |    WHEN f.family = 'brute' THEN CAST(n AS DOUBLE) * 256.0
+       |      THEN CAST(nlists AS DOUBLE) + $AdcAlpha * (CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) + CAST(depth AS DOUBLE)
+       |    WHEN f.regime = 'compute' THEN $AdcAlpha * CAST(n AS DOUBLE) + CAST(depth AS DOUBLE)
+       |    WHEN f.family = 'brute' THEN CAST(n AS DOUBLE) * (4.0 * dim)
        |    WHEN f.family = 'ivf_flat'
-       |      THEN (CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) * 256.0
+       |      THEN (CAST(nlists AS DOUBLE) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE)) * (4.0 * dim)
        |    WHEN f.family = 'ivf_pq_r'
-       |      THEN CAST(nlists AS DOUBLE) * 256.0 + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE) * 8.0 + CAST(depth AS DOUBLE) * 256.0
-       |    ELSE CAST(n AS DOUBLE) * 8.0 + CAST(depth AS DOUBLE) * 256.0 END AS cost
+       |      THEN CAST(nlists AS DOUBLE) * (4.0 * dim) + CAST(nprobe_need AS DOUBLE) * CAST(occupancy AS DOUBLE) * ${Pq.M}.0 + $ivfPqRFetch
+       |    ELSE CAST(n AS DOUBLE) * ${Pq.M}.0 + $pqFetch END AS cost
        |  FROM dials2, (VALUES
        |    ('compute', 'brute', 0), ('compute', 'ivf_flat', 1),
        |    ('compute', 'ivf_pq_r', 2), ('compute', 'pq_rerank', 3),
@@ -328,9 +371,47 @@ object Router {
        |    SELECT *, row_number() OVER (PARTITION BY regime ORDER BY cost, prio) AS rn
        |    FROM costs) WHERE rn = 1
        |)""".stripMargin
+  }
+
+  /** The qmod=101 serving batch against the winner's family, as a gated
+    * UNION over the regime's reachable set — shared by the compute- and
+    * io-regime dispatch oracles (identical candidate SQL; only the winner
+    * gate's regime differs, and the io dispatch's pruned scan is
+    * row-identical to the full one by the static-IN contract). */
+  private def dispatchSql(regime: String): String =
+    s"""
+       |, probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, nrm AS qnrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |    FROM asg0 WHERE vec_id % 101 = 0)
+       |  WHERE rn <= (SELECT nprobe_need FROM dials2)
+       |), ivf_scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    round(CASE WHEN p.qnrm*a.nrm = 0 THEN 0.0
+       |      ELSE ${dotSql("p.qv", "a.v")}/(p.qnrm*a.nrm) END, 6) AS similarity
+       |  FROM probes p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+       |), ivf_ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+       |  FROM ivf_scored
+       |), brute_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(CASE WHEN q.nrm*c.nrm = 0 THEN 0.0
+       |      ELSE ${dotSql("q.v", "c.v")}/(q.nrm*c.nrm) END, 6) AS similarity
+       |  FROM en q JOIN en c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 101 = 0
+       |), brute_ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
+       |  FROM brute_scored
+       |)
+       |SELECT query_id, vec_id, similarity, rnk FROM ivf_ranked
+       |WHERE rnk <= 10 AND (SELECT family FROM winner WHERE regime = '$regime') = 'ivf_flat'
+       |UNION ALL
+       |SELECT query_id, vec_id, similarity, rnk FROM brute_ranked
+       |WHERE rnk <= 10 AND (SELECT family FROM winner WHERE regime = '$regime') = 'brute'
+       |ORDER BY query_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "a21_route" -> (StatsCte +
+    "a21_route" -> (statsCte(RowStore) +
       """
         |SELECT w.regime, w.family,
         |  CAST(d.nlists AS INTEGER) AS nlists,
@@ -348,36 +429,10 @@ object Router {
         |  d.pq_feasible, d.depth, d.n, d.occupancy, d.splinter
         |ORDER BY w.regime""".stripMargin),
 
-    "a21_routed_topk" -> (StatsCte +
-      s"""
-        |, probes AS (
-        |  SELECT vec_id AS query_id, cent_id AS list_id, v AS qv, nrm AS qnrm FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
-        |    FROM asg0 WHERE vec_id % 101 = 0)
-        |  WHERE rn <= (SELECT nprobe_need FROM dials2)
-        |), ivf_scored AS (
-        |  SELECT p.query_id, a.vec_id,
-        |    round(CASE WHEN p.qnrm*a.nrm = 0 THEN 0.0
-        |      ELSE ${dotSql("p.qv", "a.v")}/(p.qnrm*a.nrm) END, 6) AS similarity
-        |  FROM probes p JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
-        |), ivf_ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
-        |  FROM ivf_scored
-        |), brute_scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id,
-        |    round(CASE WHEN q.nrm*c.nrm = 0 THEN 0.0
-        |      ELSE ${dotSql("q.v", "c.v")}/(q.nrm*c.nrm) END, 6) AS similarity
-        |  FROM en q JOIN en c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 101 = 0
-        |), brute_ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rnk
-        |  FROM brute_scored
-        |)
-        |SELECT query_id, vec_id, similarity, rnk FROM ivf_ranked
-        |WHERE rnk <= 10 AND (SELECT family FROM winner WHERE regime = 'compute') = 'ivf_flat'
-        |UNION ALL
-        |SELECT query_id, vec_id, similarity, rnk FROM brute_ranked
-        |WHERE rnk <= 10 AND (SELECT family FROM winner WHERE regime = 'compute') = 'brute'
-        |ORDER BY query_id, rnk""".stripMargin),
+    "a21_routed_topk" -> (statsCte(RowStore) + dispatchSql("compute")),
+
+    // io-regime dispatch (r14): PartitionStore pricing in the costs CTE;
+    // reachable set {brute, ivf_flat} (see queries note), same gated UNION
+    "a21_routed_topk_io" -> (statsCte(PartitionStore) + dispatchSql("io")),
   )
 }

@@ -45,12 +45,22 @@ object Warehouse {
     // without the clustering shuffle every write task emits a file into
     // every partition dir it holds rows for — the 448-list code table
     // measured 3,679 files and a "pruned" 7-list probe SELECTED 20.4 MB
-    // of per-file overhead, 3.5x the entire flat code table. One hash
-    // shuffle at BUILD time (amortized, the same repartition the H13
-    // compaction fold applies) yields the canonical file-per-inverted-
-    // list layout; big lists still split on read (row groups /
-    // maxPartitionBytes), so scan parallelism at scale is unaffected.
-    df.repartition(org.apache.spark.sql.functions.col(partCol))
+    // of per-file overhead, 3.5x the entire flat code table. One
+    // clustering shuffle at BUILD time (amortized, the same shape the
+    // H13 compaction fold applies) yields the canonical file-per-
+    // inverted-list layout.
+    //
+    // REBALANCE, not repartition(col) (r14, ADVICE r13): a plain hash
+    // repartition routes every partition VALUE through exactly one
+    // writer task, so the biggest inverted list of a skewed corpus
+    // serializes through a single task (write bottleneck + executor
+    // spill pressure — the read side was always fine via row-group
+    // splits). The rebalance hint keeps the same clustering for
+    // AQE-coalesced small lists (still one file each — SourcesSpec
+    // pins it) while splitting a list past the advisory partition size
+    // across writer tasks: a skewed list costs a few extra files, never
+    // a single-task write.
+    df.hint("rebalance", org.apache.spark.sql.functions.col(partCol))
       .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .partitionBy(partCol)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.Pq
+import graft.ann.{Pq, Router}
 
 class PqSpec extends SparkSpec {
 
@@ -16,6 +16,18 @@ class PqSpec extends SparkSpec {
         assert(s >= -1.000001 && s <= 1.000001, s"similarity out of range: $s")
       }
     }
+  }
+
+  test("code-table schema carries exactly Pq.M code columns (byte-model pin)") {
+    // r14: Router.codeBytesOf prices a code row at M bytes because the
+    // code-table SCHEMA is generated from the same constant — this pin is
+    // what keeps the io pricing and the physical layout from drifting
+    val e = graft.rag.Search.corpus(spark, Sf)
+    val codes = Pq.encodeBatchAgainst(e, e)
+    val codeCols = codes.columns.filter(_.matches("code\\d+"))
+    assert(codeCols.length === Pq.M,
+      s"code columns ${codeCols.mkString(",")} must number Pq.M=${Pq.M}")
+    assert(Router.codeBytesOf(Pq.M) === Pq.M.toDouble)
   }
 
   test("PQ recall@10 is measured against full brute force and lands in [0,1]") {

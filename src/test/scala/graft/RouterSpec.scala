@@ -170,6 +170,61 @@ class RouterSpec extends SparkSpec {
       s"static IN pruning must select fewer index bytes: pruned=$pb full=$fb")
   }
 
+  test("byte model is live: io costs scale with the corpus dimension") {
+    // r14 (verdict r13 #2): VecBytes was a dim=64 literal — a dim=768
+    // caller got every io byte count silently wrong by 12x. The laws:
+    assert(Router.vecBytesOf(64) === 256.0 && Router.vecBytesOf(768) === 3072.0)
+    intercept[IllegalArgumentException](Router.vecBytesOf(0))
+    intercept[IllegalArgumentException](Router.codeBytesOf(-1))
+    // (1) pure scaling: every vector-payload io cost is 12x at 12x dim
+    val d64 = Router.route(200000L, 2371L, 7, 0.9, IoBound, dim = 64)
+    val d768 = Router.route(200000L, 2371L, 7, 0.9, IoBound, dim = 768)
+    assert(d768.costBrute === 12.0 * d64.costBrute)
+    assert(d768.costIvf === 12.0 * d64.costIvf)
+    // the code-scan term does NOT scale with dim, so the composed index
+    // only gets MORE attractive at higher dim — the anchor family holds
+    assert(d64.family === "ivf_pq_r" && d768.family === "ivf_pq_r")
+    assert(d768.costIvfPqR < 12.0 * d64.costIvfPqR)
+    // (2) the ivf_flat <-> ivf_pq_r crossover MOVES with dim (the failure
+    // the literal hid): same stats, winner flips purely on dimension.
+    // occ=1000, spl=4 -> nprobe 4, depth 3171: the code+rerank read beats
+    // the probed raw scan iff 4*dim*(P - depth) > P*M, i.e. dim > ~9.7
+    assert(Router.route(1000000L, 1000L, 4, 0.9, IoBound, dim = 8)
+      .family === "ivf_flat")
+    assert(Router.route(1000000L, 1000L, 4, 0.9, IoBound, dim = 64)
+      .family === "ivf_pq_r")
+    // (3) compute-regime routing is dimension-free (cost = dot-units)
+    assert(Router.route(200000L, 2371L, 7, 0.9, ComputeBound, dim = 768) ===
+      Router.route(200000L, 2371L, 7, 0.9, ComputeBound, dim = 64))
+    // (4) the partition-store reachable set is dimension-free too: the
+    // dominance proofs cancel VecBytes, so they hold at any dim
+    Seq(8, 64, 768, 4096).foreach { dim =>
+      val d = Router.route(1000000L, 3125L, 7, 0.9, IoBound,
+        retrieval = Router.PartitionStore, dim = dim)
+      assert(d.family === "brute" || d.family === "ivf_flat", s"dim=$dim: $d")
+    }
+  }
+
+  test("io-regime dispatch (a21_routed_topk_io) is the io winner's plan") {
+    // r14 (verdict r13 #3): the path a cluster caller takes by default —
+    // IoBound + this repo's PartitionStore warehouse — as a graded query.
+    // The reachable set is {brute, ivf_flat} (test above); on the uniform
+    // sf0.001 corpus the pruned ivf scan beats the full corpus read
+    val d = Router.route(
+      500L,
+      Ann.occupancyEstimate(spark, Sf, Ann.nlistsFor(500L)),
+      Ann.splinterEstimate(spark, Sf, Ann.nlistsFor(500L)),
+      0.9, IoBound, retrieval = Router.PartitionStore)
+    assert(d.family === "ivf_flat", s"sf0.001 io winner: $d")
+    val routed = Router.aRouteTopk(spark, Sf, regime = IoBound,
+      retrieval = Router.PartitionStore).collect()
+    // io dispatch takes the statically-pruned serving read; rows must be
+    // identical to the un-pruned exact probed ranking at the same dials
+    val direct = Ann.a2KnnIvf(spark, Sf, nlists = d.nlists, nprobe = d.nprobe).collect()
+    assert(routed.length === direct.length && routed.sameElements(direct))
+    assert(routed.nonEmpty)
+  }
+
   test("dispatch is exactly the routed family at the routed dials") {
     val routed = Router.aRouteTopk(spark, Sf, regime = ComputeBound).collect()
     val d = Router.route(

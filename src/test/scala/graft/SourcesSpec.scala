@@ -54,8 +54,9 @@ class SourcesSpec extends SparkSpec {
     // shuffle, every write task emits a file into every partition dir it
     // holds rows for — the 448-list code table measured 3,679 files and
     // a 7-list "pruned" probe selected 3.5x the whole flat table in
-    // per-file overhead. writePartitionedTable now repartitions on the
-    // partition column (the H13 compaction fold's layout) at build time.
+    // per-file overhead. writePartitionedTable clusters on the partition
+    // column at build time (REBALANCE since r14, so unskewed lists still
+    // land one file each — the skew case is the next test).
     val asg = graft.rag.Search.corpus(spark, Sf)
       .withColumn("list_id", (col("vec_id") % 4).cast("int"))
       .select("vec_id", "list_id")
@@ -68,6 +69,49 @@ class SourcesSpec extends SparkSpec {
     assert(perDir.length === 4, s"expected 4 list dirs: ${perDir.mkString(",")}")
     perDir.foreach { case (d, n) =>
       assert(n === 1, s"$d must hold exactly one data file, found $n")
+    }
+  }
+
+  test("a skewed partition value splits across writer tasks, small ones stay one file") {
+    // r14 (ADVICE r13): a plain repartition(col) routed every partition
+    // VALUE through exactly one writer task — at corpus scale the biggest
+    // inverted list serialized through a single task. REBALANCE splits a
+    // list past the advisory size across tasks (a few extra files for the
+    // skewed list) while AQE-coalescing the small ones (still one file).
+    val conf = spark.conf
+    val prevAdvisory = conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1048576")
+    try {
+      import spark.implicits._
+      // incompressible-ish payload: AQE's split decision reads the
+      // COMPRESSED shuffle sizes, so constant padding would defeat it
+      val skewed = spark.range(0L, 100000L)
+        .map { i =>
+          val h = java.util.UUID.nameUUIDFromBytes(
+            BigInt(i).toByteArray).toString
+          (i, if (i < 99700L) 0 else (1 + (i % 3)).toInt, h + h)
+        }
+        .toDF("id", "list_id", "payload")
+      Warehouse.writePartitionedTable(skewed, "graft_spec_skewwrite", "list_id")
+      val loc = new java.io.File(
+        Warehouse.tableLocation(spark, "graft_spec_skewwrite").toUri.getPath)
+      val perDir = loc.listFiles().filter(_.getName.startsWith("list_id="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.getName.endsWith(".parquet"))).toMap
+      assert(perDir.keySet === Set("list_id=0", "list_id=1", "list_id=2", "list_id=3"))
+      assert(perDir("list_id=0") > 1,
+        s"the ~100k-row skewed list must split across writer tasks: $perDir")
+      Seq("list_id=1", "list_id=2", "list_id=3").foreach { d =>
+        assert(perDir(d) === 1, s"unskewed $d must stay one file: $perDir")
+      }
+      // and the read side still prunes to one value's files
+      val pruned = spark.table("graft_spec_skewwrite").filter(col("list_id") === 2)
+      assert(pruned.count() === 100L)
+    } finally {
+      prevAdvisory match {
+        case Some(v) => conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None => conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
   }
 
