@@ -266,12 +266,16 @@ object Pipeline {
     *  - `final_keep`: all of the above compose;
     *  - `n_tokens_clean`: the token count AFTER d13's substring-level
     *    span scrub — the number the surviving corpus actually
-    *    contributes to a token budget.
+    *    contributes to a token budget;
+    *  - `n_pii`: how many PII instances (emails + phones + IPs) t10's
+    *    scrub redacted from the shipped text (r14 — the row says not
+    *    just why a doc lives or dies but whether its text was altered).
     *
     * Scale shape: every input is an artifact the engine already
     * maintains — keep signals (one narrow pass + content-hash window),
     * the bucketed cluster table, d10's bounded-df index probe, d13's
-    * windowed scrub — and the composition itself is four doc_id
+    * windowed scrub, t10's per-doc redaction counts — and the
+    * composition itself is five doc_id
     * equi-joins the planner sizes (the flag sides are corpus-fraction
     * sets; AQE broadcasts while they fit). Nothing here adds a shuffle
     * the layers didn't already own, so the audit costs the sum of its
@@ -288,16 +292,24 @@ object Pipeline {
       .withColumn("ct", lit(true))
     val toks = Dedup.d13ScrubbedCorpus(spark, dir)
       .select(col("doc_id"), col("n_tokens_kept").as("n_tokens_clean"))
+    // r14 (verdict r13 #7): whether the shipped text was REDACTED —
+    // t10's per-class counts folded to one n_pii per doc, shared-CTE
+    // rule like the other layers (TextOps.PiiCteBody on the SQL side),
+    // one more doc_id equi-join on an artifact that already exists
+    val pii = TextOps.piiCounted(spark, dir)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("n_pii"))
     sig.join(drops, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
       .join(toks, Seq("doc_id"))
+      .join(pii, Seq("doc_id"))
       .withColumn("neardup_drop", coalesce(col("nd"), lit(false)))
       .withColumn("contaminated", coalesce(col("ct"), lit(false)))
       .withColumn("is_eval", col("doc_id") % Dedup.D10EvalMod === 0)
       .withColumn("final_keep", col("keep_quality") && !col("neardup_drop") &&
         !col("contaminated") && !col("is_eval"))
       .select("doc_id", "lang", "source", "keep_quality", "neardup_drop",
-        "contaminated", "is_eval", "final_keep", "n_tokens_clean")
+        "contaminated", "is_eval", "final_keep", "n_tokens_clean", "n_pii")
       .orderBy("doc_id")
   }
 
@@ -321,6 +333,7 @@ object Pipeline {
     // the composed one.
     "p8_curation_audit" -> (Dedup.D6ClusterCte + Dedup.D10SharedCteBody +
       Dedup.D13ScrubCteBody + ", " + TextOps.KeepSigCteBody.stripPrefix("WITH ") +
+      ", " + TextOps.PiiCteBody +
       s"""
          |, drops AS (
          |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
@@ -337,11 +350,13 @@ object Pipeline {
          |    AND k.lang IN ('en', 'de', 'fr'))
          |   AND dr.doc_id IS NULL AND ct.doc_id IS NULL
          |   AND k.doc_id % ${Dedup.D10EvalMod} <> 0) AS final_keep,
-         |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_clean
+         |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_clean,
+         |  CAST(pc.n_emails + pc.n_phones + pc.n_ips AS BIGINT) AS n_pii
          |FROM ksig k
          |LEFT JOIN drops dr ON dr.doc_id = k.doc_id
          |LEFT JOIN contam ct ON ct.doc_id = k.doc_id
          |LEFT JOIN agg a ON a.doc_id = k.doc_id
+         |JOIN piicnt pc ON pc.doc_id = k.doc_id
          |ORDER BY k.doc_id""".stripMargin),
 
     "p7_token_budget" ->

@@ -297,7 +297,17 @@ object TextOps {
     * so counts genuinely vary 0-2) with the identical concat in the
     * oracle — the graded artifact is the scrubbed text itself, so every
     * replacement position hashes cross-engine. */
-  def t10PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+  def t10PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiCounted(spark, dir)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean")
+      .orderBy("doc_id")
+
+  /** t10's PII fixture + per-class counts + scrubbed text as a reusable
+    * frame (r14): the p8 curation audit composes the total redaction
+    * count per document, so the construction lives once — the
+    * [[ScoredCteSql]] one-Spark-expression/one-SQL-fragment rule, with
+    * [[PiiCteBody]] as the SQL side. */
+  private[graft] def piiCounted(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     def s(c: Column): Column = c.cast("string")
     val pii = concat(col("text"),
@@ -316,8 +326,6 @@ object TextOps {
       .withColumn("n_ips",    size(regexp_extract_all(col("pii"), lit(IpRe), lit(0))).cast("long"))
       .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
         col("pii"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
-      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean")
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,28 +383,40 @@ object TextOps {
        |  FROM kc
        |)""".stripMargin
 
+  /** The SQL mirror of [[piiCounted]] as a WITH-less CTE body (piisrc/
+    * piicnt — names chosen to never collide with the dedup or keep-signal
+    * CTE chains), shared by the t10 oracle and the composed curation
+    * audit (P8): one Spark expression <-> one SQL fragment, the
+    * [[ScoredCteSql]] rule. */
+  private[graft] val PiiCteBody: String =
+    s"""piisrc AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+       |    || CASE WHEN doc_id % 4 <> 1 THEN ' tel +1-555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 5 <> 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' cc backup' || CAST(doc_id AS VARCHAR)
+       |         || '@alt.org' ELSE '' END AS pii
+       |  FROM documents
+       |), piicnt AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(pii, '$EmailRe')) AS n_emails,
+       |    len(regexp_extract_all(pii, '$PhoneRe')) AS n_phones,
+       |    len(regexp_extract_all(pii, '$IpRe')) AS n_ips,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      pii, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+       |      '$IpRe', '<IP>', 'g') AS clean
+       |  FROM piisrc
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t10_pii_scrub" ->
-      s"""WITH p AS (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-         |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
-         |    || CASE WHEN doc_id % 4 <> 1 THEN ' tel +1-555-'
-         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-         |    || CASE WHEN doc_id % 5 <> 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
-         |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
-         |    || CASE WHEN doc_id % 11 = 0 THEN ' cc backup' || CAST(doc_id AS VARCHAR)
-         |         || '@alt.org' ELSE '' END AS pii
-         |  FROM documents
-         |)
-         |SELECT doc_id,
-         |  len(regexp_extract_all(pii, '$EmailRe')) AS n_emails,
-         |  len(regexp_extract_all(pii, '$PhoneRe')) AS n_phones,
-         |  len(regexp_extract_all(pii, '$IpRe')) AS n_ips,
-         |  regexp_replace(regexp_replace(regexp_replace(
-         |    pii, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
-         |    '$IpRe', '<IP>', 'g') AS clean
-         |FROM p ORDER BY doc_id""".stripMargin,
+      (s"WITH $PiiCteBody" +
+        """
+          |SELECT doc_id, n_emails, n_phones, n_ips, clean
+          |FROM piicnt ORDER BY doc_id""".stripMargin),
 
     "t1_langid" ->
       s"""WITH t AS (

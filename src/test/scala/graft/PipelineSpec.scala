@@ -7,6 +7,20 @@ import graft.rag.Chunking
 
 class PipelineSpec extends SparkSpec {
 
+  test("P8: the audit's n_pii is exactly t10's per-doc redaction total") {
+    // r14: the data-card row reports whether the shipped text was
+    // redacted — composed from the same shared construction t10 grades,
+    // so the two artifacts can never disagree per document
+    val p8 = Pipeline.p8CurationAudit(spark, Sf).select("doc_id", "n_pii")
+    val t10 = graft.text.TextOps.t10PiiScrub(spark, Sf)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("t_total"))
+    val joined = p8.join(t10, "doc_id")
+    assert(joined.count() === p8.count(), "every audit row must join t10")
+    assert(joined.filter(col("n_pii") =!= col("t_total")).count() === 0L)
+    assert(p8.filter(col("n_pii") > 0).count() > 0, "fixture must inject PII")
+  }
+
   test("P2: balanced sampling moves the token mix toward equal shares") {
     val docs = Tables.documents(spark, Sf)
       .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_words"))
