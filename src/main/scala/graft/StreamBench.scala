@@ -197,6 +197,45 @@ object StreamBench {
       ((nEv / sec).round, sec / nBatches)
     }
 
+    // ---- H12/H14: streamed index-append throughput (r14, verdict #6) ----
+    // The per-batch cost of the two foreachBatch index writers: H12
+    // coarse-assigns the batch against the versioned centroid artifact and
+    // writes one committed ingest dir; H14 additionally PQ-encodes against
+    // the versioned codebook. Same methodology as mv_batch: sweep the
+    // micro-batch size at a bounded load, report rows/s + ms/batch — the
+    // numbers that size maxOffsetsPerTrigger for a production vector
+    // ingest. Both writers re-derive the centroid/codebook artifact from
+    // corpusSource every batch (the a20 versioned-artifact rule), so the
+    // measured fixed cost includes that derivation — exactly what a
+    // per-batch caller pays.
+    def mkVec(i: Long): Streams.IvfVec = Streams.IvfVec(i, (i % 10).toInt,
+      Seq.tabulate(64)(j => (((i * 31 + j * 17) % 97).toFloat / 97f) - 0.5f))
+    val ivfCorpus = spark.createDataset((0L until 2000L).map(mkVec))
+      .toDF().withColumn("nrm", graft.functions.Vec.norm2Native($"v"))
+    def ivfBatchSweep(pq: Boolean, batchSize: Int, nEv: Int): (Long, Double) = {
+      val tag = if (pq) "h14" else "h12"
+      val indexDir = java.nio.file.Files
+        .createTempDirectory(s"graft_sbench_${tag}_$batchSize").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sbench_${tag}ckpt").toString
+      val in = MemoryStream[Streams.IvfVec]
+      val q =
+        if (pq) Streams.streamingIvfPqAppend(in.toDF(), indexDir, ivfCorpus, ckpt)
+        else Streams.streamingIvfAppend(in.toDF(), indexDir, ivfCorpus, ckpt)
+      val t = System.nanoTime()
+      (0 until nEv grouped batchSize).foreach { g =>
+        in.addData(g.map(i => mkVec(1000000L + i)))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      q.stop()
+      // guard: every fed row must be readable through the commit contract
+      val got = Streams.readIvfIndex(spark, indexDir).count()
+      require(got == nEv, s"$tag append lost rows: $got != $nEv")
+      val nBatches = (nEv + batchSize - 1) / batchSize
+      ((nEv / sec).round, sec / nBatches * 1000)
+    }
+
     val fmtD = (v: Double) => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // 100x headline key cardinality (r7 swept 10x): 100k live keys is the
     // regime where a per-key-state bug shows super-linear bytes or falling
@@ -221,7 +260,18 @@ object StreamBench {
       s"""{"batch":$b,"rows_per_sec":$rps,"ms_per_batch":${fmtD(secPerBatch * 1000)}}"""
     }.mkString("[", ",", "]")
 
-    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2,"mv_merge":$r3,"scale":{"ttl":$ttlScale,"mv":$mvScale,"mv_batch":$mvBatch}}""")
+    // index-append sweep points mirror mv_batch's: >=4 batches per point
+    // for a stable average, load capped so the 1k point stays seconds
+    val ivfAppend = Seq(false, true).map { pq =>
+      val pts = Seq(1000, 5000, 20000).map { b =>
+        val nEvB = math.max(4 * b, math.min(20 * b, 40000))
+        val (rps, msPerBatch) = ivfBatchSweep(pq, b, nEvB)
+        s"""{"batch":$b,"rows_per_sec":$rps,"ms_per_batch":${fmtD(msPerBatch)}}"""
+      }.mkString("[", ",", "]")
+      (if (pq) "ivfpq_append" else "ivf_append") -> pts
+    }.toMap
+
+    println(s"""{"metric":"stream_rows_per_sec","n":$n,"windowed_counts":$r1,"ttl_state":$r2,"mv_merge":$r3,"scale":{"ttl":$ttlScale,"mv":$mvScale,"mv_batch":$mvBatch,"ivf_append":${ivfAppend("ivf_append")},"ivfpq_append":${ivfAppend("ivfpq_append")}}}""")
     spark.stop()
   }
 }
