@@ -106,17 +106,41 @@ object IoBytesDial {
         .map(classifyOne).distinct
       if (classes.size == 1) classes.head else "mixed"
     }
+    val medianSec = scala.collection.mutable.Map.empty[String, Double]
     members.foreach { case (name, mk) =>
       mk().count() // cold: index/codebook builds — excluded from measure
-      val t0 = System.nanoTime()
-      val (rows, reads) = ScanBytes.selectedScanReads(mk())
-      val sec = (System.nanoTime() - t0) / 1e9
+      // median of 5 timed executions: the alpha derivation below is a
+      // wall-time RATIO, and single runs on this VM are ±25% (PLANS
+      // §r14 noise envelope) — bytes are deterministic, times are not
+      val timed = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val r = ScanBytes.selectedScanReads(mk())
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (sec, (rows, reads)) = timed.sortBy(_._1)(Ordering.Double.TotalOrdering)
+        .apply(timed.size / 2)
+      medianSec(name) = sec
       val by = reads.groupBy(classify)
         .view.mapValues(rs => (rs.map(_.files).sum, rs.map(_.bytes).sum)).toMap
       def b(k: String): Long = by.get(k).map(_._2).getOrElse(0L)
       def fl(k: String): Long = by.get(k).map(_._1).getOrElse(0L)
       emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"mixed_bytes":${b("mixed")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
     }
+
+    // The AdcAlpha RE-MEASURE path (r14, verdict r13 #2 tail: "nothing
+    // re-measures it"): Router.AdcAlpha = 1.63 is the sf10 box anchor
+    // (66.8 = 40.1·(alpha·N + R)/N at N=200k, R=7518). a1_brute and
+    // a5_pq_flat_adc both scan all N per query — exact dot vs ADC gather
+    // — so after subtracting the shared query-extract floor, their
+    // wall-time ratio IS alpha on whatever box runs this harness. A
+    // deployment re-derives its own anchor here instead of inheriting
+    // this box's; the router takes it as a plain argument change.
+    for {
+      floor <- medianSec.get("query_extract")
+      brute <- medianSec.get("a1_brute")
+      adc <- medianSec.get("a5_pq_flat_adc")
+      if brute > floor
+    } emit(s"""{"harness":"io_bytes","adc_alpha_measured":${String.format(java.util.Locale.ROOT, "%.2f", Double.box((adc - floor) / (brute - floor)))},"router_adc_alpha":${graft.ann.Router.AdcAlpha},"derivation":"(adc_scan - extract_floor) / (brute_scan - extract_floor), median of 5","note":"small-corpus ratio is noisier than the sf10 anchor; re-derive at deployment scale before overriding route(alpha)"}""")
 
     outJson.foreach { pth =>
       java.nio.file.Files.write(java.nio.file.Paths.get(pth),

@@ -79,8 +79,12 @@ object Router {
   /** Measured on THIS box (PLANS §clustered-corpus, sf10, N=200k):
     * 66.8 s = 40.1 s · (alpha·N + R)/N at R=7518 → alpha = 1.63. The ADC
     * gather beats a codegen'd dot only on bytes, never on cycles here.
-    * Re-measure path: [[graft.IoBytesDial]] produces the two wall-times
-    * the derivation needs on any box. */
+    * Re-measure path (r14): [[graft.IoBytesDial]] emits
+    * `adc_alpha_measured` — the floor-subtracted ADC/brute scan ratio on
+    * whatever box runs it — and [[route]] takes `alpha` as a parameter,
+    * so a deployment overrides this box's anchor without a code change
+    * (the registered a21 queries keep the default; a compute-regime
+    * alpha > 1 keeps the reachable-set proof and the gated oracle). */
   val AdcAlpha = 1.63
 
   /** float32 payload bytes per vector row — 4·dim, derived LIVE from the
@@ -122,7 +126,9 @@ object Router {
             maxScanFraction: Double = 0.25,
             maxRerank: Int = 65536,
             retrieval: Retrieval = RowStore,
-            dim: Int = 64, pqM: Int = Pq.M): RouteDecision = {
+            dim: Int = 64, pqM: Int = Pq.M,
+            alpha: Double = AdcAlpha): RouteDecision = {
+    require(alpha > 0.0, s"alpha $alpha")
     val VecBytes = vecBytesOf(dim)
     val CodeBytes = codeBytesOf(pqM)
     require(n > 0, s"n $n")
@@ -148,8 +154,8 @@ object Router {
       case ComputeBound => (
         n.toDouble,
         nlists.toDouble + nprobeNeed.toDouble * occupancy.toDouble,
-        nlists.toDouble + AdcAlpha * (nprobeNeed.toDouble * occupancy.toDouble) + depth.toDouble,
-        AdcAlpha * n.toDouble + depth.toDouble)
+        nlists.toDouble + alpha * (nprobeNeed.toDouble * occupancy.toDouble) + depth.toDouble,
+        alpha * n.toDouble + depth.toDouble)
       case IoBound =>
         // refine-retrieval bytes per the storage precondition (measured,
         // IOBYTES_r13.json): RowStore fetches exactly the R shortlist

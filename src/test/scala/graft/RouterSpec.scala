@@ -205,6 +205,25 @@ class RouterSpec extends SparkSpec {
     }
   }
 
+  test("alpha is a live parameter: the box anchor is overridable, laws hold") {
+    // r14: IoBytesDial emits adc_alpha_measured; route() consumes it here.
+    // The compute reachable-set proof needs only alpha > 1 — any such box
+    // still never routes a code-scanning family under compute
+    Seq(1.01, 1.63, 5.0).foreach { a =>
+      val d = Router.route(200000L, 2371L, 7, 0.9, ComputeBound, alpha = a)
+      assert(d.family === "brute" || d.family === "ivf_flat", s"alpha=$a: $d")
+      assert(d.costPq > d.costBrute && d.costIvfPqR > d.costIvf)
+    }
+    // a hypothetical box where the ADC gather IS cheaper than the dot
+    // (alpha < 1) may route flat-PQ under compute — the parameter is live,
+    // not decorative (registered queries pin the measured default)
+    val cheapAdc = Router.route(10000000L, 20000L, 2000, 0.9, ComputeBound,
+      alpha = 0.2)
+    assert(cheapAdc.family === "pq_rerank", s"alpha=0.2 must flip: $cheapAdc")
+    intercept[IllegalArgumentException](
+      Router.route(100L, 10L, 1, 0.9, ComputeBound, alpha = 0.0))
+  }
+
   test("io-regime dispatch (a21_routed_topk_io) is the io winner's plan") {
     // r14 (verdict r13 #3): the path a cluster caller takes by default —
     // IoBound + this repo's PartitionStore warehouse — as a graded query.
