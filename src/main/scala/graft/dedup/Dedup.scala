@@ -243,6 +243,67 @@ object Dedup {
   def d3Simhash(spark: SparkSession, dir: String): DataFrame =
     d3SimhashChunked(spark, dir, chunkCount = 4)
 
+  /** The 120-bit signature table (doc_id, sig0, sig1): two INDEPENDENT
+    * md5-derived 60-bit halves (h60(w) and the seeded h60("1:" + w)), all
+    * 120 bit-sums as map-side partial aggregates in the SAME single
+    * groupBy shape as [[simhashSig]] — the wide build costs one more
+    * column pass, never a second shuffle. */
+  private def simhashSigWide(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_shsigw_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val tok = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("h0", DetHash.h60(col("w")))
+          .withColumn("h1", DetHash.h60Seeded(lit(1), col("w")))
+        val bitAggs =
+          (0 until 60).map(b => sum(expr(s"2 * ((h0 >> $b) & 1) - 1")).as(s"a$b")) ++
+            (0 until 60).map(b => sum(expr(s"2 * ((h1 >> $b) & 1) - 1")).as(s"b$b"))
+        val sig = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(b => when(col(s"a$b") > 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("sig0"),
+            (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("sig1"))
+        Warehouse.writeBucketed(sig, t, "doc_id")
+      }
+    }
+    spark.table(t)
+  }
+
+  /** C3b (d3w, r14): the WIDE SimHash the C3 scaladoc promised for the
+    * regime where n^2/2^15 bucket pressure bites (~100 TB corpora) — a
+    * 120-bit signature as two independent 60-bit halves, blocked by
+    * 4 x 30-bit chunks (bucket occupancy n/2^30, a 32,768x pressure drop
+    * vs d3's 15-bit chunks) with the IDENTICAL plan shape: equality join
+    * on (chunk, value), exact hamming verification. Pigeonhole holds
+    * unchanged (hamming <= 3 over any 4 chunks leaves one untouched).
+    * Semantics: hamming <= 3 over 120 bits is a STRICTER near-dup bar
+    * than over 60 (the wide form trades borderline recall for bucket
+    * pressure — spec pins d3w pairs ⊆ d3 pairs, exact dups at hamming 0);
+    * a deployment matching d3's cosine bar instead would raise the
+    * threshold and the chunk count together (7 x ~17-bit chunks). */
+  def d3wSimhashWide(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigWide(spark, dir)
+    val mask = (1L << 30) - 1
+    val chunks = sig.select(col("doc_id"), col("sig0"), col("sig1"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("cv", expr(
+        s"CASE WHEN c < 2 THEN (sig0 >> (30 * c)) & $mask" +
+          s" ELSE (sig1 >> (30 * (c - 2))) & $mask END"))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig0").as("sa0"), col("x.sig1").as("sa1"),
+        col("y.sig0").as("sb0"), col("y.sig1").as("sb1"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(sa0 ^ sb0) + bit_count(sa1 ^ sb1)"))
+      .filter(col("hamming") <= D3Hamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   private[graft] def d3SimhashChunked(spark: SparkSession, dir: String,
                                       chunkCount: Int): DataFrame = {
     require(60 % chunkCount == 0 && chunkCount > D3Hamming,
@@ -752,6 +813,7 @@ object Dedup {
     "d2_minhash_lsh"       -> ((s, d) => d2MinhashLsh(s, d)),
     "d2s_minhash_lsh_sampled" -> ((s, d) => d2sMinhashLshSampled(s, d)),
     "d3_simhash"           -> ((s, d) => d3Simhash(s, d)),
+    "d3w_simhash_wide"     -> ((s, d) => d3wSimhashWide(s, d)),
     "d4_ngram_jaccard"     -> ((s, d) => d4NgramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
     "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
@@ -1183,6 +1245,44 @@ object Dedup {
         |)
         |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand
         |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d3w (r14): the 120-bit wide form — second half seeded '1:' || w
+    // (DetHash.h60Seeded's exact concat), 4 x 30-bit chunks, hamming
+    // summed over both halves
+    "d3w_simhash_wide" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1,2
+        |), wh AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h0,
+        |    CAST('0x' || substr(md5('1:' || w), 1, 15) AS BIGINT) AS h1,
+        |    cnt FROM wc
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(cnt * (2 * ((h0 >> b) & 1) - 1)) AS s0,
+        |    sum(cnt * (2 * ((h1 >> b) & 1) - 1)) AS s1
+        |  FROM wh, range(0, 60) t(b) GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s0 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig0,
+        |    CAST(sum(CASE WHEN s1 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig1
+        |  FROM bits GROUP BY 1
+        |), chunks AS (
+        |  SELECT doc_id, sig0, sig1, c,
+        |    CASE WHEN c < 2 THEN (sig0 >> (30 * c)) & 1073741823
+        |         ELSE (sig1 >> (30 * (c - 2))) & 1073741823 END AS cv
+        |  FROM sig, range(0, 4) t(c)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.sig0 AS sa0, a.sig1 AS sa1, b.sig0 AS sb0, b.sig1 AS sb1
+        |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1)) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH sh AS (

@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(sim.filter(col("hamming") > 3).count() == 0)
   }
 
+  test("d3w wide simhash: stricter-threshold subset of d3, exact dups at hamming 0") {
+    // r14: hamming <= 3 over 120 bits implies the sig0 half is within 3,
+    // and d3's 15-bit pigeonhole blocking catches every such pair — so
+    // every wide pair must appear in d3 with a hamming no larger than the
+    // wide one's (the wide form only tightens the bar)
+    val wide = Dedup.d3wSimhashWide(spark, Sf).collect()
+    assert(wide.nonEmpty, "corpus has exact dups; they collide at hamming 0")
+    val narrow = Dedup.d3Simhash(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    wide.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(narrow.contains(pair), s"wide pair $pair missing from d3")
+      assert(r.getAs[Int]("hamming") >= narrow(pair),
+        "120-bit hamming is a superset sum of the 60-bit half's")
+    }
+    assert(wide.exists(_.getAs[Int]("hamming") == 0),
+      "exact duplicates must collide on both independent halves")
+  }
+
   test("simhash chunk blocking is pigeonhole-complete at multiple configs") {
     // hamming <= 3 bits over c equal chunks leaves >= 1 chunk equal for any
     // c > 3 — so 4x15-bit and 6x10-bit blocking must enumerate EXACTLY the
