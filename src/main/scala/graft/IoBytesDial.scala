@@ -124,7 +124,7 @@ object IoBytesDial {
         .view.mapValues(rs => (rs.map(_.files).sum, rs.map(_.bytes).sum)).toMap
       def b(k: String): Long = by.get(k).map(_._2).getOrElse(0L)
       def fl(k: String): Long = by.get(k).map(_._1).getOrElse(0L)
-      emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"mixed_bytes":${b("mixed")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
+      emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"mixed_bytes":${b("mixed")},"mixed_files":${fl("mixed")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
     }
 
     // The AdcAlpha RE-MEASURE path (r14, verdict r13 #2 tail: "nothing
@@ -139,7 +139,10 @@ object IoBytesDial {
       floor <- medianSec.get("query_extract")
       brute <- medianSec.get("a1_brute")
       adc <- medianSec.get("a5_pq_flat_adc")
-      if brute > floor
+      // BOTH scans must clear the shared floor — otherwise noise could
+      // emit a zero/negative alpha that route(alpha=...) rejects (or a
+      // tiny-positive one that silently flips every compute decision)
+      if brute > floor && adc > floor
     } emit(s"""{"harness":"io_bytes","adc_alpha_measured":${String.format(java.util.Locale.ROOT, "%.2f", Double.box((adc - floor) / (brute - floor)))},"router_adc_alpha":${graft.ann.Router.AdcAlpha},"derivation":"(adc_scan - extract_floor) / (brute_scan - extract_floor), median of 5","note":"small-corpus ratio is noisier than the sf10 anchor; re-derive at deployment scale before overriding route(alpha)"}""")
 
     outJson.foreach { pth =>

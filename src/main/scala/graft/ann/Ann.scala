@@ -146,8 +146,18 @@ object Ann {
     val perList = listProbes(e, nprobe, nlists, qmod)
       .groupBy(col("list_id")).agg(count(lit(1)).as("probe_rows"))
       .collect()
-    fixedQGuard(perList.map(_.getLong(1)).sum, "probedListIds")
-    perList.map(_.getLong(0)).toSeq
+    // guard on the QUERY count (probe rows / rows-per-query), the same
+    // unit every other entry point guards — guarding raw probe rows would
+    // make the PRUNED serving paths throw at corpus sizes where their
+    // unpruned twins (broadcasting the identical probe set) succeed
+    val rowsPerQuery = math.max(1, math.min(nprobe, nlists))
+    fixedQGuard(perList.map(_.getLong(1)).sum / rowsPerQuery, "probedListIds")
+    // SORTED (r14, the a13z precedent): the ids land in static `IN`
+    // partition filters, so their order is part of the plan FINGERPRINT —
+    // a distributed collect's order varies across sessions on identical
+    // code (observed: a21_routed_topk_io fluttered between same-code
+    // sessions), a sorted set never does
+    perList.map(_.getLong(0)).sorted.toSeq
   }
 
   private def ivfListTable(spark: SparkSession, dir: String,

@@ -204,7 +204,12 @@ object Router {
     // aggregate deterministic and matches the oracle's max(len(v)))
     val head = Search.corpus(spark, dir)
       .agg(count(lit(1)), max(size(col("v")))).head()
-    val (n, dim) = (head.getLong(0), head.getInt(1))
+    val n = head.getLong(0)
+    // empty corpus: max(size) is NULL — fail with the family's diagnostic
+    // instead of an NPE (the pre-r14 count()-only path got this free from
+    // nlistsFor's require)
+    require(n > 0, s"router stats: empty corpus at $dir")
+    val dim = head.getInt(1)
     val nlists = Ann.nlistsFor(n)
     (n, Ann.occupancyEstimate(spark, dir, nlists),
       Ann.splinterEstimate(spark, dir, nlists), dim)

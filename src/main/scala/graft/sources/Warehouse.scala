@@ -60,12 +60,23 @@ object Warehouse {
     // pins it) while splitting a list past the advisory partition size
     // across writer tasks: a skewed list costs a few extra files, never
     // a single-task write.
-    df.hint("rebalance", org.apache.spark.sql.functions.col(partCol))
+    clusterByPartition(df, partCol)
       .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .partitionBy(partCol)
       .saveAsTable(table)
   }
+
+  /** The ONE clustering shuffle every partitioned write shares (r14 —
+    * the skew fix belongs to the mechanism, not a call site): REBALANCE
+    * on the partition column clusters rows per value (one file per
+    * unskewed partition — the IOBYTES small-file fix) while letting AQE
+    * split a value past the advisory size across writer tasks, so the
+    * biggest inverted list never serializes through a single task. Used
+    * by [[writePartitionedTable]], [[compactPartitioned]], and the H13
+    * streamed-index fold ([[graft.streaming.Streams]] compactIvfIndex). */
+  private[graft] def clusterByPartition(df: DataFrame, partCol: String): DataFrame =
+    df.hint("rebalance", org.apache.spark.sql.functions.col(partCol))
 
   /** The single source of truth for where a warehouse table's files live
     * (warehouse root + lowercased name). Every path-level operation —
@@ -248,9 +259,10 @@ object Warehouse {
     * millions of small files dominates query latency long before data
     * volume does.
     *
-    * One hash repartition on the partition column routes every partition
-    * value to exactly ONE task, so the rewrite emits exactly one file per
-    * partition directory (row content and the partition layout — and
+    * One clustering shuffle on the partition column ([[clusterByPartition]]
+    * — REBALANCE, r14) emits one file per unskewed partition directory
+    * while a skewed value splits across writer tasks instead of
+    * serializing through one (row content and the partition layout — and
     * therefore partition pruning — are untouched; SourcesSpec asserts all
     * three). The rewritten tree is staged beside the original and swapped
     * in with two FS renames — the smallest non-transactional swap window;
@@ -263,8 +275,7 @@ object Warehouse {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true): Unit
-    spark.read.parquet(path)
-      .repartition(col(partCol))
+    clusterByPartition(spark.read.parquet(path), partCol)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     if (fs.exists(old)) fs.delete(old, true): Unit

@@ -346,8 +346,9 @@ object Streams {
     * exactly the small-files wall compactPartitioned was built to repair.
     *
     * Cost is O(moved rows): one pruned read of the committed dirs, one
-    * hash repartition on list_id (one file per inverted list, the
-    * canonical index layout), one partitioned write. Commit protocol
+    * clustering shuffle on list_id (Warehouse.clusterByPartition — one
+    * file per unskewed inverted list, a skewed list splits across writer
+    * tasks, r14), one partitioned write. Commit protocol
     * (scaladoc at [[FoldManifestPrefix]]): data first under
     * `ingest=compact_<k>` (k deterministic — max committed compact id
     * + 1, so a crashed attempt is overwritten, never leaked), then the
@@ -384,9 +385,8 @@ object Streams {
     // (vec_id, label, v, nrm), the H14 code layout (vec_id, code*, cn*) —
     // either way `ingest` is commit bookkeeping, not index content, and
     // list_id is the partition key both layouts share
-    readIvfIndex(spark, indexDir)
-      .drop("ingest")
-      .repartition(col("list_id"))
+    graft.sources.Warehouse.clusterByPartition(
+        readIvfIndex(spark, indexDir).drop("ingest"), "list_id")
       .write.mode("overwrite")
       .partitionBy("list_id")
       .parquet(s"$indexDir/ingest=$compactTag")

@@ -18,15 +18,15 @@ class DedupSpec extends SparkSpec {
     // r14: the sampled twin grades the same verification formula over the
     // 1-in-D2sMod candidate sample — it must BE the full run's subset,
     // never a re-derivation that could drift (the d7s/a22s rule)
-    val full = Dedup.d2MinhashLsh(spark, Sf).collect()
-      .filter(_.getAs[Long]("doc_a") % Dedup.D2sMod == 0)
+    val d2Rows = Dedup.d2MinhashLsh(spark, Sf).collect()
+    val full = d2Rows.filter(_.getAs[Long]("doc_a") % Dedup.D2sMod == 0)
     val sampled = Dedup.d2sMinhashLshSampled(spark, Sf).collect()
     assert(sampled.length === full.length,
       s"sampled ${sampled.length} vs full-subset ${full.length}")
     assert(sampled.sameElements(full))
     // the un-sampled smod=1 degenerate must reproduce d2 exactly
     val all = Dedup.d2sMinhashLshSampled(spark, Sf, smod = 1).collect()
-    assert(all.sameElements(Dedup.d2MinhashLsh(spark, Sf).collect()))
+    assert(all.sameElements(d2Rows))
   }
 
   test("simhash near-dups are within hamming 3 and agree with minhash dups") {
