@@ -85,6 +85,38 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // Host-speed probe + wall-clock offsets (r15, the r14 drift lesson):
+    // the driver's r14 run showed "every RAG query ~2x" that looked
+    // family-structured — mapping ratios onto RUN ORDER showed it was a
+    // CONTIGUOUS 16-query time window at the session's tail (r19..t2 in
+    // ASCII order), i.e. a transient host event, with the family
+    // correlation an artifact of alphabetical order putting r*/t* last.
+    // Attributing that took a round. Two per-query fields make it one
+    // look: `t_off` (seconds since bench start at the query's measured
+    // block) exposes temporal contiguity; `probe_ms` times a FIXED
+    // single-thread CPU spin (xorshift64*, constant iteration count — no
+    // runtime calibration, which a slow window would poison) immediately
+    // before the measured runs. Reading: contiguous t_off block with
+    // elevated probes = host CPU interference (steal/frequency); a
+    // contiguous block with FLAT probes = IO-side interference (page
+    // cache, disk); scattered drift with elevated gc_ms = heap pressure;
+    // none of the above + changed fingerprint = a real plan change.
+    def probeMs(): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 25)) { // fixed work: ~20 ms on a quiet core
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1000000L
+      if (x * 0x2545f4914f6cdd1dL == 42L) System.err.println("[bench] probe sink")
+      dt
+    }
+    (1 to 5).foreach(_ => probeMs()) // JIT-warm the spin loop itself
+    val benchT0 = System.nanoTime()
+    case class QRes(name: String, dt: Double, cold: Double, flaky: Int,
+                    fp: String, gc: Long, tOff: Double, probe: Long)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def run(): (Double, Long) = {
@@ -101,6 +133,10 @@ object Bench {
         (if (ok) dt else -dt, gcMs() - g0)
       }
       val (cold, _) = run()
+      // probe AFTER the cold run, BEFORE the measured block: it times the
+      // host during the window whose median the JSON reports
+      val tOff = (System.nanoTime() - benchT0) / 1e9
+      val probe = probeMs()
       val runs = (1 to n).map(_ => run())
       val times = runs.map(_._1)
       // gc attributed to the MEDIAN-defining population: sum over the
@@ -144,7 +180,8 @@ object Bench {
       } catch { case _: Throwable => "err" }
       // the cold run counts toward flaky too: a build-path failure that
       // warm retries paper over must not vanish from the JSON
-      (name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0), fp, gc)
+      QRes(name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0),
+        fp, gc, tOff, probe)
     }
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
@@ -153,25 +190,25 @@ object Bench {
       val p = if (a >= 100) "%.0f" else if (a >= 10) "%.1f" else "%.2f"
       String.format(java.util.Locale.ROOT, p, Double.box(v))
     }
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.dt))
       .mkString("{", ",", "}")
     // failed queries carry negative markers: exclude them from the headline
     // total (summing them in would make a failure look like a speedup); a
     // query that failed on ANY run also lands in "flaky" with its failure
     // count, so partial failures are visible in the JSON, not just stderr.
-    val total = results.collect { case (_, v, _, _, _, _) if v > 0 => v }.sum
-    val coldTotal = results.collect { case (_, _, c, _, _, _) if c > 0 => c }.sum
+    val total = results.collect { case r if r.dt > 0 => r.dt }.sum
+    val coldTotal = results.collect { case r if r.cold > 0 => r.cold }.sum
     // Cold (build-paying) times are reported only where they matter — first
     // run >2x the median (the index-building queries; listing all ~100
     // would double the line for pure noise) — plus any FAILED cold, which
     // keeps its negative marker so a broken build path stays visible.
-    val colds = results.collect { case (k, v, c, _, _, _) if v > 0 && (c < 0 || c > 2 * v) =>
-      "\"" + k + "\":" + fmt(c)
+    val colds = results.collect { case r if r.dt > 0 && (r.cold < 0 || r.cold > 2 * r.dt) =>
+      "\"" + r.name + "\":" + fmt(r.cold)
     }
     val coldField = if (colds.isEmpty) "" else colds.mkString(",\"cold\":{", ",", "}")
-    val flaky = results.collect { case (k, _, _, f, _, _) if f > 0 => "\"" + k + "\":" + f }
+    val flaky = results.collect { case r if r.flaky > 0 => "\"" + r.name + "\":" + r.flaky }
     val flakyField = if (flaky.isEmpty) "" else flaky.mkString(",\"flaky\":{", ",", "}")
-    val plans = results.map { case (k, _, _, _, fp, _) => "\"" + k + "\":\"" + fp + "\"" }
+    val plans = results.map(r => "\"" + r.name + "\":\"" + r.fp + "\"")
       .mkString(",\"plans\":{", ",", "}")
     // Plan-change attribution, automated: diff this run's fingerprints
     // against the PREVIOUS BENCH_FULL.json (about to be overwritten). A
@@ -204,9 +241,9 @@ object Bench {
     val prevPlans =
       if (readPrevSf(outPath).exists(_ != sfName)) Map.empty[String, String]
       else readPrevPlans(outPath)
-    val changed = results.collect { case (k, _, _, _, fp, _)
-      if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") =>
-        "\"" + k + "\":\"" + prevPlans(k) + "\""
+    val changed = results.collect { case r
+      if prevPlans.get(r.name).exists(old => old != r.fp && r.fp != "err" && old != "err") =>
+        "\"" + r.name + "\":\"" + prevPlans(r.name) + "\""
     }
     if (changed.nonEmpty)
       System.err.println(s"[bench] ${changed.size} plan fingerprint(s) changed since last run")
@@ -225,8 +262,8 @@ object Bench {
     // FP_ALLOW file (first non-comment line) — the driver doesn't set env
     // vars, so a round that intentionally re-plans a family declares it in
     // the repo where the round log (and the next committer) can read it.
-    val changedNames = results.collect { case (k, _, _, _, fp, _)
-      if prevPlans.get(k).exists(old => old != fp && fp != "err" && old != "err") => k }
+    val changedNames = results.collect { case r
+      if prevPlans.get(r.name).exists(old => old != r.fp && r.fp != "err" && old != "err") => r.name }
     val allowSpec = sys.env.get("SPARK_GRAFT_FP_ALLOW")
       .orElse(readAllowFile("FP_ALLOW")).getOrElse("")
     val violations = fpViolations(changedNames, allowSpec)
@@ -240,11 +277,19 @@ object Bench {
     // for nothing), plus the session total. Reading: a blown-up median
     // with unchanged fingerprint AND a blown-up gc entry = heap pressure;
     // without one = scheduler/IO interference.
-    val gcTotal = results.map(_._6).sum
-    val gcs = results.collect { case (k, _, _, _, _, g) if g > 200 =>
-      "\"" + k + "\":" + g }
+    val gcTotal = results.map(_.gc).sum
+    val gcs = results.collect { case r if r.gc > 200 =>
+      "\"" + r.name + "\":" + r.gc }
     val gcField = (if (gcs.isEmpty) "" else gcs.mkString(",\"gc_ms\":{", ",", "}")) +
       s""","gc_total_ms":$gcTotal"""
+    // Drift-attribution fields (see probeMs above): full maps, file-only
+    // cost — the driver's short line is unaffected. t_off at 0.1 s
+    // granularity (window attribution needs minutes, not ms).
+    val tOffField = results.map(r => "\"" + r.name + "\":" +
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(r.tOff)))
+      .mkString(",\"t_off\":{", ",", "}")
+    val probeField = results.map(r => "\"" + r.name + "\":" + r.probe)
+      .mkString(",\"probe_ms\":{", ",", "}")
     // External perf anchor (r8 verdict #5): ORACLE_TIMES.json carries
     // per-query DuckDB wall-times for the SAME oracle SQL over the SAME
     // parquet (produced by tools/oracle_times.py, committed). When its sf
@@ -255,7 +300,7 @@ object Bench {
     // "build once, probe forever" contract), computed over the
     // intersection of query names. Absent/mismatched file = no field.
     val oracleField = oracleSummary("ORACLE_TIMES.json", sfName,
-      results.collect { case (k, v, _, _, _, _) if v > 0 => k -> v }.toMap)
+      results.collect { case r if r.dt > 0 => r.name -> r.dt }.toMap)
     // Scale anchor (r8 verdict #3): BENCH_SF1.json is the committed
     // full-detail line of a bench run over the 10x-replicated sf1 corpus
     // (tools/scale_testdata.py; run with SPARK_GRAFT_SF_DIR=testdata_sf1
@@ -265,7 +310,7 @@ object Bench {
     // (scale ~10x), which sit on the per-job floor (scale ~1x), and
     // which grew superlinearly (a shape that would not survive 100x)".
     val sf1Field = sf1Summary("BENCH_SF1.json", sfName,
-      results.collect { case (k, v, _, _, _, _) if v > 0 => k -> v }.toMap)
+      results.collect { case r if r.dt > 0 => r.name -> r.dt }.toMap)
     // Two stdout lines. The first carries everything (per-query medians,
     // build-paying cold times, flaky counts) for humans and the repo log;
     // at ~100 queries it exceeds the 2000-char stdout tail the driver
@@ -273,7 +318,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$oracleField$sf1Field,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$tOffField$probeField$oracleField$sf1Field,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get(outPath)

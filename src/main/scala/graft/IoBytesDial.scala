@@ -107,6 +107,7 @@ object IoBytesDial {
       if (classes.size == 1) classes.head else "mixed"
     }
     val medianSec = scala.collection.mutable.Map.empty[String, Double]
+    var mixedTotal = 0L
     members.foreach { case (name, mk) =>
       mk().count() // cold: index/codebook builds — excluded from measure
       // median of 5 timed executions: the alpha derivation below is a
@@ -124,8 +125,20 @@ object IoBytesDial {
         .view.mapValues(rs => (rs.map(_.files).sum, rs.map(_.bytes).sum)).toMap
       def b(k: String): Long = by.get(k).map(_._2).getOrElse(0L)
       def fl(k: String): Long = by.get(k).map(_._1).getOrElse(0L)
+      mixedTotal += b("mixed")
       emit(s"""{"harness":"io_bytes","member":"$name","rows_out":$rows,"index_vec_bytes":${b("vec")},"index_code_bytes":${b("code")},"corpus_bytes":${b("corpus")},"other_bytes":${b("other")},"mixed_bytes":${b("mixed")},"mixed_files":${fl("mixed")},"index_files":${fl("vec") + fl("code")},"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))}}""")
     }
+
+    // Attribution-gap gate (r14 ADVICE): a mixed-class multi-root scan is
+    // EXCLUDED from index_* by design, so if one ever appears the headline
+    // index bytes silently under-count. Surface it as its own record (the
+    // artifact consumer keys on attribution_gap) and scream on stderr —
+    // today's members are all single-account, so gap=false is the pin.
+    emit(s"""{"harness":"io_bytes","mixed_bytes_total":$mixedTotal,"attribution_gap":${mixedTotal > 0}}""")
+    if (mixedTotal > 0)
+      System.err.println(s"[io_bytes] ATTRIBUTION GAP: $mixedTotal bytes in " +
+        "mixed-class scans are excluded from index_* — re-attribute before " +
+        "trusting the headline index byte counts")
 
     // The AdcAlpha RE-MEASURE path (r14, verdict r13 #2 tail: "nothing
     // re-measures it"): Router.AdcAlpha = 1.63 is the sf10 box anchor
@@ -139,11 +152,14 @@ object IoBytesDial {
       floor <- medianSec.get("query_extract")
       brute <- medianSec.get("a1_brute")
       adc <- medianSec.get("a5_pq_flat_adc")
-      // BOTH scans must clear the shared floor — otherwise noise could
-      // emit a zero/negative alpha that route(alpha=...) rejects (or a
-      // tiny-positive one that silently flips every compute decision)
-      if brute > floor && adc > floor
-    } emit(s"""{"harness":"io_bytes","adc_alpha_measured":${String.format(java.util.Locale.ROOT, "%.2f", Double.box((adc - floor) / (brute - floor)))},"router_adc_alpha":${graft.ann.Router.AdcAlpha},"derivation":"(adc_scan - extract_floor) / (brute_scan - extract_floor), median of 5","note":"small-corpus ratio is noisier than the sf10 anchor; re-derive at deployment scale before overriding route(alpha)"}""")
+      // BOTH scans must clear the shared floor by a RELATIVE margin
+      // (r14 ADVICE): at brute ≈ floor the denominator (brute - floor)
+      // is noise-dominated and the ratio can be arbitrarily large even
+      // as a median-of-5 — require 1.2× so the subtraction keeps at
+      // least ~20% signal. The three raw medians are emitted alongside
+      // so a consumer can judge the derivation's conditioning either way.
+      if brute > 1.2 * floor && adc > 1.2 * floor
+    } emit(s"""{"harness":"io_bytes","adc_alpha_measured":${String.format(java.util.Locale.ROOT, "%.2f", Double.box((adc - floor) / (brute - floor)))},"router_adc_alpha":${graft.ann.Router.AdcAlpha},"floor_sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(floor))},"brute_sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(brute))},"adc_sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(adc))},"derivation":"(adc_scan - extract_floor) / (brute_scan - extract_floor), median of 5, both scans > 1.2x floor","note":"small-corpus ratio is noisier than the sf10 anchor; re-derive at deployment scale before overriding route(alpha)"}""")
 
     outJson.foreach { pth =>
       java.nio.file.Files.write(java.nio.file.Paths.get(pth),

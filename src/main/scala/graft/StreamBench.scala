@@ -232,6 +232,18 @@ object StreamBench {
       // guard: every fed row must be readable through the commit contract
       val got = Streams.readIvfIndex(spark, indexDir).count()
       require(got == nEv, s"$tag append lost rows: $got != $nEv")
+      // the committed index data exists only for the guard above (r14
+      // ADVICE: 12 temp dirs per run accumulated on the bench box) — a
+      // guard FAILURE throws before this point, keeping the dirs for the
+      // post-mortem; a pass deletes them
+      Seq(indexDir, ckpt).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
       val nBatches = (nEv + batchSize - 1) / batchSize
       ((nEv / sec).round, sec / nBatches * 1000)
     }

@@ -143,21 +143,26 @@ object Ann {
     * an unbounded driver collect. */
   private[ann] def probedListIds(e: DataFrame, nprobe: Int, nlists: Int,
                                  qmod: Int): Seq[Long] = {
+    // guard on the QUERY count, the same unit every other entry point
+    // guards — and MEASURE it rather than inferring it (r15, ADVICE r14:
+    // probe_rows / min(nprobe, nlists) under-counted whenever a query
+    // emitted fewer than rows-per-query probes, e.g. a corpus smaller
+    // than nlists). The rollup's grand-total row (list_id NULL) carries
+    // countDistinct(query_id) = Q exactly, in the same single aggregate;
+    // the collect stays ≤ nlists + 1 rows.
     val perList = listProbes(e, nprobe, nlists, qmod)
-      .groupBy(col("list_id")).agg(count(lit(1)).as("probe_rows"))
+      .rollup(col("list_id"))
+      .agg(countDistinct(col("query_id")).as("nq"))
       .collect()
-    // guard on the QUERY count (probe rows / rows-per-query), the same
-    // unit every other entry point guards — guarding raw probe rows would
-    // make the PRUNED serving paths throw at corpus sizes where their
-    // unpruned twins (broadcasting the identical probe set) succeed
-    val rowsPerQuery = math.max(1, math.min(nprobe, nlists))
-    fixedQGuard(perList.map(_.getLong(1)).sum / rowsPerQuery, "probedListIds")
+    val q = perList.collectFirst { case r if r.isNullAt(0) => r.getLong(1) }
+      .getOrElse(0L)
+    fixedQGuard(q, "probedListIds")
     // SORTED (r14, the a13z precedent): the ids land in static `IN`
     // partition filters, so their order is part of the plan FINGERPRINT —
     // a distributed collect's order varies across sessions on identical
     // code (observed: a21_routed_topk_io fluttered between same-code
     // sessions), a sorted set never does
-    perList.map(_.getLong(0)).sorted.toSeq
+    perList.collect { case r if !r.isNullAt(0) => r.getLong(0) }.sorted.toSeq
   }
 
   private def ivfListTable(spark: SparkSession, dir: String,
