@@ -544,6 +544,42 @@ object Dedup {
     spark.table(t)
   }
 
+  /** C6s/C8s shared artifact (r15, verdict r14 #3): the SAMPLED-chain
+    * cluster assignment — connected components over [[d2sMinhashLshSampled]]
+    * pairs instead of the full d2 set. The d2s rule extended down the
+    * chain: the LSH index (signatures, bands, candidates) still builds
+    * over the FULL corpus; only the verified-pair stream is the 1-in-
+    * [[D2sMod]] candidate sample, so the graded artifact — the clustering
+    * and everything composed from it — CHANGES to the sampled verdict,
+    * exactly like d2s/d7s/a22s. Because sampled edges ⊆ full edges, every
+    * sampled cluster is contained in ONE full cluster (a refinement —
+    * spec-pinned), which is what makes the twin a gradeable artifact
+    * rather than an approximation of d6. At the 5M-doc sf100d decade this
+    * is the difference between a verdict and a disk-bound exclusion: the
+    * full pair stream's verify-join spill (>65 GB) was the wall, and the
+    * sampled stream divides it by the sample rate. */
+  private[graft] def clusterTableSampled(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_ccs_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val pairs = d2sMinhashLshSampled(spark, dir).select("doc_a", "doc_b").persist()
+        Warehouse.writeBucketed(
+          connectedComponents(pairs).select(col("doc_id"), col("lbl").as("cluster_id")),
+          t, "doc_id")
+        pairs.unpersist()
+      }
+    }
+    spark.table(t)
+  }
+
+  /** C6s: d6's cluster report over the sampled-chain assignment. */
+  def d6sDupClustersSampled(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    clusterTableSampled(spark, dir)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b) —
     * returns (doc_id, lbl) where lbl is the smallest reachable id.
     * Exposed for reuse and for the deep-chain convergence spec. */
@@ -739,7 +775,20 @@ object Dedup {
     * list) minus near-dup cluster non-canonicals (the SMALL drop set from
     * d6, broadcast left-anti). The exact layer also covers docs too short
     * to shingle, which MinHash can't see. */
-  def d8CanonicalCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def d8CanonicalCorpus(spark: SparkSession, dir: String): DataFrame =
+    canonicalCorpus(spark, dir, clusterTable(spark, dir))
+
+  /** C8s: the sampled-chain canonical corpus — d8's exact layer (full
+    * corpus, linear) minus the SAMPLED near-dup drop set from
+    * [[clusterTableSampled]]. Refinement law (spec-pinned): sampled drops
+    * ⊆ full drops, so d8s survivors ⊇ d8 survivors — the sampled twin
+    * ships a corpus that is conservatively LARGER, never one that lost a
+    * document the full chain would have kept. */
+  def d8sCanonicalCorpusSampled(spark: SparkSession, dir: String): DataFrame =
+    canonicalCorpus(spark, dir, clusterTableSampled(spark, dir))
+
+  private def canonicalCorpus(spark: SparkSession, dir: String,
+                              clusters: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
     val flagged = Tables.documents(spark, dir)
       .withColumn("content_hash", md5(col("text")))
@@ -748,7 +797,7 @@ object Dedup {
     // web-scale corpus is near-dup), so the planner/AQE must pick the join
     // strategy — broadcast when it fits, shuffle/bucketed anti join when
     // it doesn't
-    val nearDrop = clusterTable(spark, dir)
+    val nearDrop = clusters
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     flagged.filter(col("is_can"))
       .join(nearDrop, Seq("doc_id"), "left_anti")
@@ -817,9 +866,11 @@ object Dedup {
     "d4_ngram_jaccard"     -> ((s, d) => d4NgramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s, d) => d5EmbeddingNeardup(s, d)),
     "d6_dup_clusters"      -> ((s, d) => d6DupClusters(s, d)),
+    "d6s_dup_clusters_sampled" -> ((s, d) => d6sDupClustersSampled(s, d)),
     "d7_lsh_recall"        -> ((s, d) => d7LshRecall(s, d)),
     "d7s_lsh_recall_sampled" -> ((s, d) => d7sLshRecallSampled(s, d)),
     "d8_canonical_corpus"  -> ((s, d) => d8CanonicalCorpus(s, d)),
+    "d8s_canonical_corpus_sampled" -> ((s, d) => d8sCanonicalCorpusSampled(s, d)),
     "d9_incremental_dedup" -> ((s, d) => d9IncrementalDedup(s, d)),
     "d10_decontamination"  -> ((s, d) => d10Decontamination(s, d)),
     "d11_dup_text_fraction" -> ((s, d) => d11DupTextFraction(s, d)),
@@ -1358,17 +1409,20 @@ object Dedup {
           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
           |FROM cluster ORDER BY doc_id""".stripMargin),
 
-    "d8_canonical_corpus" -> (D6ClusterCte +
-        """, drops AS (
-          |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
-          |), flagged AS (
-          |  SELECT doc_id, lang, source, md5(text) AS content_hash,
-          |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_can
-          |  FROM documents
-          |)
-          |SELECT doc_id, lang, source, content_hash FROM flagged
-          |WHERE is_can AND doc_id NOT IN (SELECT doc_id FROM drops)
-          |ORDER BY doc_id""".stripMargin),
+    // d6s (r15): identical cluster report, edges restricted to the d2s
+    // candidate sample — the sampled-chain verdict at scales where the
+    // full pair stream is disk-bound
+    "d6s_dup_clusters_sampled" -> (D6sClusterCte +
+        """
+          |SELECT doc_id, cluster_id,
+          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          |FROM cluster ORDER BY doc_id""".stripMargin),
+
+    "d8_canonical_corpus" -> (D6ClusterCte + D8CanonicalSqlTail),
+
+    // d8s (r15): the exact layer is identical (full corpus); only the
+    // near-dup drop set comes from the sampled clustering
+    "d8s_canonical_corpus_sampled" -> (D6sClusterCte + D8CanonicalSqlTail),
 
     "d11_dup_text_fraction" -> (ShxCte +
       s"""
@@ -1435,12 +1489,34 @@ object Dedup {
   /** DuckDB CTE chain for d6/d8: the hashed-shingle candidate chain under a
     * RECURSIVE prefix, plus verified pairs and the transitive-closure
     * cluster table (the oracle's exact CC — min reachable id per node). */
-  private[graft] lazy val D6ClusterCte: String =
+  /** d8's SELECT tail over a `cluster` CTE — shared by the full and
+    * sampled canonical-corpus oracles so the formula cannot drift. */
+  private lazy val D8CanonicalSqlTail: String =
+    """, drops AS (
+      |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
+      |), flagged AS (
+      |  SELECT doc_id, lang, source, md5(text) AS content_hash,
+      |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_can
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, content_hash FROM flagged
+      |WHERE is_can AND doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY doc_id""".stripMargin
+
+  private[graft] lazy val D6ClusterCte: String = d6ClusterCte("")
+
+  /** The sampled-chain twin: verified pairs restricted to the d2s
+    * candidate sample before clustering — the same filter the Spark side
+    * applies in [[clusterTableSampled]]. */
+  private[graft] lazy val D6sClusterCte: String =
+    d6ClusterCte(s"doc_a % $D2sMod = 0 AND ")
+
+  private def d6ClusterCte(sampleAnd: String): String =
     MinhashCandCte.replace("WITH sh", "WITH RECURSIVE sh") +
-      """, verified AS (
+      s""", verified AS (
         |  SELECT doc_a, doc_b
         |  FROM cand JOIN shl x ON x.doc_id = doc_a JOIN shl y ON y.doc_id = doc_b
-        |  WHERE ((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
+        |  WHERE $sampleAnd((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
         |), nodes AS (
         |  SELECT DISTINCT doc_id FROM (
         |    SELECT doc_a AS doc_id FROM verified UNION ALL SELECT doc_b FROM verified)

@@ -26,6 +26,12 @@ import graft.Tables
   */
 object RagOps {
 
+  /** r6s query sample: the base 1-in-100 query set thinned 1-in-101 (the
+    * d7s convention for brute-quadratic twins — r6's embedded r3 is a
+    * Q × N scan in both engines, so a 1-in-13 sample would still leave
+    * the 2M-vector decade hours deep in the DuckDB oracle). */
+  val R6sQmod = 100 * 101
+
   /** B1: document ingest — hash, length, word count, exact-dup grouping. */
   def r1DocIngest(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash"))
@@ -68,9 +74,10 @@ object RagOps {
     * max_documents=5, threshold=0.2). The overflow/truncate/break fold is
     * expressed as a prefix-sum window — valid because assembly is strictly
     * rank-ordered and stops at the first overflowing document. */
-  def r6ContextAssembly(spark: SparkSession, dir: String): DataFrame = {
+  def r6ContextAssembly(spark: SparkSession, dir: String,
+                        qmod: Int = 100): DataFrame = {
     val MaxLen = 600
-    val hits = Search.knn(spark, dir, col("vec_id") % 100 === 0, k = 5,
+    val hits = Search.knn(spark, dir, col("vec_id") % qmod === 0, k = 5,
       threshold = 0.2, clampZero = true, sameLabel = false)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
@@ -202,6 +209,7 @@ object RagOps {
     "r1_doc_ingest"        -> ((s, d) => r1DocIngest(s, d)),
     "r2_collection_stats"  -> ((s, d) => r2CollectionStats(s, d)),
     "r6_context_assembly"  -> ((s, d) => r6ContextAssembly(s, d)),
+    "r6s_context_assembly" -> ((s, d) => r6ContextAssembly(s, d, qmod = R6sQmod)),
     "r7_search_by_metadata" -> ((s, d) => r7SearchByMetadata(s, d)),
     "r10_doc_summary"      -> ((s, d) => r10DocSummary(s, d)),
     "r11_get_document"     -> ((s, d) => r11GetDocument(s, d)),
@@ -231,10 +239,25 @@ object RagOps {
         |(SELECT count(*) AS n_vectors, max(len(embedding)) AS embedding_dim
         | FROM embeddings)""".stripMargin,
 
-    "r6_context_assembly" -> {
+    "r6_context_assembly" -> r6OracleSql(100),
+    // r6s (r15, verdict r14 #3): r6's embedded brute r3 search is the
+    // family's sf100d exclusion — queries ÷101 (the d7s/D22 sample rule
+    // for brute-quadratic twins) divides the pair stream in BOTH engines,
+    // putting an in-oracle-budget verdict at the 2M-vector decade
+    "r6s_context_assembly" -> r6OracleSql(R6sQmod),
+
+    "r7_search_by_metadata" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('de', 'fr') ORDER BY doc_id LIMIT 20""".stripMargin,
+  ) ++ oracleTail
+
+  /** r6's assembly oracle parameterized by the query sample — shared by
+    * the full (qmod 100) and sampled (qmod [[R6sQmod]]) entries so the
+    * fold formula cannot drift between them. */
+  private def r6OracleSql(qmod: Int): String = {
       val hitsSql = Search.CorpusCte +
-        """, q AS (
-          |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id % 100 = 0
+        s""", q AS (
+          |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id % $qmod = 0
           |), scored0 AS (
           |  SELECT q.query_id, en.vec_id,
           |    round(greatest(CASE WHEN q.qnrm*en.nrm = 0 THEN 0.0
@@ -272,12 +295,10 @@ object RagOps {
           |  count(part) AS docs_used
           |FROM parts WHERE part IS NOT NULL
           |GROUP BY query_id ORDER BY query_id""".stripMargin
-    },
+  }
 
-    "r7_search_by_metadata" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE lang IN ('de', 'fr') ORDER BY doc_id LIMIT 20""".stripMargin,
-
+  // lazy: referenced from `oracle` above its own definition site
+  private lazy val oracleTail: Map[String, String] = Map(
     "r11_get_document" ->
       """SELECT doc_id, md5(text) AS content_hash, length(text) AS content_length,
         |  len(string_split(text, ' ')) AS word_count, lang, source

@@ -52,4 +52,17 @@ class ContextAssemblySpec extends SparkSpec {
       assert(used == wantUsed, s"query $q docs_used mismatch")
     }
   }
+
+  test("r6s is exactly r6 restricted to the 1-in-101 query sample") {
+    // r15 (verdict r14 #3): the sampled twin must BE the full run's
+    // subset — same assembly over the thinned query set, never a
+    // re-derivation that could drift (the d2s/d7s rule)
+    val full = RagOps.r6ContextAssembly(spark, Sf).collect()
+      .filter(_.getAs[Long]("query_id") % RagOps.R6sQmod == 0)
+    val sampled = RagOps.r6ContextAssembly(spark, Sf, qmod = RagOps.R6sQmod)
+      .collect()
+    assert(sampled.nonEmpty, "vec_id 0 is always sampled")
+    assert(sampled.length === full.length)
+    assert(sampled.sameElements(full))
+  }
 }

@@ -29,6 +29,40 @@ class DedupSpec extends SparkSpec {
     assert(all.sameElements(d2Rows))
   }
 
+  test("d6s/d8s sampled chain: refinement + conservative-survivor laws") {
+    // r15 (verdict r14 #3): the sampled chain's gradeable-artifact claim
+    // rests on two laws. (1) REFINEMENT — d6s clusters over sampled edges
+    // (a subset of d2's) must each sit inside exactly ONE full d6
+    // cluster: a sampled cluster straddling two full clusters would mean
+    // the twin invented an edge the full chain never verified.
+    val full = Dedup.d6DupClusters(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val sampled = Dedup.d6sDupClustersSampled(spark, Sf).collect()
+    assert(sampled.nonEmpty, "sf0.1 has sampled near-dup pairs")
+    val byCluster = sampled.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val fullIds = members.map(m => full(m.getAs[Long]("doc_id"))).distinct
+      assert(fullIds.length === 1,
+        s"sampled cluster $cid straddles full clusters ${fullIds.toSeq}")
+    }
+    // (2) CONSERVATIVE SURVIVORS — sampled drops ⊆ full drops (a doc that
+    // isn't its sampled-cluster min is > that min ≥ the full-cluster min,
+    // so the full chain drops it too): d8s ships a corpus that is a
+    // SUPERSET of d8's, never one missing a doc the full chain keeps.
+    val d8Ids = Dedup.d8CanonicalCorpus(spark, Sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val d8sIds = Dedup.d8sCanonicalCorpusSampled(spark, Sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(d8Ids.subsetOf(d8sIds),
+      s"d8 survivors missing from d8s: ${(d8Ids -- d8sIds).take(5)}")
+    // and the delta is exactly explicable: every extra d8s survivor must
+    // be a doc the FULL chain dropped as a near-dup non-canonical
+    (d8sIds -- d8Ids).foreach { id =>
+      assert(full.get(id).exists(_ != id),
+        s"d8s kept $id which d8 dropped for a reason other than clustering")
+    }
+  }
+
   test("simhash near-dups are within hamming 3 and agree with minhash dups") {
     val sim = Dedup.d3Simhash(spark, Sf)
     assert(sim.filter(col("hamming") > 3).count() == 0)
