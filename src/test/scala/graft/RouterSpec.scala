@@ -224,6 +224,36 @@ class RouterSpec extends SparkSpec {
       Router.route(100L, 10L, 1, 0.9, ComputeBound, alpha = 0.0))
   }
 
+  test("the latest committed alpha measurement sits on the anchor's side of 1") {
+    // r15 (verdict r14 #6): IoBytesDial re-measures alpha per round
+    // (IOBYTES_r{N}.json, adc_alpha_measured). The compute reachable-set
+    // proof needs only SIGN agreement with the anchor (alpha > 1); a box
+    // where the ADC gather beats the codegen dot (alpha < 1) must fail
+    // THIS test loudly instead of silently mispricing every compute
+    // route. The band additionally catches a derivation gone wild (the
+    // 1.2x-floor guard bounds conditioning, not magnitude).
+    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter(_.getName.matches("IOBYTES_r\\d+\\.json"))
+      .sortBy(f => f.getName.stripPrefix("IOBYTES_r").stripSuffix(".json").toInt)
+    assume(files.nonEmpty, "no IOBYTES_r*.json artifact in the repo root")
+    val latest = files.last
+    val src = scala.io.Source.fromFile(latest)
+    val line = try src.getLines().find(_.contains("adc_alpha_measured"))
+      finally src.close()
+    assume(line.isDefined,
+      s"${latest.getName} carries no adc_alpha_measured (floor-guard " +
+        "suppressed emission — re-run graft.IoBytesDial on a quiet box)")
+    val alpha = """"adc_alpha_measured":\s*([0-9.]+)""".r
+      .findFirstMatchIn(line.get).map(_.group(1).toDouble)
+      .getOrElse(fail(s"unparseable alpha in ${latest.getName}"))
+    assert((alpha > 1.0) === (Router.AdcAlpha > 1.0),
+      f"measured alpha $alpha%.2f crossed 1.0 vs anchor ${Router.AdcAlpha} — " +
+        "this box prices ADC cheaper than the dot; re-derive the anchor " +
+        "and re-examine every compute-regime route before trusting a21")
+    assert(alpha < Router.AdcAlpha * 2.5 && alpha > Router.AdcAlpha / 2.5,
+      f"measured alpha $alpha%.2f is outside the anchor's 2.5x envelope")
+  }
+
   test("io-regime dispatch (a21_routed_topk_io) is the io winner's plan") {
     // r14 (verdict r13 #3): the path a cluster caller takes by default —
     // IoBound + this repo's PartitionStore warehouse — as a graded query.

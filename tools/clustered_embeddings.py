@@ -26,9 +26,9 @@ Construction (seeded, no I/O order dependence):
   - row groups sized for ~64-group scans (the r10 scan-parallelism rule;
     2048-row floor)
 
-Usage: python3 tools/clustered_embeddings.py [n] [dst_dir] [k] [sigma]
-       defaults: 2000 ./testdata_clustered/sf0.1 64 0.35
-Schema matches Tables.Pinned: vec_id BIGINT, embedding FLOAT[64], label INT.
+Usage: python3 tools/clustered_embeddings.py [n] [dst_dir] [k] [sigma] [dim]
+       defaults: 2000 ./testdata_clustered/sf0.1 64 0.35 64
+Schema matches Tables.Pinned: vec_id BIGINT, embedding FLOAT[dim], label INT.
 """
 import os
 import sys
@@ -43,7 +43,7 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "./testdata_clustered/sf0.1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     sigma = float(sys.argv[4]) if len(sys.argv) > 4 else 0.35
-    dim = 64
+    dim = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     os.makedirs(dst, exist_ok=True)
 
     rng = np.random.default_rng(20260814)
