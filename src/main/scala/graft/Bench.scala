@@ -238,8 +238,19 @@ object Bench {
       } else "BENCH_FULL.json"
     }
     val sfName = sfDir.split('/').last
+    // Fingerprints are only comparable at EQUAL deployment dials: the
+    // shuffle-partition count prints inside every numbered Exchange, so a
+    // 4-cpu run diffed against a 32-cpu baseline reports every
+    // exchange-bearing plan as "changed" (r15: exactly that produced 133
+    // phantom violations — the driver benches at SPARK_GRAFT_CPUS=32, a
+    // local run used the code default). A baseline at a different cpus/
+    // shuffle dial (or one predating these fields) is a no-baseline case,
+    // same rule as the sf guard above.
     val prevPlans =
-      if (readPrevSf(outPath).exists(_ != sfName)) Map.empty[String, String]
+      if (readPrevSf(outPath).exists(_ != sfName) ||
+          readPrevField(outPath, "cpus").exists(_ != cpus) ||
+          readPrevField(outPath, "shuffle_partitions").exists(_ != shufflePartitions))
+        Map.empty[String, String]
       else readPrevPlans(outPath)
     val changed = results.collect { case r
       if prevPlans.get(r.name).exists(old => old != r.fp && r.fp != "err" && old != "err") =>
@@ -318,7 +329,7 @@ object Bench {
     // driver's tail window always contains it whole, whatever the query
     // count grows to. The full detail is also written to BENCH_FULL.json
     // next to the build so the per-query numbers survive the truncation.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$tOffField$probeField$oracleField$sf1Field,"sf":"$sfName","n":$n,"cold_total":${fmt(coldTotal)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$coldField$flakyField$plans$changedField$violField$gcField$tOffField$probeField$oracleField$sf1Field,"sf":"$sfName","cpus":"$cpus","shuffle_partitions":"$shufflePartitions","n":$n,"cold_total":${fmt(coldTotal)}}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -454,6 +465,17 @@ object Bench {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) None
     else raw""""sf":"([^"]*)"""".r
+      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .map(_.group(1))
+  } catch { case _: Throwable => None }
+
+  /** A string-valued top-level field from the previous bench JSON (the
+    * cpus / shuffle_partitions dial guard) — None when the file or the
+    * field is absent, so baselines predating the field diff nothing. */
+  private[graft] def readPrevField(path: String, field: String): Option[String] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else (raw""""$field":"([^"]*)"""").r
       .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       .map(_.group(1))
   } catch { case _: Throwable => None }
