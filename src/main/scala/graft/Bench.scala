@@ -246,10 +246,15 @@ object Bench {
     // local run used the code default). A baseline at a different cpus/
     // shuffle dial (or one predating these fields) is a no-baseline case,
     // same rule as the sf guard above.
+    // `.contains`, not `.exists(_ !=)`: a baseline PREDATING the dial
+    // fields has unknown dials and must also be a no-baseline case — an
+    // absent field passing the guard would reproduce the phantom wall
+    // against every pre-r15 file (review r15 #1). A missing FILE also
+    // yields None here, which readPrevPlans already treats as empty.
     val prevPlans =
       if (readPrevSf(outPath).exists(_ != sfName) ||
-          readPrevField(outPath, "cpus").exists(_ != cpus) ||
-          readPrevField(outPath, "shuffle_partitions").exists(_ != shufflePartitions))
+          !readPrevField(outPath, "cpus").contains(cpus) ||
+          !readPrevField(outPath, "shuffle_partitions").contains(shufflePartitions))
         Map.empty[String, String]
       else readPrevPlans(outPath)
     val changed = results.collect { case r

@@ -21,6 +21,25 @@ import graft.streaming.Streams
   * multi-node state shuffling; those scale out with partitions.
   */
 object StreamBench {
+
+  /** Recursive delete for the bench's throwaway checkpoint/index dirs
+    * (r15 review: the walk stream must be CLOSED — it holds directory
+    * handles — and every sweep's checkpoint needs the same pass-deletes
+    * rule, not just the ivf one). Deletion failures are non-fatal: the
+    * bench's numbers are already taken. */
+  private def deleteRecursively(dir: String): Unit = try {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally walk.close()
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[sbench] cleanup of $dir failed: ${e.getMessage}")
+  }
   def main(args: Array[String]): Unit = {
     val n = args.headOption.flatMap(_.toIntOption).getOrElse(200000)
     val spark = SparkSession.builder()
@@ -78,8 +97,8 @@ object StreamBench {
     graft.sources.Warehouse.dropStale(spark, mvTable)
     val in3 = MemoryStream[Streams.LiDelta]
     val flags = Array("N", "R", "A")
-    val q3 = Streams.maintainQ1Mv(in3.toDF(), mvTable,
-      s"/tmp/graft_sbench_ckpt_${System.nanoTime()}")
+    val ckpt3 = s"/tmp/graft_sbench_ckpt_${System.nanoTime()}"
+    val q3 = Streams.maintainQ1Mv(in3.toDF(), mvTable, ckpt3)
     val nMv = n / 10 // the merge path is heavier per row; keep runtime bounded
     // ship dates must land INSIDE q1Partials' l_shipdate <= 1998-09-02
     // window — the 2024-based ts() above would filter every delta out and
@@ -97,6 +116,7 @@ object StreamBench {
     // guard: the load must actually reach the MV (see the shipTs note)
     val mvGroups = spark.table(mvTable).count()
     require(mvGroups > 0, "StreamBench MV load was filtered out entirely")
+    deleteRecursively(ckpt3)
 
     val r1 = (n / sec1).round
     val r2 = (n / sec2).round
@@ -150,8 +170,8 @@ object StreamBench {
       val table = s"graft_sbench_mv_$groups"
       graft.sources.Warehouse.dropStale(spark, table)
       val in = MemoryStream[Streams.LiDelta]
-      val q = Streams.maintainQ1Mv(in.toDF(), table,
-        s"/tmp/graft_sbench_ckpt_${groups}_${System.nanoTime()}")
+      val ckpt = s"/tmp/graft_sbench_ckpt_${groups}_${System.nanoTime()}"
+      val q = Streams.maintainQ1Mv(in.toDF(), table, ckpt)
       val half = groups / 2
       val t = System.nanoTime()
       // 4 micro-batches (not the headline's 1): the claim is PER-BATCH
@@ -166,6 +186,7 @@ object StreamBench {
       val sec = (System.nanoTime() - t) / 1e9
       q.stop()
       val mvRows = spark.table(table).count()
+      deleteRecursively(ckpt)
       ((nEv / sec).round, mvRows)
     }
 
@@ -182,8 +203,8 @@ object StreamBench {
       val table = s"graft_sbench_mvb_$batchSize"
       graft.sources.Warehouse.dropStale(spark, table)
       val in = MemoryStream[Streams.LiDelta]
-      val q = Streams.maintainQ1Mv(in.toDF(), table,
-        s"/tmp/graft_sbench_ckpt_b${batchSize}_${System.nanoTime()}")
+      val ckptB = s"/tmp/graft_sbench_ckpt_b${batchSize}_${System.nanoTime()}"
+      val q = Streams.maintainQ1Mv(in.toDF(), table, ckptB)
       val t = System.nanoTime()
       (0 until nEv grouped batchSize).foreach { batch =>
         in.addData(batch.map(i => Streams.LiDelta(flags(i % 3), flags((i / 3) % 2),
@@ -193,6 +214,7 @@ object StreamBench {
       }
       val sec = (System.nanoTime() - t) / 1e9
       q.stop()
+      deleteRecursively(ckptB)
       val nBatches = (nEv + batchSize - 1) / batchSize
       ((nEv / sec).round, sec / nBatches)
     }
@@ -236,14 +258,7 @@ object StreamBench {
       // ADVICE: 12 temp dirs per run accumulated on the bench box) — a
       // guard FAILURE throws before this point, keeping the dirs for the
       // post-mortem; a pass deletes them
-      Seq(indexDir, ckpt).foreach { d =>
-        import scala.jdk.CollectionConverters._
-        val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      Seq(indexDir, ckpt).foreach(deleteRecursively)
       val nBatches = (nEv + batchSize - 1) / batchSize
       ((nEv / sec).round, sec / nBatches * 1000)
     }

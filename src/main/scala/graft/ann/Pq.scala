@@ -46,7 +46,11 @@ object Pq {
     * with the codebook; mis-slicing is never an answer). */
   private val subDimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
   private[graft] def subDimOf(spark: SparkSession, dir: String): Int =
-    subDimCache.getOrElseUpdate(graft.sources.Warehouse.tableSuffix(dir), {
+    // keyed by DATA SIGNATURE, not just the path (the a13z zBuilt /
+    // probedListsCache rule; review r15 #3): a corpus regenerated in
+    // place at a different dim must re-derive, never serve a stale width
+    subDimCache.getOrElseUpdate(
+      s"${graft.sources.Warehouse.tableSuffix(dir)}@${srcSignature(dir)}", {
       val dim = Search.corpus(spark, dir).select(col("v")).head().getSeq[Any](0).length
       require(dim >= M && dim % M == 0,
         s"PQ subspace split needs dim divisible by M=$M, corpus at $dir has dim=$dim")
@@ -329,7 +333,8 @@ object Pq {
     * as the deterministic codebook, so the whole ADC pipeline is reused
     * unchanged. Not oracle-gated (k-means isn't SQL-reproducible) —
     * spec-tested instead. */
-  private def trainedCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
+  private def trainedCodebook(spark: SparkSession, e: DataFrame,
+                              d: Int = D): DataFrame = {
     import spark.implicits._
     import scala.collection.parallel.CollectionConverters._
     // codebooks train on a deterministic ~25% sample — standard PQ practice
@@ -346,7 +351,7 @@ object Pq {
     sample.count()
     val rows = (0 until M).par.flatMap { m =>
       val sub = sample.select(
-        org.apache.spark.ml.functions.array_to_vector(subvec(col("v"), m)).as("features"))
+        org.apache.spark.ml.functions.array_to_vector(subvec(col("v"), m, d)).as("features"))
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(K).setSeed(42L + m).setMaxIter(3).setInitMode("random")
         .setFeaturesCol("features")
@@ -369,7 +374,8 @@ object Pq {
     val t = s"graft_pqkcb_${graft.sources.Warehouse.tableSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
-        graft.sources.Warehouse.writeTable(trainedCodebook(spark, e), t)
+        graft.sources.Warehouse.writeTable(
+          trainedCodebook(spark, e, subDimOf(spark, dir)), t)
     }
     spark.table(t)
   }
@@ -379,8 +385,9 @@ object Pq {
     * scan — codebook and code table both read from the one-time build. */
   def a9PqKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Search.corpus(spark, dir)
+    val d = subDimOf(spark, dir)
     val cb = trainedCodebookTable(spark, dir, e)
-    adcTopK(e, cb, 10, codesTable(spark, dir, e, cb, "pqkcodes"))
+    adcTopK(e, cb, 10, codesTable(spark, dir, e, cb, "pqkcodes", d), d = d)
   }
 
   /** D8: recall@10 of the re-ranked PQ pipeline — shows the shortlist +
@@ -425,6 +432,11 @@ object Pq {
     * recall lever. */
   def a11OpqRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Search.corpus(spark, dir)
+    // the rotation is a 64x64 ARTIFACT (like a learned R, versioned with
+    // the corpus): a different-dim corpus must re-derive a matching R,
+    // never be silently rotated/encoded through a mismatched one
+    require(subDimOf(spark, dir) == D,
+      s"a11's OPQ rotation is built for dim ${M * D}; re-derive R for this corpus")
     val er = e.select(col("vec_id"), col("label"), rotate(col("v")).as("v"), col("nrm"))
     recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
   }
@@ -443,6 +455,8 @@ object Pq {
     * non-vacuous mean-recall floor). */
   def a15OpqPcaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Search.corpus(spark, dir)
+    require(subDimOf(spark, dir) == D,
+      s"a15's PCA rotation trains at dim ${M * D}; re-derive for this corpus")
     val er = e.select(col("vec_id"), col("label"),
       rotate(col("v"), pcaRotation(spark, dir)).as("v"), col("nrm"))
     recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
@@ -523,11 +537,21 @@ object Pq {
     * Returns the [[ivfPqTable]] schema: vec_id, code0..cn7, list_id. */
   private[graft] def encodeBatchAgainst(corpusSource: DataFrame,
                                         batch: DataFrame,
-                                        nlists: Int = 8): DataFrame =
-    encode(batch, codebook(corpusSource)).join(
+                                        nlists: Int = 8): DataFrame = {
+    // subspace width from the VERSIONED CORPUS ARTIFACT, like the
+    // codebook and centroids (review r15 #2: a dim-128 streamed append
+    // encoding at the D=8 literal would write mixed-width codes into an
+    // index built at the live width — silently, per batch). One tiny
+    // first-row job per batch, consistent with the a20 re-derive rule.
+    val dim = corpusSource.select(col("v")).head().getSeq[Any](0).length
+    require(dim >= M && dim % M == 0,
+      s"PQ subspace split needs dim divisible by M=$M, corpus has dim=$dim")
+    val d = dim / M
+    encode(batch, codebook(corpusSource, d), d).join(
       graft.ann.Ann.listAssignment(batch, Some(corpusSource), nlists)
         .select("vec_id", "list_id"),
       "vec_id")
+  }
 
   /** Alternative physical layout for the IVFPQ index: ONE flat directory
     * Z-ordered on (list_id, label) instead of a directory per inverted
@@ -545,9 +569,10 @@ object Pq {
   def writeZOrderedCodes(spark: SparkSession, dir: String, path: String,
                          files: Int = 8): Unit = {
     val e = Search.corpus(spark, dir)
-    val cb = codebook(e)
+    val d = subDimOf(spark, dir)
+    val cb = codebook(e, d)
     graft.sources.Warehouse.writeZOrderedN(
-      encode(e, cb).join(
+      encode(e, cb, d).join(
         Ann.listAssignment(e).select("vec_id", "list_id", "label"), "vec_id"),
       path, Seq("list_id", "label"), files = files)
   }
@@ -667,10 +692,11 @@ object Pq {
   def a13zIvfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
                     qmod: Int = 101): DataFrame = {
     val e = Search.corpus(spark, dir)
-    val cb = codebook(e)
+    val d = subDimOf(spark, dir) // == D at the pinned dim-64 corpora
+    val cb = codebook(e, d)
     val codes = spark.read.parquet(zCodesDir(spark, dir))
     val probe = Ann.listProbes(e, qmod = qmod).select(col("query_id"), col("list_id"))
-      .join(queryLut(e, cb, qmod), "query_id")
+      .join(queryLut(e, cb, qmod, d), "query_id")
     // The probed-list id set is deterministic per corpus, so the driver-
     // side selection job (a probe-side scan) runs once per (session, dir)
     // and is memoized — the per-query cost is the pruned scan + join

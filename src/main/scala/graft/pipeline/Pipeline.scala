@@ -26,8 +26,21 @@ import graft.text.TextOps
   */
 object Pipeline {
 
-  def p1TrainingMix(spark: SparkSession, dir: String): DataFrame = {
-    val drops = Dedup.clusterTable(spark, dir)
+  def p1TrainingMix(spark: SparkSession, dir: String): DataFrame =
+    trainingMix(spark, dir, Dedup.clusterTable(spark, dir))
+
+  /** P1s (r15): the training mix with the drop set from the SAMPLED
+    * clustering ([[Dedup.clusterTableSampled]]) — the d6s/d8s rule
+    * composed one level further, converting p1's sf100d
+    * spark_disk_bound exclusion (the full d2 pair stream) into a graded
+    * verdict. Conservative-mix law (spec-pinned): sampled drops ⊆ full
+    * drops, so every (lang, source) cell's n_docs/n_tokens is >= p1's. */
+  def p1sTrainingMixSampled(spark: SparkSession, dir: String): DataFrame =
+    trainingMix(spark, dir, Dedup.clusterTableSampled(spark, dir))
+
+  private def trainingMix(spark: SparkSession, dir: String,
+                          clusters: DataFrame): DataFrame = {
+    val drops = clusters
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val surv = TextOps.keepSignals(spark, dir)
       .filter(col("keep"))
@@ -174,11 +187,23 @@ object Pipeline {
     * Scale shape: split is a stateless per-row expression over the
     * bucketed cluster table; the audit is one partial-agg groupBy on
     * cluster_id. Nothing touches document content — ids and hashes only. */
-  def p5SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+  def p5SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(spark, dir, Dedup.clusterTable(spark, dir))
+
+  /** P5s (r15): the leakage audit over the SAMPLED clustering — every
+    * sampled leaking cluster maps into a full leaking cluster (its
+    * members sit inside ONE full cluster by the d6s refinement law, and
+    * a split disagreement among a subset is one in the superset), so the
+    * twin can under-report but never invent leakage; spec-pinned. */
+  def p5sSplitLeakageSampled(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(spark, dir, Dedup.clusterTableSampled(spark, dir))
+
+  private def splitLeakage(spark: SparkSession, dir: String,
+                           clusters: DataFrame): DataFrame = {
     val bucket = graft.functions.DetHash.h60(
       concat(lit("split"), col("doc_id").cast("string"))) % 10L
     val split = when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
-    Dedup.clusterTable(spark, dir)
+    clusters
       .withColumn("split", split)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -318,12 +343,66 @@ object Pipeline {
     "p7_token_budget" -> ((s, d) => p7TokenBudget(s, d)),
     "p6_stratified_holdout" -> ((s, d) => p6StratifiedHoldout(s, d)),
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
+    "p1s_training_mix_sampled" -> ((s, d) => p1sTrainingMixSampled(s, d)),
     "p2_balanced_sample" -> ((s, d) => p2BalancedSample(s, d)),
     "p3_sequence_packing" -> ((s, d) => p3SequencePacking(s, d)),
     "p3b_packed_sequences" -> ((s, d) => p3bPackedSequences(s, d)),
     "p4_temperature_sample" -> ((s, d) => p4TemperatureSample(s, d)),
     "p5_split_leakage" -> ((s, d) => p5SplitLeakage(s, d)),
+    "p5s_split_leakage_sampled" -> ((s, d) => p5sSplitLeakageSampled(s, d)),
   )
+
+
+  /** p1's SELECT tail over a `cluster` CTE — shared by the full and
+    * sampled training-mix oracles so the formula cannot drift. */
+  private lazy val P1MixSqlTail: String =
+    """, drops AS (
+        |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
+        |), t AS (
+        |  SELECT doc_id, lang, source, md5(text) AS content_hash,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, source, content_hash, CAST(len(ws) AS BIGINT) AS n_words,
+        |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
+        |    ((2000000*(len(list_filter(ws, w -> w IN ('the', 'a')))) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
+        |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
+        |  FROM t
+        |), sc AS (
+        |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6,
+        |    doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+        |  FROM c
+        |), surv AS (
+        |  SELECT * FROM sc
+        |  WHERE is_canonical AND score_e6 >= 500000 AND n_words BETWEEN 25 AND 80
+        |    AND lang IN ('en', 'de', 'fr')
+        |    AND doc_id NOT IN (SELECT doc_id FROM drops)
+        |), grp AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |  FROM surv GROUP BY lang, source
+        |)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  ((2000000*(n_tokens) + (CAST(sum(n_tokens) OVER () AS BIGINT)))
+        |    // (2*(CAST(sum(n_tokens) OVER () AS BIGINT)))) / 1000000.0 AS token_share
+        |FROM grp ORDER BY lang, source""".stripMargin
+
+  /** p5's SELECT tail over a `cluster` CTE — shared full/sampled. */
+  private lazy val P5LeakSqlTail: String =
+    """, sp AS (
+        |  SELECT cluster_id, doc_id,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT cluster_id, doc_id,
+        |          CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |            % 10 AS b
+        |        FROM cluster)
+        |)
+        |SELECT cluster_id, count(*) AS n_docs,
+        |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |FROM sp GROUP BY cluster_id
+        |HAVING count(DISTINCT split) > 1
+        |ORDER BY cluster_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // p8: the full filter-stack composition — cluster CC (d6 chain) +
@@ -371,37 +450,11 @@ object Pipeline {
          |SELECT doc_id, score_e6 / 1000000.0 AS quality_score, tokens, rank, cum_tokens
          |FROM ranked WHERE cum_tokens <= $TokenBudget ORDER BY rank""".stripMargin),
 
-    "p1_training_mix" -> (Dedup.D6ClusterCte +
-      """, drops AS (
-        |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
-        |), t AS (
-        |  SELECT doc_id, lang, source, md5(text) AS content_hash,
-        |    string_split(text, ' ') AS ws
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, lang, source, content_hash, CAST(len(ws) AS BIGINT) AS n_words,
-        |    ((2000000*(len(list_distinct(ws))) + (len(ws))) // (2*(len(ws)))) AS dr_e6,
-        |    ((2000000*(len(list_filter(ws, w -> w IN ('the', 'a')))) + (len(ws))) // (2*(len(ws)))) AS sr_e6,
-        |    least(((2000000*(len(ws)) + (100)) // (2*(100))), 1000000) AS ls_e6
-        |  FROM t
-        |), sc AS (
-        |  SELECT *, (2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) // 20 AS score_e6,
-        |    doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
-        |  FROM c
-        |), surv AS (
-        |  SELECT * FROM sc
-        |  WHERE is_canonical AND score_e6 >= 500000 AND n_words BETWEEN 25 AND 80
-        |    AND lang IN ('en', 'de', 'fr')
-        |    AND doc_id NOT IN (SELECT doc_id FROM drops)
-        |), grp AS (
-        |  SELECT lang, source, count(*) AS n_docs,
-        |    CAST(sum(n_words) AS BIGINT) AS n_tokens
-        |  FROM surv GROUP BY lang, source
-        |)
-        |SELECT lang, source, n_docs, n_tokens,
-        |  ((2000000*(n_tokens) + (CAST(sum(n_tokens) OVER () AS BIGINT)))
-        |    // (2*(CAST(sum(n_tokens) OVER () AS BIGINT)))) / 1000000.0 AS token_share
-        |FROM grp ORDER BY lang, source""").stripMargin,
+    "p1_training_mix" -> (Dedup.D6ClusterCte + P1MixSqlTail),
+
+    // p1s (r15): identical mix formula, drop set from the sampled
+    // clustering -- converts the sf100d spark_disk_bound exclusion
+    "p1s_training_mix_sampled" -> (Dedup.D6sClusterCte + P1MixSqlTail),
 
     "p2_balanced_sample" ->
       s"""WITH t AS (
@@ -503,20 +556,10 @@ object Pipeline {
          |  % 1000000 < rate_e6
          |ORDER BY doc_id""".stripMargin,
 
-    "p5_split_leakage" -> (Dedup.D6ClusterCte +
-      """, sp AS (
-        |  SELECT cluster_id, doc_id,
-        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT cluster_id, doc_id,
-        |          CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-        |            % 10 AS b
-        |        FROM cluster)
-        |)
-        |SELECT cluster_id, count(*) AS n_docs,
-        |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
-        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
-        |FROM sp GROUP BY cluster_id
-        |HAVING count(DISTINCT split) > 1
-        |ORDER BY cluster_id""".stripMargin),
+    "p5_split_leakage" -> (Dedup.D6ClusterCte + P5LeakSqlTail),
+
+    // p5s (r15): the audit over the sampled clustering (refinement
+    // law: under-reports, never invents leakage)
+    "p5s_split_leakage_sampled" -> (Dedup.D6sClusterCte + P5LeakSqlTail),
   )
 }

@@ -158,6 +158,38 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("P1s/P5s: sampled-chain twins obey the conservative laws") {
+    // r15 (the d6s/d8s rule composed one level further): sampled drops
+    // ⊆ full drops, so every (lang, source) cell of the sampled training
+    // mix carries AT LEAST the full mix's docs and tokens — the twin is
+    // a conservative superset of the shipped mix, never one missing a
+    // survivor the full chain keeps
+    val full = Pipeline.p1TrainingMix(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val sampled = Pipeline.p1sTrainingMixSampled(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(sampled.nonEmpty)
+    full.foreach { case (cell, (nd, nt)) =>
+      val (sd, st) = sampled.getOrElse(cell, fail(s"cell $cell vanished"))
+      assert(sd >= nd && st >= nt, s"cell $cell shrank: $sd/$st < $nd/$nt")
+    }
+    // p5s: a sampled leaking cluster's members sit inside ONE full
+    // cluster (refinement), so mapping its id through the full
+    // assignment must land on a cluster p5 also reports — the twin can
+    // under-report leakage, never invent it
+    val fullAsg = graft.dedup.Dedup.d6DupClusters(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val p5Ids = Pipeline.p5SplitLeakage(spark, Sf).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    Pipeline.p5sSplitLeakageSampled(spark, Sf).collect().foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(p5Ids.contains(fullAsg(cid)),
+        s"sampled leak cluster $cid has no full-chain counterpart")
+    }
+  }
+
   test("P5: every reported leak really spans splits; report is complete") {
     import graft.functions.DetHash
     val leaks = Pipeline.p5SplitLeakage(spark, Sf).collect()
