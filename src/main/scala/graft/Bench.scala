@@ -253,8 +253,8 @@ object Bench {
     // yields None here, which readPrevPlans already treats as empty.
     val prevPlans =
       if (readPrevSf(outPath).exists(_ != sfName) ||
-          !readPrevField(outPath, "cpus").contains(cpus) ||
-          !readPrevField(outPath, "shuffle_partitions").contains(shufflePartitions))
+          !dialEq(readPrevField(outPath, "cpus"), cpus) ||
+          !dialEq(readPrevField(outPath, "shuffle_partitions"), shufflePartitions))
         Map.empty[String, String]
       else readPrevPlans(outPath)
     val changed = results.collect { case r
@@ -480,10 +480,22 @@ object Bench {
   private[graft] def readPrevField(path: String, field: String): Option[String] = try {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) None
+    // LAST match (r16, ADVICE r15): the dial fields are emitted in the
+    // JSON tail, after every free-text field — so a future note/derivation
+    // string embedding `"cpus":"..."` can never shadow the real dial.
     else (raw""""$field":"([^"]*)"""").r
-      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      .map(_.group(1))
+      .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      .foldLeft(Option.empty[String])((_, m) => Some(m.group(1)))
   } catch { case _: Throwable => None }
+
+  /** Dial equality for the no-baseline guard: numerically when both sides
+    * parse as ints ("04" == "4" — a spelled-differently equal dial must
+    * not drop the baseline, ADVICE r15), string equality otherwise. */
+  private[graft] def dialEq(prev: Option[String], cur: String): Boolean =
+    prev.exists(p => (p.toIntOption, cur.toIntOption) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => p == cur
+    })
 
   /** Normalize JVM-run-specific tokens out of a canonicalized plan string
     * so its hash is stable across processes: canonicalization handles
@@ -515,7 +527,9 @@ object Bench {
       // scrub the a2/a3/a10 fingerprints drift once per round against a
       // baseline refreshed mid-round on identical code (caught r13, the
       // first cross-round bench after the sig landed in the table name).
-      .replaceAll("\\b(graft_[a-z]+\\d+_[0-9a-f]{16})_[0-9a-f]{8}\\b", "$1_sig")
+      // (r16: `\d*` — the r15 ADVICE stale-cache fix put the sig on the
+      // letter-only-prefix PQ tables too: pqcodes/pqkcodes/pqkcb/ivfpq.)
+      .replaceAll("\\b(graft_[a-z]+\\d*_[0-9a-f]{16})_[0-9a-f]{8}\\b", "$1_sig")
       .replaceAll("\\[id=#?\\d+\\]", "[id=n]")
       .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=n]")
       .replaceAll("RDD\\[\\d+\\]", "RDD[n]")
@@ -553,15 +567,22 @@ object Bench {
     // those lists' top-level elements — iterated to fixpoint so nested
     // occurrences settle — output=[..] is NOT sorted (column order is
     // semantic).
-    val keys = Seq(("functions=", '[', ']'), ("PartitionFilters: ", '[', ']'),
-      ("DataFilters: ", '[', ']'), ("PushedFilters: ", '[', ']'),
-      ("multicommutativeop", '(', ')'), ("Expand ", '[', ']'))
+    // The three scan-metadata *Filters lists additionally DROP their
+    // isnotnull elements: constraint-inferred isnotnulls come and go with
+    // session-state-dependent optimizer bookkeeping (the d9 flutter,
+    // verdict r15 #1) — they are never the semantic filter, whose real
+    // predicates sit beside them and in the Filter nodes above.
+    val keys = Seq(("functions=", '[', ']', false),
+      ("PartitionFilters: ", '[', ']', true),
+      ("DataFilters: ", '[', ']', true), ("PushedFilters: ", '[', ']', true),
+      ("multicommutativeop", '(', ')', false), ("Expand ", '[', ']', false))
     var prev = ""
     var cur = gidNorm
     var rounds = 0
     while (cur != prev && rounds < 5) {
       prev = cur
-      cur = keys.foldLeft(cur) { case (acc, (k, o, c)) => sortDelimited(acc, k, o, c) }
+      cur = keys.foldLeft(cur) { case (acc, (k, o, c, drop)) =>
+        sortDelimited(acc, k, o, c, drop) }
       rounds += 1
     }
     cur
@@ -608,8 +629,25 @@ object Bench {
 
   /** Sort the top-level comma-separated elements of every `key<open>...
     * <close>` occurrence, respecting nesting depth (elements contain
-    * parenthesized commas: `first(a, true) FILTER (WHERE ...)`). */
-  private def sortDelimited(s: String, key: String, open: Char, close: Char): String = {
+    * parenthesized commas: `first(a, true) FILTER (WHERE ...)`).
+    *
+    * LINE-BOUNDED (r16, the d9 flutter root cause): plan nodes print one
+    * per line, so a delimited list never legitimately crosses a newline —
+    * but scan-metadata values truncate at spark.sql
+    * .maxMetadataStringLength WITHOUT their closing bracket, and the
+    * previous unbounded scan then swallowed every following LINE until
+    * brackets happened to re-balance, alphabetically scrambling whole
+    * subtrees. The swallow extent shifted with session-global exprId
+    * digit widths (the raw text is cut BEFORE the exprId scrub), so two
+    * full-registry runs fingerprinted d9 differently. Now: a list that
+    * does not close on its own line is TRUNCATION DAMAGE — its tail is
+    * already partial — so the whole remainder-of-line normalizes to one
+    * deterministic `<truncated>` token (determinism beats fidelity: the
+    * Filter nodes above the scan carry the same predicates untruncated).
+    * `dropIsNotNull` additionally strips constraint-inferred isnotnull
+    * elements (see scrubPlan's keys table). */
+  private def sortDelimited(s: String, key: String, open: Char, close: Char,
+                            dropIsNotNull: Boolean = false): String = {
     val sb = new StringBuilder
     var i = 0
     var j = s.indexOf(key + open, i)
@@ -617,33 +655,45 @@ object Bench {
       val start = j + key.length + 1
       var depth = 1
       var k = start
-      while (k < s.length && depth > 0) {
+      while (k < s.length && depth > 0 &&
+             s.charAt(k) != '\n' && s.charAt(k) != '\r') {
         val c = s.charAt(k)
         if (c == '[' || c == '(') depth += 1
         else if (c == ']' || c == ')') depth -= 1
         k += 1
       }
-      val inner = s.substring(start, k - 1)
-      val parts = scala.collection.mutable.ArrayBuffer[String]()
-      var d = 0
-      var last = 0
-      var m = 0
-      while (m < inner.length) {
-        // NOT <>: comparison operators appear unpaired ((a > 5)), and
-        // generic types (struct<a:bigint,b:int>) print commas without a
-        // trailing space, so they can never be split points anyway
-        val c = inner.charAt(m)
-        if (c == '(' || c == '[') d += 1
-        else if (c == ')' || c == ']') d -= 1
-        else if (c == ',' && d == 0 && m + 1 < inner.length && inner.charAt(m + 1) == ' ') {
-          parts += inner.substring(last, m)
-          last = m + 2
+      if (depth > 0) {
+        // Unbalanced at end-of-line/text: truncated metadata. Replace the
+        // remainder of the line with one stable token.
+        sb.append(s.substring(i, start)).append("<truncated>").append(close)
+        i = k
+      } else {
+        val inner = s.substring(start, k - 1)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        var d = 0
+        var last = 0
+        var m = 0
+        while (m < inner.length) {
+          // NOT <>: comparison operators appear unpaired ((a > 5)), and
+          // generic types (struct<a:bigint,b:int>) print commas without a
+          // trailing space, so they can never be split points anyway
+          val c = inner.charAt(m)
+          if (c == '(' || c == '[') d += 1
+          else if (c == ')' || c == ']') d -= 1
+          else if (c == ',' && d == 0 && m + 1 < inner.length && inner.charAt(m + 1) == ' ') {
+            parts += inner.substring(last, m)
+            last = m + 2
+          }
+          m += 1
         }
-        m += 1
+        parts += inner.substring(last)
+        val kept =
+          if (dropIsNotNull) parts.filterNot(p =>
+            p.startsWith("isnotnull(") || p.startsWith("IsNotNull("))
+          else parts
+        sb.append(s.substring(i, start)).append(kept.sorted.mkString(", ")).append(close)
+        i = k
       }
-      parts += inner.substring(last)
-      sb.append(s.substring(i, start)).append(parts.sorted.mkString(", ")).append(close)
-      i = k
       j = s.indexOf(key + open, i)
     }
     sb.append(s.substring(i))

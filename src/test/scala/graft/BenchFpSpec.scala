@@ -91,9 +91,31 @@ class BenchFpSpec extends AnyFunSuite {
     val a = Bench.scrubPlan("DataFilters: [(list_id#12 < 8), isnotnull(vec_id#...")
     val b = Bench.scrubPlan("DataFilters: [(list_id#1234 < 8), isnotnull(vec...")
     assert(a == b, s"$a vs $b")
-    // untruncated lists keep every element
+    // untruncated lists keep every SEMANTIC element; constraint-inferred
+    // isnotnulls drop (r16 — they come and go with session state, the d9
+    // flutter), and other predicates survive
     val c = Bench.scrubPlan("DataFilters: [(a#1 < 8), isnotnull(b#2)]")
-    assert(c.contains("isnotnull(b#n)"))
+    assert(c.contains("(a#n < 8)"))
+    assert(!c.contains("isnotnull"), c)
+  }
+
+  test("scrubPlan bounds list sorting at the line: an unclosed metadata " +
+       "list must not swallow and scramble the following plan lines (d9)") {
+    // the r15 d9 flutter root cause: a width-truncated DataFilters loses
+    // its `]`, the old unbounded scan consumed every following LINE until
+    // brackets re-balanced, and the sort alphabetized whole subtrees —
+    // making the fingerprint depend on the session-global truncation point
+    val plan =
+      "+- FileScan parquet [a#1] DataFilters: [((cast(i#2 as decimal(38,0)) * 2000000...\n" +
+      "   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, true]),false)\n" +
+      "      +- Filter (x#3 > 5)]\n" // a stray `]` three lines down
+    val t = Bench.scrubPlan(plan)
+    assert(t.contains("DataFilters: [<truncated>]"), t)
+    assert(t.contains("+- BroadcastExchange HashedRelationBroadcastMode"), t)
+    assert(t.contains("+- Filter (x#n > 5)"), t)
+    // and the scrub is invariant to WHERE the cut landed
+    val plan2 = plan.replace("* 2000000...", "* 200...")
+    assert(Bench.scrubPlan(plan2) == t)
   }
 
   test("scrubPlan leaves a mid-plan literal `...` alone (list-final anchor)") {
@@ -102,8 +124,8 @@ class BenchFpSpec extends AnyFunSuite {
     // predicate — previously the element before such a literal was eaten.
     val s = "Filter Contains(text#7, foo...bar) AND (x#8 > 2)"
     assert(Bench.scrubPlan(s).contains("Contains(text#n, foo...bar)"))
-    val t = "PushedFilters: [IsNotNull(a), StringEndsWith(text,abc...)]"
-    assert(Bench.scrubPlan(t).contains("IsNotNull(a)"),
+    val t = "PushedFilters: [GreaterThan(a,5), StringEndsWith(text,abc...)]"
+    assert(Bench.scrubPlan(t).contains("GreaterThan(a,5)"),
       "element before a literal `...)` must survive")
     // genuine truncation (list-final `...`) still collapses
     assert(Bench.scrubPlan("DataFilters: [(a#1 < 8), isnotnu...")
@@ -232,6 +254,25 @@ class BenchFpSpec extends AnyFunSuite {
     java.nio.file.Files.write(sf10,
       """{"queries":{"q1_agg":20.0},"sf":"testdata_sf10"}""".getBytes("UTF-8"))
     assert(Bench.sf1Summary(sf10.toString, "sf0.1", sparkSec) == "")
+  }
+
+  test("readPrevField takes the LAST match; dialEq compares numerically") {
+    val dir = java.nio.file.Files.createTempDirectory("benchdial")
+    val f = dir.resolve("bench.json")
+    // a free-text note embedding the key pattern must not shadow the
+    // real tail dial (ADVICE r15)
+    java.nio.file.Files.write(f,
+      ("""{"note":"measured at \"cpus\":\"8\" once","queries":{},""" +
+        """"sf":"sf0.1","cpus":"32","shuffle_partitions":"32"}""").getBytes("UTF-8"))
+    assert(Bench.readPrevField(f.toString, "cpus").contains("32"))
+    assert(Bench.readPrevField(f.toString, "shuffle_partitions").contains("32"))
+    assert(Bench.readPrevField(f.toString, "absent_field").isEmpty)
+    // numerically-equal dials spelled differently must NOT drop the baseline
+    assert(Bench.dialEq(Some("04"), "4"))
+    assert(Bench.dialEq(Some("32"), "32"))
+    assert(!Bench.dialEq(Some("4"), "32"))
+    assert(!Bench.dialEq(None, "32")) // unknown dial = no baseline
+    assert(Bench.dialEq(Some("x"), "x")) // non-numeric falls back to string eq
   }
 
   test("readPrevPlans degrades to empty on absent or malformed files") {
