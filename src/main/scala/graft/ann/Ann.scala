@@ -150,19 +150,26 @@ object Ann {
     // than nlists). The rollup's grand-total row (list_id NULL) carries
     // countDistinct(query_id) = Q exactly, in the same single aggregate;
     // the collect stays ≤ nlists + 1 rows.
+    // grouping() == 1 marks the grand-total row STRUCTURALLY (r16,
+    // ADVICE r15: isNullAt(0) would conflate it with a genuine NULL
+    // list_id group if assignment ever produced one)
     val perList = listProbes(e, nprobe, nlists, qmod)
       .rollup(col("list_id"))
-      .agg(countDistinct(col("query_id")).as("nq"))
+      .agg(countDistinct(col("query_id")).as("nq"),
+        grouping(col("list_id")).cast("int").as("is_total"))
       .collect()
-    val q = perList.collectFirst { case r if r.isNullAt(0) => r.getLong(1) }
-      .getOrElse(0L)
+    val q = perList.collectFirst { case r if r.getAs[Int]("is_total") == 1 =>
+      r.getLong(1)
+    }.getOrElse(0L)
     fixedQGuard(q, "probedListIds")
     // SORTED (r14, the a13z precedent): the ids land in static `IN`
     // partition filters, so their order is part of the plan FINGERPRINT —
     // a distributed collect's order varies across sessions on identical
     // code (observed: a21_routed_topk_io fluttered between same-code
     // sessions), a sorted set never does
-    perList.collect { case r if !r.isNullAt(0) => r.getLong(0) }.sorted.toSeq
+    perList.collect {
+      case r if r.getAs[Int]("is_total") == 0 => r.getLong(0)
+    }.sorted.toSeq
   }
 
   private def ivfListTable(spark: SparkSession, dir: String,
@@ -185,8 +192,12 @@ object Ann {
     * needs the top-nprobe centroids, not just the argmax.
     * Returns (query_id, list_id, qlabel, qv, qnrm). */
   private[ann] def listProbes(e: DataFrame, nprobe: Int = 3,
-                              nlists: Int = 8, qmod: Int = 101): DataFrame = {
-    val cent = centroids(e, nlists)
+                              nlists: Int = 8, qmod: Int = 101,
+                              centSource: Option[DataFrame] = None): DataFrame = {
+    // centSource (r16, default e): the streamed-append composition probes
+    // a combined (batch ∪ streamed) query set against the VERSIONED batch
+    // centroid artifact — the a20/H12 rule on the query side
+    val cent = centroids(centSource.getOrElse(e), nlists)
     val cs = round(
       when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
@@ -235,6 +246,35 @@ object Ann {
     // fixed-Q contract (Ann scaladoc): probes is O(queries × nprobe),
     // small by the serving contract, not by the testdata's vec_id % 101.
     asg.join(broadcast(probes), joinCond)
+      .withColumn("similarity", sim)
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "vec_id", "similarity", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** [[ivfTopK]] over an EXPLICIT corpus (vec_id, label, v, nrm) with the
+    * versioned centroid source — the streamed-append serving path
+    * ([[Router.aRouteTopkStreamed]]): assignment and probes are computed
+    * on the fly against `centSource`'s centroids (the a20/H12 rule), so
+    * the result row-matches an equivalent batch rebuild's ivfTopK at the
+    * same dials. Trades the build-once warehouse artifact for one
+    * O(corpus · nlists) narrow assignment pass (no shuffle of the corpus
+    * side); a long-lived deployment compacts the streamed appends
+    * ([[graft.streaming.Streams.compactIvfIndex]]) and returns to the
+    * partition-pruned artifact read. */
+  private[graft] def ivfTopKOver(corpus: DataFrame, centSource: DataFrame,
+                                 nlists: Int, nprobe: Int,
+                                 qmod: Int = 101): DataFrame = {
+    val asg = listAssignment(corpus, Some(centSource), nlists)
+    val probes = listProbes(corpus, nprobe, nlists, qmod, Some(centSource))
+    val sim = round(
+      when(col("qnrm") * col("nrm") === 0.0, 0.0)
+        .otherwise(Vec.dotNative(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
+    // fixed-Q contract: see [[ivfTopK]]
+    asg.join(broadcast(probes),
+        asg("list_id") === probes("list_id") && col("vec_id") =!= col("query_id"))
       .withColumn("similarity", sim)
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= 10)
@@ -311,8 +351,15 @@ object Ann {
     * structure-less corpora have no centroid pair past tau and return 1,
     * leaving nprobe at the measured small constant. */
   def splinterEstimate(spark: SparkSession, dir: String, nlists: Int,
-                       tau: Double = 0.5): Int = {
-    val cent = centroids(Search.corpus(spark, dir), nlists)
+                       tau: Double = 0.5): Int =
+    splinterOf(Search.corpus(spark, dir), nlists, tau)
+
+  /** [[splinterEstimate]] over an explicit centroid-source frame — the
+    * streamed-append composition derives centroids from the VERSIONED
+    * batch artifact (the a20/H12 rule), never the appended rows. */
+  private[graft] def splinterOf(centSource: DataFrame, nlists: Int,
+                                tau: Double = 0.5): Int = {
+    val cent = centroids(centSource, nlists)
     val srcStride = math.max(1L, nlists.toLong / 4096L)
     val src = cent.filter(col("cent_id") % srcStride === 0)
       .select(col("cent_id").as("src"), col("cv").as("sv"), col("cnrm").as("snrm"))

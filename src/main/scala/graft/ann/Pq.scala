@@ -113,7 +113,7 @@ object Pq {
     * codebook flavor ("pqcodes" deterministic, "pqkcodes" k-means). */
   private def codesTable(spark: SparkSession, dir: String, e: DataFrame,
                          cb: DataFrame, prefix: String, d: Int = D): DataFrame = {
-    val t = s"graft_${prefix}_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val t = s"graft_${prefix}_${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writeBucketed(encode(e, cb, d), t, "vec_id")
@@ -371,7 +371,7 @@ object Pq {
     * re-encode the corpus. */
   private def trainedCodebookTable(spark: SparkSession, dir: String,
                                    e: DataFrame): DataFrame = {
-    val t = s"graft_pqkcb_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val t = s"graft_pqkcb_${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writeTable(
@@ -502,10 +502,13 @@ object Pq {
     * a probe reads nprobe/nlists of the data via partition pruning. */
   /** 8-hex data-signature suffix for dial-parameterized warehouse table
     * names (the Ann.ivfListTable recipe): regeneration of the source data
-    * under the same path rebuilds instead of serving stale lists. The
-    * default-dial table keeps its historical sig-free name (committed
-    * fingerprints + cross-query reuse). Bench.scrubPlan normalizes the
-    * suffix out of plan fingerprints. */
+    * under the same path rebuilds instead of serving stale lists. As of
+    * r16 EVERY PQ artifact name carries it (codes, trained codebook,
+    * both ivfPqTable dials): a corpus regenerated in place at a new dim
+    * within one session must never join fresh-width LUTs against codes
+    * encoded at the old width (subDimOf is data-keyed, the tables were
+    * path-keyed — silently wrong ADC scores, ADVICE r15). Bench
+    * .scrubPlan normalizes the suffix out of plan fingerprints. */
   private[ann] def sigSuffix(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(srcSignature(dir).getBytes("UTF-8"))
@@ -514,7 +517,7 @@ object Pq {
   private def ivfPqTable(spark: SparkSession, dir: String, e: DataFrame,
                          cb: DataFrame, nlists: Int = 8, d: Int = D): DataFrame = {
     val t =
-      if (nlists == 8) s"graft_ivfpq_${graft.sources.Warehouse.tableSuffix(dir)}"
+      if (nlists == 8) s"graft_ivfpq_${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}"
       else s"graft_ivfpq${nlists}_${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))

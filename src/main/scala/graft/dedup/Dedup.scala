@@ -1486,9 +1486,6 @@ object Dedup {
            |ORDER BY train_doc_id, eval_doc_id""".stripMargin),
   )
 
-  /** DuckDB CTE chain for d6/d8: the hashed-shingle candidate chain under a
-    * RECURSIVE prefix, plus verified pairs and the transitive-closure
-    * cluster table (the oracle's exact CC — min reachable id per node). */
   /** d8's SELECT tail over a `cluster` CTE — shared by the full and
     * sampled canonical-corpus oracles so the formula cannot drift. */
   private lazy val D8CanonicalSqlTail: String =
@@ -1503,6 +1500,9 @@ object Dedup {
       |WHERE is_can AND doc_id NOT IN (SELECT doc_id FROM drops)
       |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB CTE chain for d6/d8: the hashed-shingle candidate chain under a
+    * RECURSIVE prefix, plus verified pairs and the transitive-closure
+    * cluster table (the oracle's exact CC — min reachable id per node). */
   private[graft] lazy val D6ClusterCte: String = d6ClusterCte("")
 
   /** The sampled-chain twin: verified pairs restricted to the d2s
