@@ -305,18 +305,42 @@ object Pipeline {
     * sets; AQE broadcasts while they fit). Nothing here adds a shuffle
     * the layers didn't already own, so the audit costs the sum of its
     * parts at 100 TB, not a new join topology. */
-  def p8CurationAudit(spark: SparkSession, dir: String): DataFrame = {
+  def p8CurationAudit(spark: SparkSession, dir: String): DataFrame =
+    curationAudit(spark, dir, Dedup.clusterTable(spark, dir),
+      cleanToks = Some(Dedup.d13ScrubbedCorpus(spark, dir)
+        .select(col("doc_id"), col("n_tokens_kept").as("n_tokens_clean"))))
+
+  /** P8s (r16, verdict r15 #1): the audit over the SAMPLED clustering —
+    * the last `spark_disk_bound` exclusion at sf100d converted by the
+    * d6s/p1s rule. Two deliberate narrowings, both spec-pinned:
+    * `neardup_drop` comes from [[Dedup.clusterTableSampled]] (sampled
+    * drops ⊆ full drops, so per doc p8s.neardup_drop ⇒ p8.neardup_drop
+    * and p8.final_keep ⇒ p8s.final_keep — the twin may keep a doc the
+    * full audit drops, never the reverse); and the token column is the
+    * RAW whitespace count `n_tokens` (ksig's n_words), not d13's
+    * `n_tokens_clean` — the substring scrub is the documented DuckDB
+    * wall at 5M docs (CORRECTNESS_SF100D oracle_infeasible), and keeping
+    * it would trade the spark_disk_bound exclusion for an
+    * oracle_infeasible one instead of a graded verdict. The scrub totals
+    * stay graded through d13's own entry at the decades DuckDB reaches.
+    * Every other flag (keep_quality, contaminated, is_eval, n_pii) is
+    * byte-identical to p8's — same shared constructions. */
+  def p8sCurationAuditSampled(spark: SparkSession, dir: String): DataFrame =
+    curationAudit(spark, dir, Dedup.clusterTableSampled(spark, dir),
+      cleanToks = None)
+
+  private def curationAudit(spark: SparkSession, dir: String,
+                            clusters: DataFrame,
+                            cleanToks: Option[DataFrame]): DataFrame = {
     val sig = TextOps.keepSignals(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        col("keep").as("keep_quality"))
-    val drops = Dedup.clusterTable(spark, dir)
+        col("keep").as("keep_quality"), col("n_words"))
+    val drops = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id")).withColumn("nd", lit(true))
     val contam = Dedup.d10Decontamination(spark, dir)
       .select(col("train_doc_id").as("doc_id")).distinct()
       .withColumn("ct", lit(true))
-    val toks = Dedup.d13ScrubbedCorpus(spark, dir)
-      .select(col("doc_id"), col("n_tokens_kept").as("n_tokens_clean"))
     // r14 (verdict r13 #7): whether the shipped text was REDACTED —
     // t10's per-class counts folded to one n_pii per doc, shared-CTE
     // rule like the other layers (TextOps.PiiCteBody on the SQL side),
@@ -324,9 +348,14 @@ object Pipeline {
     val pii = TextOps.piiCounted(spark, dir)
       .select(col("doc_id"),
         (col("n_emails") + col("n_phones") + col("n_ips")).as("n_pii"))
-    sig.join(drops, Seq("doc_id"), "left")
+    val base = sig.join(drops, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
-      .join(toks, Seq("doc_id"))
+    val withToks = cleanToks match {
+      case Some(t) => base.join(t, Seq("doc_id"))
+      case None    => base.withColumn("n_tokens", col("n_words"))
+    }
+    val tokCol = if (cleanToks.isDefined) "n_tokens_clean" else "n_tokens"
+    withToks
       .join(pii, Seq("doc_id"))
       .withColumn("neardup_drop", coalesce(col("nd"), lit(false)))
       .withColumn("contaminated", coalesce(col("ct"), lit(false)))
@@ -334,12 +363,13 @@ object Pipeline {
       .withColumn("final_keep", col("keep_quality") && !col("neardup_drop") &&
         !col("contaminated") && !col("is_eval"))
       .select("doc_id", "lang", "source", "keep_quality", "neardup_drop",
-        "contaminated", "is_eval", "final_keep", "n_tokens_clean", "n_pii")
+        "contaminated", "is_eval", "final_keep", tokCol, "n_pii")
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p8_curation_audit" -> ((s, d) => p8CurationAudit(s, d)),
+    "p8s_curation_audit_sampled" -> ((s, d) => p8sCurationAuditSampled(s, d)),
     "p7_token_budget" -> ((s, d) => p7TokenBudget(s, d)),
     "p6_stratified_holdout" -> ((s, d) => p6StratifiedHoldout(s, d)),
     "p1_training_mix" -> ((s, d) => p1TrainingMix(s, d)),
@@ -387,6 +417,35 @@ object Pipeline {
         |    // (2*(CAST(sum(n_tokens) OVER () AS BIGINT)))) / 1000000.0 AS token_share
         |FROM grp ORDER BY lang, source""".stripMargin
 
+  /** p8's audit SELECT over `cluster`/`shared`/`ksig`/`piicnt` CTEs —
+    * shared by the full and sampled oracles so the FLAGS formula cannot
+    * drift; only the token column (d13's scrubbed count vs ksig's raw
+    * count) and its join are parameterized. */
+  private def p8AuditSqlTail(tokenSel: String, tokenJoin: String): String =
+    s"""
+       |, drops AS (
+       |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
+       |), contam AS (
+       |  SELECT DISTINCT train_doc_id AS doc_id FROM shared
+       |)
+       |SELECT k.doc_id, k.lang, k.source,
+       |  (k.is_canonical AND k.score_e6 >= 500000 AND k.n_words BETWEEN 25 AND 80
+       |    AND k.lang IN ('en', 'de', 'fr')) AS keep_quality,
+       |  (dr.doc_id IS NOT NULL) AS neardup_drop,
+       |  (ct.doc_id IS NOT NULL) AS contaminated,
+       |  (k.doc_id % ${Dedup.D10EvalMod} = 0) AS is_eval,
+       |  ((k.is_canonical AND k.score_e6 >= 500000 AND k.n_words BETWEEN 25 AND 80
+       |    AND k.lang IN ('en', 'de', 'fr'))
+       |   AND dr.doc_id IS NULL AND ct.doc_id IS NULL
+       |   AND k.doc_id % ${Dedup.D10EvalMod} <> 0) AS final_keep,
+       |  $tokenSel,
+       |  CAST(pc.n_emails + pc.n_phones + pc.n_ips AS BIGINT) AS n_pii
+       |FROM ksig k
+       |LEFT JOIN drops dr ON dr.doc_id = k.doc_id
+       |LEFT JOIN contam ct ON ct.doc_id = k.doc_id
+       |${tokenJoin}JOIN piicnt pc ON pc.doc_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+
   /** p5's SELECT tail over a `cluster` CTE — shared full/sampled. */
   private lazy val P5LeakSqlTail: String =
     """, sp AS (
@@ -413,30 +472,19 @@ object Pipeline {
     "p8_curation_audit" -> (Dedup.D6ClusterCte + Dedup.D10SharedCteBody +
       Dedup.D13ScrubCteBody + ", " + TextOps.KeepSigCteBody.stripPrefix("WITH ") +
       ", " + TextOps.PiiCteBody +
-      s"""
-         |, drops AS (
-         |  SELECT doc_id FROM cluster WHERE doc_id <> cluster_id
-         |), contam AS (
-         |  SELECT DISTINCT train_doc_id AS doc_id FROM shared
-         |)
-         |SELECT k.doc_id, k.lang, k.source,
-         |  (k.is_canonical AND k.score_e6 >= 500000 AND k.n_words BETWEEN 25 AND 80
-         |    AND k.lang IN ('en', 'de', 'fr')) AS keep_quality,
-         |  (dr.doc_id IS NOT NULL) AS neardup_drop,
-         |  (ct.doc_id IS NOT NULL) AS contaminated,
-         |  (k.doc_id % ${Dedup.D10EvalMod} = 0) AS is_eval,
-         |  ((k.is_canonical AND k.score_e6 >= 500000 AND k.n_words BETWEEN 25 AND 80
-         |    AND k.lang IN ('en', 'de', 'fr'))
-         |   AND dr.doc_id IS NULL AND ct.doc_id IS NULL
-         |   AND k.doc_id % ${Dedup.D10EvalMod} <> 0) AS final_keep,
-         |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_clean,
-         |  CAST(pc.n_emails + pc.n_phones + pc.n_ips AS BIGINT) AS n_pii
-         |FROM ksig k
-         |LEFT JOIN drops dr ON dr.doc_id = k.doc_id
-         |LEFT JOIN contam ct ON ct.doc_id = k.doc_id
-         |LEFT JOIN agg a ON a.doc_id = k.doc_id
-         |JOIN piicnt pc ON pc.doc_id = k.doc_id
-         |ORDER BY k.doc_id""".stripMargin),
+      p8AuditSqlTail(
+        tokenSel = "CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_clean",
+        tokenJoin = "LEFT JOIN agg a ON a.doc_id = k.doc_id\n")),
+
+    // p8s (r16): flags formula shared with p8 via the tail builder; the
+    // cluster CTE is the sampled one and the token column is the raw
+    // ksig count (d13's scrub CTE is the documented sf100d DuckDB wall)
+    "p8s_curation_audit_sampled" -> (Dedup.D6sClusterCte + Dedup.D10SharedCteBody +
+      ", " + TextOps.KeepSigCteBody.stripPrefix("WITH ") +
+      ", " + TextOps.PiiCteBody +
+      p8AuditSqlTail(
+        tokenSel = "CAST(k.n_words AS BIGINT) AS n_tokens",
+        tokenJoin = "")),
 
     "p7_token_budget" ->
       (TextOps.ScoredCteSql + s"""

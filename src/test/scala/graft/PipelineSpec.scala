@@ -190,6 +190,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("P8s: sampled audit obeys the conservative law per document") {
+    // r16 (verdict r15 #1, the last sf100d conversion): sampled drops ⊆
+    // full drops, so per doc p8s.neardup_drop ⇒ p8.neardup_drop and
+    // p8.final_keep ⇒ p8s.final_keep; every OTHER flag is byte-identical
+    // (same shared constructions), and the token column is the raw ksig
+    // count — equal to n_words for every doc
+    val full = Pipeline.p8CurationAudit(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val sampled = Pipeline.p8sCurationAuditSampled(spark, Sf).collect()
+    assert(sampled.length === full.size, "one audit row per input document")
+    val nWords = Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var narrowed = 0
+    sampled.foreach { s =>
+      val d = s.getAs[Long]("doc_id")
+      val f = full(d)
+      assert(s.getAs[Boolean]("keep_quality") === f.getAs[Boolean]("keep_quality"))
+      assert(s.getAs[Boolean]("contaminated") === f.getAs[Boolean]("contaminated"))
+      assert(s.getAs[Boolean]("is_eval") === f.getAs[Boolean]("is_eval"))
+      assert(s.getAs[Long]("n_pii") === f.getAs[Long]("n_pii"))
+      // conservative direction only: sampled may MISS a drop, never add
+      if (s.getAs[Boolean]("neardup_drop"))
+        assert(f.getAs[Boolean]("neardup_drop"), s"doc $d: twin invented a drop")
+      if (f.getAs[Boolean]("final_keep"))
+        assert(s.getAs[Boolean]("final_keep"), s"doc $d: twin lost a keeper")
+      if (s.getAs[Boolean]("neardup_drop") != f.getAs[Boolean]("neardup_drop"))
+        narrowed += 1
+      assert(s.getAs[Long]("n_tokens") === nWords(d))
+    }
+    // non-vacuity: the fixture must exercise the drop layer at all (the
+    // implication direction above is what the law pins; whether the
+    // 1-in-13 sample narrows THIS fixture is data, not contract)
+    assert(full.values.count(_.getAs[Boolean]("neardup_drop")) > 0,
+      "fixture has no near-dup drops — the law was not exercised")
+  }
+
   test("P5: every reported leak really spans splits; report is complete") {
     import graft.functions.DetHash
     val leaks = Pipeline.p5SplitLeakage(spark, Sf).collect()
