@@ -221,8 +221,60 @@ object Router {
     * dispatched result. Driver-side assembly is O(1): the three inputs are
     * tiny distributed aggregates ([[stats]]). */
   def a21Route(spark: SparkSession, dir: String,
-               recallFloor: Double = 0.9): DataFrame = {
-    val (n, occ, spl, dim) = stats(spark, dir)
+               recallFloor: Double = 0.9): DataFrame =
+    routeFrame(spark, stats(spark, dir), recallFloor)
+
+  /** The (batch corpus ∪ manifest-committed streamed appends) vector set,
+    * payload columns only — [[graft.streaming.Streams.readIvfIndex]]
+    * supplies exactly the committed, un-folded rows (a partial batch or a
+    * superseded directory never contributes). */
+  private def combinedCorpus(spark: SparkSession, dir: String,
+                             indexDir: String): DataFrame =
+    Search.corpus(spark, dir).select("vec_id", "label", "v", "nrm")
+      .unionByName(graft.streaming.Streams.readIvfIndex(spark, indexDir)
+        .select("vec_id", "label", "v", "nrm"))
+
+  /** [[stats]] over (batch ∪ streamed): count and dimension from the
+    * combined vector set; occupancy from the combined assignment at the
+    * combined-count sqrt-law nlists AGAINST THE VERSIONED BATCH CENTROIDS
+    * (the a20/H12 rule — a batch rebuild of the same data assigns
+    * identically, so the routed decision equals the rebuild's,
+    * RouterSpec/StreamIvfSpec); splinter from those same centroids. A
+    * streamed batch at a different embedding dimension REFUSES rather
+    * than mis-pricing every route (the RouterDimSpec rule). */
+  private[graft] def statsWithStream(spark: SparkSession, dir: String,
+                                     indexDir: String): (Long, Long, Int, Int) = {
+    val batch = Search.corpus(spark, dir)
+    val combined = combinedCorpus(spark, dir, indexDir)
+    val head = combined.agg(count(lit(1)), max(size(col("v"))),
+      min(size(col("v")))).head()
+    val n = head.getLong(0)
+    require(n > 0, s"router stats: empty corpus at $dir + $indexDir")
+    val dim = head.getInt(1)
+    require(head.getInt(2) == dim,
+      s"router stats: mixed embedding dims in $dir + $indexDir " +
+        s"(${head.getInt(2)} vs $dim) — route refuses rather than mis-price")
+    val nlists = Ann.nlistsFor(n)
+    val occ = Ann.listAssignment(combined, Some(batch), nlists)
+      .groupBy("list_id").agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).head().getLong(0)
+    (n, occ, Ann.splinterOf(batch, nlists), dim)
+  }
+
+  /** D21, streamed (r16, verdict r15 #4): the routing decision over
+    * (batch ∪ streamed) — H12/H14 keep the INDEX artifacts current under
+    * appends, and this keeps the DISPATCH current: the router's live
+    * statistics now read the manifest-committed streamed index instead of
+    * silently pricing yesterday's batch corpus. Same decision frame as
+    * [[a21Route]]. */
+  def a21RouteStreamed(spark: SparkSession, dir: String, indexDir: String,
+                       recallFloor: Double = 0.9): DataFrame =
+    routeFrame(spark, statsWithStream(spark, dir, indexDir), recallFloor)
+
+  private def routeFrame(spark: SparkSession,
+                         st: (Long, Long, Int, Int),
+                         recallFloor: Double): DataFrame = {
+    val (n, occ, spl, dim) = st
     val rows = Seq(ComputeBound, IoBound).map { reg =>
       route(n, occ, spl, recallFloor, reg, dim = dim)
     }
@@ -273,6 +325,44 @@ object Router {
           rerankDepth = d.rerankDepth)
       case "pq_rerank" =>
         Pq.a7PqRerank(spark, dir, rerankDepth = d.rerankDepth)
+    }
+  }
+
+  /** [[aRouteTopk]], streamed (r16): route over (batch ∪ streamed) stats,
+    * then SERVE over the combined vector set — queries are the standard
+    * qmod=101 batch drawn from the combined ids, so an appended vector is
+    * both searchable and a query. brute and ivf_flat dispatch on the fly
+    * against the versioned batch centroids ([[Search.knnOver]] /
+    * [[Ann.ivfTopKOver]] — row-identical to an equivalent batch rebuild's
+    * plan at the same dials, spec-pinned); the PQ families REFUSE by name:
+    * their codebook/code artifacts are versioned with the batch corpus, so
+    * the correct move after enough appends to route there is a compaction
+    * + batch re-encode ([[graft.streaming.Streams.compactIvfIndex]] +
+    * [[Pq]] build), not a silent serve against codes the appended rows
+    * aren't in. */
+  def aRouteTopkStreamed(spark: SparkSession, dir: String, indexDir: String,
+                         recallFloor: Double = 0.9,
+                         regime: Regime = IoBound,
+                         clusteredRegime: Boolean = true,
+                         retrieval: Retrieval = RowStore): DataFrame = {
+    val (n, occ, spl, dim) = statsWithStream(spark, dir, indexDir)
+    Ann.fixedQGuard(n / 101 + 1, "aRouteTopkStreamed")
+    val d = route(n, occ, spl, recallFloor, regime, clusteredRegime,
+      retrieval = retrieval, dim = dim)
+    val combined = combinedCorpus(spark, dir, indexDir)
+    d.family match {
+      case "brute" =>
+        Search.knnOver(combined, col("vec_id") % 101 === 0, k = 10,
+          threshold = -1.0, clampZero = false, sameLabel = false)
+      case "ivf_flat" =>
+        Ann.ivfTopKOver(combined, Search.corpus(spark, dir),
+          nlists = d.nlists, nprobe = d.nprobe)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"aRouteTopkStreamed: route chose '$other', whose codebook/code " +
+            "artifacts are versioned with the batch corpus — compact the " +
+            "streamed appends (Streams.compactIvfIndex) and rebuild the " +
+            "batch index, then serve via aRouteTopk")
     }
   }
 

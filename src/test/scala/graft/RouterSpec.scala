@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ann.{Ann, Router}
 import graft.ann.Router.{ComputeBound, IoBound}
 
@@ -285,5 +287,89 @@ class RouterSpec extends SparkSpec {
     val direct = Ann.a2KnnIvf(spark, Sf, nlists = d.nlists, nprobe = d.nprobe).collect()
     assert(routed.length === direct.length && routed.sameElements(direct),
       "aRouteTopk must BE the dispatched family's plan, not a re-derivation")
+  }
+
+  /** One corpus, split two ways: `fullDir` holds every vector (the
+    * "equivalent batch rebuild"); `batchDir` holds all but the tail ids,
+    * which arrive as a streamed append instead. Appended ids all exceed
+    * nlists, so the versioned-centroid rule (vec_id < nlists) yields the
+    * SAME centroids from either dir — the condition under which route
+    * equality is exact. */
+  private def splitCorpus(n: Int, appended: Int): (String, String, String) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new java.util.Random(20260816L)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / nrm)
+    }
+    val centers = Array.fill(16)(unit(64))
+    val rows = (0 until n).map { i =>
+      val c = centers(i % 16)
+      Row(i.toLong, c.map(x => x + 0.35f * rnd.nextGaussian().toFloat / 8f).toSeq,
+        i % 16 % 10)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType, nullable = false)))
+    def write(rs: Seq[Row], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_rs_$tag").toString
+      spark.createDataFrame(spark.sparkContext.parallelize(rs, 4), schema)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val fullDir = write(rows, "full")
+    val batchDir = write(rows.take(n - appended), "batch")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_rs_stream").toString + "/ivf"
+    val appendRows = graft.rag.Search.corpus(spark, fullDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= (n - appended).toLong)
+      .select("vec_id", "label", "v")
+    graft.streaming.Streams.appendIvfBatch(appendRows, indexDir,
+      graft.rag.Search.corpus(spark, batchDir), "b0")
+    (fullDir, batchDir, indexDir)
+  }
+
+  test("streamed route == equivalent batch-rebuild route; dispatch " +
+       "row-matches; a mixed-dim append refuses (r16, verdict r15 #4)") {
+    val (fullDir, batchDir, indexDir) = splitCorpus(n = 1200, appended = 100)
+    // the DECISION over (batch ∪ streamed) equals the rebuild's, both
+    // regimes, every exposed statistic and cost
+    val streamed = Router.a21RouteStreamed(spark, batchDir, indexDir)
+      .collect().map(_.toSeq).toSeq
+    val rebuild = Router.a21Route(spark, fullDir).collect().map(_.toSeq).toSeq
+    assert(streamed === rebuild,
+      s"streamed route diverged from batch rebuild:\n$streamed\nvs\n$rebuild")
+    // the DISPATCH over (batch ∪ streamed) row-matches the rebuild's —
+    // appended vectors are both searchable and queries
+    val sTop = Router.aRouteTopkStreamed(spark, batchDir, indexDir,
+      regime = ComputeBound).collect().map(_.toSeq).sortBy(_.toString)
+    val rTop = Router.aRouteTopk(spark, fullDir, regime = ComputeBound)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(sTop.length === rTop.length && sTop === rTop,
+      "streamed dispatch diverged from batch rebuild")
+    // appended rows must actually participate: some query or hit id sits
+    // in the appended range, or the composition proved nothing
+    assert(sTop.exists(r => r.exists {
+      case l: Long => l >= 1100L
+      case _ => false
+    }), "no appended id in the served results — vacuous composition")
+    // a streamed batch at another dimension REFUSES (never mis-prices) —
+    // the bad batch assigns against its OWN dim-32 centroids (a foreign
+    // index's artifact), so the append itself succeeds and the refusal
+    // must come from the router's stats, not an upstream length error
+    val wrongDim = spark.range(5000, 5005)
+      .select(col("id").as("vec_id"),
+        array_repeat(lit(0.5f), 32).as("v"),
+        lit(0).as("label"))
+    val wrongCent = wrongDim.withColumn("nrm",
+      graft.functions.Vec.norm2Native(col("v")))
+    graft.streaming.Streams.appendIvfBatch(wrongDim, indexDir, wrongCent, "bad")
+    val e = intercept[IllegalArgumentException] {
+      Router.a21RouteStreamed(spark, batchDir, indexDir).collect()
+    }
+    assert(e.getMessage.contains("mixed embedding dims"), e.getMessage)
   }
 }

@@ -184,4 +184,78 @@ class StreamIvfSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("list_id")),
       s"code-layout probe not partition-pruned:\n$scan")
   }
+
+  test("router composition (r16, verdict r15 #4): the routed decision " +
+       "reads the streamed index and survives compaction and replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    // one corpus split two ways (the RouterSpec construction, streamed
+    // here through the REAL machinery): fullDir = the equivalent batch
+    // rebuild; batchDir + a 3-micro-batch stream = the live deployment
+    val n = 1200
+    val cut = 1100L // appended ids all exceed nlistsFor(1200) = 35
+    val rnd = new java.util.Random(99L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / nrm)
+    }
+    val centers = Array.fill(16)(unit())
+    val rows = (0 until n).map { i =>
+      val c = centers(i % 16)
+      Row(i.toLong, c.map(x => x + 0.35f * rnd.nextGaussian().toFloat / 8f).toSeq,
+        i % 16 % 10)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType, nullable = false)))
+    def write(rs: Seq[Row], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_rtr_$tag").toString
+      spark.createDataFrame(spark.sparkContext.parallelize(rs, 4), schema)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val fullDir = write(rows, "full")
+    val batchDir = write(rows.take(cut.toInt), "batch")
+    val indexDir = freshDir("rtr")
+    val centSource = Search.corpus(spark, batchDir)
+
+    val newRows = Search.corpus(spark, fullDir)
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id"), col("label"), col("v")).as[IvfVec].collect()
+    val feed = MemoryStream[IvfVec]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rtr_ckpt").toString
+    val q = Streams.streamingIvfAppend(feed.toDF(), indexDir, centSource, ckpt)
+    newRows.grouped(math.max(1, newRows.length / 3)).foreach { g =>
+      feed.addData(g.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the routed decision over (batch ∪ streamed) == the batch rebuild's
+    val rebuild = graft.ann.Router.a21Route(spark, fullDir)
+      .collect().map(_.toSeq).toSeq
+    def streamedRoute(): Seq[Seq[Any]] =
+      graft.ann.Router.a21RouteStreamed(spark, batchDir, indexDir)
+        .collect().map(_.toSeq).toSeq
+    assert(streamedRoute() === rebuild,
+      "streamed route diverged from the equivalent batch rebuild")
+
+    // ... and the decision is INVARIANT across the manifest lifecycle:
+    // compaction folds the micro-batch dirs, a zombie replay re-creates
+    // one — readIvfIndex's committed view keeps the stats identical
+    Streams.compactIvfIndex(spark, indexDir)
+    assert(streamedRoute() === rebuild, "route moved across compaction")
+    val firstTag = s"${Streams.appIdFor(ckpt)}_0"
+    Streams.appendIvfBatch(
+      Search.corpus(spark, fullDir).filter(col("vec_id") >= cut)
+        .select(col("vec_id"), col("label"), col("v")).limit(50),
+      indexDir, centSource, firstTag)
+    assert(streamedRoute() === rebuild,
+      "a replayed (folded) batch directory changed the routed decision")
+  }
 }
