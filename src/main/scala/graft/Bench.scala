@@ -24,6 +24,22 @@ object Bench {
       // a different plan than Verify checks for correctness.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Scan-metadata values (DataFilters/Location/ReadSchema...) are
+      // width-truncated at this many chars of RAW text — i.e. BEFORE the
+      // exprId scrub — so whether a given list truncates at all depends on
+      // the session-global exprId counter's digit widths at plan time
+      // (registry composition, warm-up retries, bench n). The truncated
+      // and untruncated renderings of the SAME plan can never scrub to
+      // the same string (one carries the detail, the other a damage
+      // token): this is the d9 fingerprint flutter that survived three
+      // rounds of regex normalization (r14-r16 — each round fixed a real
+      // drift INSIDE truncated text, none removed the truncation-boundary
+      // sensitivity itself). Kill the CAUSE: render untruncated (display-
+      // only config, the executed plan is untouched), so the scrub always
+      // sees complete balanced lists whose exprIds it normalizes exactly.
+      // The scrubber's truncation handling stays as a defensive layer for
+      // foreign sessions; PlanFp pins the same dial.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (parquet footers, codegen cache, shuffle machinery,
@@ -116,7 +132,8 @@ object Bench {
     (1 to 5).foreach(_ => probeMs()) // JIT-warm the spin loop itself
     val benchT0 = System.nanoTime()
     case class QRes(name: String, dt: Double, cold: Double, flaky: Int,
-                    fp: String, gc: Long, tOff: Double, probe: Long)
+                    fp: String, plan: String, gc: Long, tOff: Double,
+                    probe: Long)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def run(): (Double, Long) = {
@@ -163,7 +180,7 @@ object Bench {
       // hashes, RDD/plan ids, and the genuinely set-ordered lists
       // (verified: unscrubbed, 20 of 113 fingerprints differ between two
       // runs of IDENTICAL code — exactly the typed/closure plans).
-      val fp = try {
+      val (fp, planTxt) = try {
         val plan = Bench.scrubPlan(
           fn(spark, sfDir).queryExecution.executedPlan.toString)
         // SPARK_GRAFT_DUMP_PLANS=<dir>: keep the scrubbed text per query —
@@ -175,13 +192,14 @@ object Bench {
           java.nio.file.Files.write(java.nio.file.Paths.get(d, s"$name.txt"),
             plan.getBytes("UTF-8")): Unit
         }
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(plan.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-      } catch { case _: Throwable => "err" }
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(plan.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString,
+          plan)
+      } catch { case _: Throwable => ("err", "") }
       // the cold run counts toward flaky too: a build-path failure that
       // warm retries paper over must not vanish from the JSON
       QRes(name, dt, cold, times.count(_ < 0) + (if (cold < 0) 1 else 0),
-        fp, gc, tOff, probe)
+        fp, planTxt, gc, tOff, probe)
     }
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 0,52 — invalid JSON.
@@ -263,6 +281,39 @@ object Bench {
     }
     if (changed.nonEmpty)
       System.err.println(s"[bench] ${changed.size} plan fingerprint(s) changed since last run")
+    // EVIDENCE ON DRIFT (verdict r16 #1): any fingerprint that differs
+    // from the committed baseline auto-persists its scrubbed plan text to
+    // fpdiff/<name>.txt — unconditional, no env var — so a flutter seen
+    // only in the DRIVER's end-of-round session leaves a diffable artifact
+    // in the tree. Diff against the committed plans_baseline/<name>.txt
+    // (written by the re-baseline run via SPARK_GRAFT_DUMP_PLANS) to read
+    // the exact drifting token. Stale dumps from earlier runs are cleared
+    // first so the directory always reflects the LATEST baseline compare;
+    // best-effort (an unwritable dir must not fail the bench).
+    if (prevPlans.nonEmpty) try {
+      val dir = java.nio.file.Paths.get("fpdiff")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val it = java.nio.file.Files.list(dir)
+        try it.forEach { p =>
+          if (p.toString.endsWith(".txt")) java.nio.file.Files.delete(p)
+        } finally it.close()
+      }
+      val drifted = results.filter(r =>
+        prevPlans.get(r.name).exists(old =>
+          old != r.fp && r.fp != "err" && old != "err") && r.plan.nonEmpty)
+      if (drifted.nonEmpty) {
+        java.nio.file.Files.createDirectories(dir)
+        drifted.foreach { r =>
+          java.nio.file.Files.write(dir.resolve(s"${r.name}.txt"),
+            r.plan.getBytes("UTF-8")): Unit
+        }
+        System.err.println(
+          s"[bench] scrubbed plan text for ${drifted.size} drifted " +
+            "fingerprint(s) written to fpdiff/ — diff vs plans_baseline/")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fpdiff dump failed: ${e.getMessage}")
+    }
     val changedField =
       if (changed.isEmpty) "" else changed.mkString(",\"plan_changes\":{", ",", "}")
     // GATE (r7 verdict #5): a changed fingerprint is only acceptable when
@@ -466,13 +517,11 @@ object Bench {
     * baseline — sf1 plans legitimately differ from sf0.1 plans (stats-
     * driven join strategy), and diffing across scales would bury real
     * violations under phantom ones. */
-  private[graft] def readPrevSf(path: String): Option[String] = try {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) None
-    else raw""""sf":"([^"]*)"""".r
-      .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-      .map(_.group(1))
-  } catch { case _: Throwable => None }
+  private[graft] def readPrevSf(path: String): Option[String] =
+    // delegate to the LAST-match reader (ADVICE r16): "sf" sits in the
+    // JSON tail with the other dials, so the same anchoring that keeps a
+    // free-text field from shadowing "cpus" protects "sf" too
+    readPrevField(path, "sf")
 
   /** A string-valued top-level field from the previous bench JSON (the
     * cpus / shuffle_partitions dial guard) — None when the file or the
@@ -645,7 +694,15 @@ object Bench {
     * deterministic `<truncated>` token (determinism beats fidelity: the
     * Filter nodes above the scan carry the same predicates untruncated).
     * `dropIsNotNull` additionally strips constraint-inferred isnotnull
-    * elements (see scrubPlan's keys table). */
+    * elements (see scrubPlan's keys table).
+    *
+    * DEFENSIVE-ONLY as of r17: Bench and PlanFp sessions render plans with
+    * spark.sql.maxMetadataStringLength raised far past any real metadata
+    * value, so width truncation — and with it this branch's known blind
+    * spot (the collapse also erases the truncated line's following
+    * `Key: [...]` fields, ADVICE r16) — cannot occur in any session whose
+    * fingerprints the gate compares. The branch stays for foreign-session
+    * plan text fed to scrubPlan directly. */
   private def sortDelimited(s: String, key: String, open: Char, close: Char,
                             dropIsNotNull: Boolean = false): String = {
     val sb = new StringBuilder
@@ -715,6 +772,9 @@ object PlanFp {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same untruncated-metadata dial as Bench: a PlanFp dump must be
+      // byte-comparable against the bench's scrubbed texts
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

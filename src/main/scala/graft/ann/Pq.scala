@@ -211,8 +211,13 @@ object Pq {
     * the pre-r13 inline a7 body, so the a7 plan fingerprint is unchanged. */
   private def exactRerank(spark: SparkSession, dir: String,
                           shortlist: DataFrame, qmod: Int,
-                          vecSource: Option[DataFrame] = None): DataFrame = {
-    val e = Search.corpus(spark, dir)
+                          vecSource: Option[DataFrame] = None,
+                          corpusOver: Option[DataFrame] = None): DataFrame = {
+    // corpusOver (r17): an explicit (vec_id, label, v, nrm) corpus for the
+    // streamed serves — queries and candidates both draw from
+    // (batch ∪ appends) instead of the batch dir; defaults keep every
+    // registered plan byte-identical
+    val e = corpusOver.getOrElse(Search.corpus(spark, dir))
     val probes = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     // broadcast the (queries x R)-row shortlist into the corpus scan —
@@ -282,6 +287,93 @@ object Pq {
         prunedListIds = probed)
         .select(col("query_id"), col("vec_id")), qmod,
       vecSource = vecSource)
+  }
+
+  /** The rebuild-law id floor the PQ streamed serves add on top of
+    * [[Router.statsWithStream]]'s guards (equal dims, no collisions,
+    * appended ids >= nlists): the deterministic codebook draws from
+    * vec_id < K, so an appended id below max(nlists, K) would make an
+    * equivalent batch rebuild draw DIFFERENT centroids or codebook than
+    * the versioned batch artifacts — the serve could not equal the
+    * rebuild and must refuse by name rather than silently diverge. */
+  private def streamedIdGuard(streamedRaw: DataFrame, nlists: Int,
+                              entry: String): Unit = {
+    val h = streamedRaw.agg(count(lit(1)), min(col("vec_id"))).head()
+    val floor = math.max(nlists, K).toLong
+    require(h.getLong(0) == 0L || h.getLong(1) >= floor,
+      s"$entry: appended vec_id ${h.getLong(1)} < max(nlists=$nlists, K=$K) " +
+        "— an equivalent batch rebuild would draw different centroids/" +
+        "codebook than the versioned artifacts; compact the appends into " +
+        "the corpus and rebuild instead")
+  }
+
+  /** D28 (r17, verdict r16 #6): [[a22IvfPqRerank]] over (batch ∪ streamed
+    * appends) — the PQ-family streamed serve the router previously
+    * REFUSED. The appends are re-encoded against the VERSIONED batch
+    * artifacts (codebook = batch ids < K, coarse centroids = batch ids <
+    * nlists — [[encodeBatchAgainst]], H14's per-batch body), so the
+    * combined code set is byte-identical to what a full batch rebuild of
+    * the same data would encode, and the served rows row-match
+    * `a22IvfPqRerank` on a rebuilt corpus at the same dials
+    * (StreamIvfSpec). O(appends) re-encode per maintenance cycle, never a
+    * corpus re-encode; queries are the standard qmod batch drawn from the
+    * combined ids, so appended vectors are both searchable and queries. */
+  private[graft] def ivfPqRerankStreamed(spark: SparkSession, dir: String,
+      streamedRaw: DataFrame, nlists: Int = 8, nprobe: Int = 3,
+      rerankDepth: Int = 50, qmod: Int = 101): DataFrame = {
+    streamedIdGuard(streamedRaw, nlists, "ivfPqRerankStreamed")
+    val e = Search.corpus(spark, dir)
+    val d = subDimOf(spark, dir)
+    val cb = codebook(e, d)
+    val combined = e.select("vec_id", "label", "v", "nrm")
+      .unionByName(streamedRaw.select("vec_id", "label", "v", "nrm"))
+    // batch codes from the build-once artifact; append codes re-encoded
+    // against the same versioned codebook/centroids. The artifact's
+    // list_id reads back as a DISCOVERED partition column (int), the
+    // fresh encode's as the centroid id (long) — align on the artifact's
+    // type so the union is exact.
+    val batchCodes = ivfPqTable(spark, dir, e, cb, nlists, d)
+    val listType = batchCodes.schema("list_id").dataType
+    val codes = batchCodes.unionByName(
+      encodeBatchAgainst(e, streamedRaw, nlists)
+        .withColumn("list_id", col("list_id").cast(listType)))
+    // a13's probe join, with probes/LUTs drawn from the combined query
+    // set against the versioned centroids/codebook
+    val probe = Ann.listProbes(combined, nprobe = nprobe, nlists = nlists,
+        qmod = qmod, centSource = Some(e))
+      .select(col("query_id"), col("list_id"))
+      .join(queryLut(combined, cb, qmod, d), "query_id")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(probe),
+        codes("list_id") === probe("list_id") && col("vec_id") =!= col("query_id"))
+      .withColumn("similarity", adcSim)
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= rerankDepth)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(spark, dir, shortlist, qmod, corpusOver = Some(combined))
+  }
+
+  /** D28's flat-ADC sibling: [[a7PqRerank]] over (batch ∪ streamed) —
+    * batch codes from the build-once code table, append codes encoded
+    * inline against the versioned codebook; row-matches a7 on a rebuilt
+    * corpus at the same depth (StreamIvfSpec, same rebuild-law
+    * preconditions as [[ivfPqRerankStreamed]]). */
+  private[graft] def pqRerankStreamed(spark: SparkSession, dir: String,
+      streamedRaw: DataFrame, rerankDepth: Int = 50,
+      qmod: Int = 101): DataFrame = {
+    streamedIdGuard(streamedRaw, 0, "pqRerankStreamed")
+    val e = Search.corpus(spark, dir)
+    val d = subDimOf(spark, dir)
+    val cb = codebook(e, d)
+    val combined = e.select("vec_id", "label", "v", "nrm")
+      .unionByName(streamedRaw.select("vec_id", "label", "v", "nrm"))
+    val codes = codesTable(spark, dir, e, cb, "pqcodes", d)
+      .unionByName(encode(streamedRaw, cb, d))
+    exactRerank(spark, dir,
+      adcTopK(combined, cb, rerankDepth, codes, qmod, d)
+        .select(col("query_id"), col("vec_id")),
+      qmod, corpusOver = Some(combined))
   }
 
   /** D7 AUTO MODE (r12, the d5EmbeddingNeardupAuto pattern for the PQ

@@ -84,8 +84,24 @@ object Router {
     * whatever box runs it — and [[route]] takes `alpha` as a parameter,
     * so a deployment overrides this box's anchor without a code change
     * (the registered a21 queries keep the default; a compute-regime
-    * alpha > 1 keeps the reachable-set proof and the gated oracle). */
+    * alpha > 1 keeps the reachable-set proof and the gated oracle).
+    *
+    * INVARIANCE BAND, not load-bearing precision (r17, verdict r16): the
+    * per-round IoBytesDial re-measurement drifts with the host window
+    * (1.63 at r13, 1.86 at r16) and the routing decision is invariant
+    * across the whole band — the compute regime needs only alpha > 1
+    * (ADC then never beats brute: cost_pq = alpha·N + R > N, and
+    * cost_ivfpqr > cost_ivf term-by-term — the reachable set stays
+    * {brute, ivf_flat} for EVERY alpha > 1, RouterSpec runs its grid at
+    * both measured points), and the io regime prices bytes, in which
+    * alpha does not appear. The pinned value is a documentation anchor;
+    * do not read 1.63 vs 1.86 as a decision input. */
   val AdcAlpha = 1.63
+
+  /** The r16 IoBytesDial re-measurement of the same ratio (IOBYTES_r16
+    * .json `adc_alpha_measured`) — the other end of the measured band;
+    * RouterSpec pins decision-invariance at both points. */
+  val AdcAlphaR16 = 1.86
 
   /** float32 payload bytes per vector row — 4·dim, derived LIVE from the
     * corpus schema by the entry points (r14, verdict #2: the r13 literal
@@ -224,42 +240,65 @@ object Router {
                recallFloor: Double = 0.9): DataFrame =
     routeFrame(spark, stats(spark, dir), recallFloor)
 
-  /** The (batch corpus ∪ manifest-committed streamed appends) vector set,
-    * payload columns only — [[graft.streaming.Streams.readIvfIndex]]
-    * supplies exactly the committed, un-folded rows (a partial batch or a
-    * superseded directory never contributes). */
-  private def combinedCorpus(spark: SparkSession, dir: String,
-                             indexDir: String): DataFrame =
-    Search.corpus(spark, dir).select("vec_id", "label", "v", "nrm")
-      .unionByName(graft.streaming.Streams.readIvfIndex(spark, indexDir)
-        .select("vec_id", "label", "v", "nrm"))
-
   /** [[stats]] over (batch ∪ streamed): count and dimension from the
     * combined vector set; occupancy from the combined assignment at the
     * combined-count sqrt-law nlists AGAINST THE VERSIONED BATCH CENTROIDS
     * (the a20/H12 rule — a batch rebuild of the same data assigns
     * identically, so the routed decision equals the rebuild's,
-    * RouterSpec/StreamIvfSpec); splinter from those same centroids. A
-    * streamed batch at a different embedding dimension REFUSES rather
-    * than mis-pricing every route (the RouterDimSpec rule). */
+    * RouterSpec/StreamIvfSpec); splinter from those same centroids.
+    *
+    * The rebuild law's THREE preconditions are all enforced here by
+    * refusal (ADVICE r16 — the first was checked, the other two held only
+    * by test construction):
+    *  1. equal dims — a streamed batch at another embedding dimension
+    *     would mis-price every route (the RouterDimSpec rule);
+    *  2. no vec_id collisions between batch and appends (or within the
+    *     appends) — a plain unionByName would double-count n, inflate
+    *     occupancy, and let the dispatched serve emit duplicate hit rows;
+    *  3. every appended vec_id >= the combined-count sqrt-law nlists — an
+    *     appended id below it would BE a centroid in an equivalent batch
+    *     rebuild (centroids are `vec_id < nlists` of the full corpus) but
+    *     is not in the versioned batch centroid set, so the routed
+    *     decision would silently diverge from the rebuild's.
+    * Returns the stats plus the combined and streamed corpus frames so
+    * callers dispatch over the SAME frames the stats priced (and don't
+    * rebuild the manifest-read union per serve — ADVICE r16). */
   private[graft] def statsWithStream(spark: SparkSession, dir: String,
-                                     indexDir: String): (Long, Long, Int, Int) = {
+      indexDir: String): StreamStats = {
     val batch = Search.corpus(spark, dir)
-    val combined = combinedCorpus(spark, dir, indexDir)
+    val streamed = graft.streaming.Streams.readIvfIndex(spark, indexDir)
+      .select("vec_id", "label", "v", "nrm")
+    val combined = batch.select("vec_id", "label", "v", "nrm")
+      .unionByName(streamed)
     val head = combined.agg(count(lit(1)), max(size(col("v"))),
-      min(size(col("v")))).head()
+      min(size(col("v"))), countDistinct(col("vec_id"))).head()
     val n = head.getLong(0)
     require(n > 0, s"router stats: empty corpus at $dir + $indexDir")
     val dim = head.getInt(1)
     require(head.getInt(2) == dim,
       s"router stats: mixed embedding dims in $dir + $indexDir " +
         s"(${head.getInt(2)} vs $dim) — route refuses rather than mis-price")
+    require(head.getLong(3) == n,
+      s"router stats: duplicate vec_ids across $dir + $indexDir " +
+        s"(${n - head.getLong(3)} collisions) — a unionByName serve would " +
+        "double-count; dedup the appends (or compact and rebuild) first")
     val nlists = Ann.nlistsFor(n)
+    val sHead = streamed.agg(count(lit(1)), min(col("vec_id"))).head()
+    require(sHead.getLong(0) == 0L || sHead.getLong(1) >= nlists,
+      s"router stats: appended vec_id ${sHead.getLong(1)} < nlists=$nlists " +
+        "— it would be a centroid in an equivalent batch rebuild but is " +
+        "not in the versioned batch centroid set; route refuses rather " +
+        "than silently diverge from the rebuild law")
     val occ = Ann.listAssignment(combined, Some(batch), nlists)
       .groupBy("list_id").agg(count(lit(1)).as("sz"))
       .agg(max(col("sz"))).head().getLong(0)
-    (n, occ, Ann.splinterOf(batch, nlists), dim)
+    StreamStats(n, occ, Ann.splinterOf(batch, nlists), dim, combined, streamed)
   }
+
+  /** [[statsWithStream]]'s result: the three routing statistics, the live
+    * dimension, and the two frames the stats were priced over. */
+  private[graft] case class StreamStats(n: Long, occupancy: Long,
+      splinter: Int, dim: Int, combined: DataFrame, streamed: DataFrame)
 
   /** D21, streamed (r16, verdict r15 #4): the routing decision over
     * (batch ∪ streamed) — H12/H14 keep the INDEX artifacts current under
@@ -268,8 +307,10 @@ object Router {
     * silently pricing yesterday's batch corpus. Same decision frame as
     * [[a21Route]]. */
   def a21RouteStreamed(spark: SparkSession, dir: String, indexDir: String,
-                       recallFloor: Double = 0.9): DataFrame =
-    routeFrame(spark, statsWithStream(spark, dir, indexDir), recallFloor)
+                       recallFloor: Double = 0.9): DataFrame = {
+    val st = statsWithStream(spark, dir, indexDir)
+    routeFrame(spark, (st.n, st.occupancy, st.splinter, st.dim), recallFloor)
+  }
 
   private def routeFrame(spark: SparkSession,
                          st: (Long, Long, Int, Int),
@@ -345,11 +386,14 @@ object Router {
                          regime: Regime = IoBound,
                          clusteredRegime: Boolean = true,
                          retrieval: Retrieval = RowStore): DataFrame = {
-    val (n, occ, spl, dim) = statsWithStream(spark, dir, indexDir)
-    Ann.fixedQGuard(n / 101 + 1, "aRouteTopkStreamed")
-    val d = route(n, occ, spl, recallFloor, regime, clusteredRegime,
-      retrieval = retrieval, dim = dim)
-    val combined = combinedCorpus(spark, dir, indexDir)
+    // ONE manifest read + union, priced and served (ADVICE r16: the
+    // dispatch previously rebuilt the combined corpus statsWithStream had
+    // just assembled)
+    val st = statsWithStream(spark, dir, indexDir)
+    val combined = st.combined
+    Ann.fixedQGuard(st.n / 101 + 1, "aRouteTopkStreamed")
+    val d = route(st.n, st.occupancy, st.splinter, recallFloor, regime,
+      clusteredRegime, retrieval = retrieval, dim = st.dim)
     d.family match {
       case "brute" =>
         Search.knnOver(combined, col("vec_id") % 101 === 0, k = 10,
@@ -360,9 +404,49 @@ object Router {
       case other =>
         throw new UnsupportedOperationException(
           s"aRouteTopkStreamed: route chose '$other', whose codebook/code " +
-            "artifacts are versioned with the batch corpus — compact the " +
-            "streamed appends (Streams.compactIvfIndex) and rebuild the " +
-            "batch index, then serve via aRouteTopk")
+            "artifacts are versioned with the batch corpus — serve via " +
+            "aRouteTopkMaintained (compacts and re-encodes the appends " +
+            "against the versioned codebook), or compact and rebuild the " +
+            "batch index and serve via aRouteTopk")
+    }
+  }
+
+  /** D28 (r17, verdict r16 #6): [[aRouteTopkStreamed]] with the PQ-family
+    * maintenance loop composed in — compact the streamed ingest
+    * directories ([[graft.streaming.Streams.compactIvfIndex]], the H13
+    * fold), re-encode the appends against the VERSIONED batch codebook
+    * and centroids ([[Pq.encodeBatchAgainst]], H14's per-batch body), and
+    * dispatch whatever family the route picks — including the PQ families
+    * [[aRouteTopkStreamed]] refuses. Serving rows row-match an equivalent
+    * batch rebuild's at the same dials (the H12/a20 rule one level up,
+    * StreamIvfSpec): the rebuild-law preconditions are enforced by
+    * refusal in [[statsWithStream]] (equal dims, no id collisions,
+    * appended ids >= nlists) and [[Pq]]'s streamed serves (appended ids
+    * >= K, the codebook draw floor). Maintenance cost is O(appends)
+    * re-encode + the fold's O(moved rows) — never a corpus re-encode. */
+  def aRouteTopkMaintained(spark: SparkSession, dir: String, indexDir: String,
+                           recallFloor: Double = 0.9,
+                           regime: Regime = IoBound,
+                           clusteredRegime: Boolean = true,
+                           retrieval: Retrieval = RowStore): DataFrame = {
+    graft.streaming.Streams.compactIvfIndex(spark, indexDir)
+    val st = statsWithStream(spark, dir, indexDir)
+    Ann.fixedQGuard(st.n / 101 + 1, "aRouteTopkMaintained")
+    val d = route(st.n, st.occupancy, st.splinter, recallFloor, regime,
+      clusteredRegime, retrieval = retrieval, dim = st.dim)
+    d.family match {
+      case "brute" =>
+        Search.knnOver(st.combined, col("vec_id") % 101 === 0, k = 10,
+          threshold = -1.0, clampZero = false, sameLabel = false)
+      case "ivf_flat" =>
+        Ann.ivfTopKOver(st.combined, Search.corpus(spark, dir),
+          nlists = d.nlists, nprobe = d.nprobe)
+      case "ivf_pq_r" =>
+        Pq.ivfPqRerankStreamed(spark, dir, st.streamed, nlists = d.nlists,
+          nprobe = d.nprobe, rerankDepth = d.rerankDepth)
+      case "pq_rerank" =>
+        Pq.pqRerankStreamed(spark, dir, st.streamed,
+          rerankDepth = d.rerankDepth)
     }
   }
 

@@ -202,6 +202,15 @@ class BenchFpSpec extends AnyFunSuite {
     // the main-loop guard: a baseline at another sf yields NO baseline
     val crossSf = Bench.readPrevSf(f.toString).exists(_ != "testdata_sf1")
     assert(crossSf, "sf mismatch must be detected")
+    // LAST-match anchoring (ADVICE r16): an earlier NESTED object whose
+    // field happens to be named "sf" (the oracle/sf1 summary objects carry
+    // nested quoted keys, unescaped) must not shadow the real tail dial —
+    // readPrevSf rides the same last-match reader as cpus/shuffle_partitions
+    val shadowed = dir.resolve("shadowed.json")
+    java.nio.file.Files.write(shadowed,
+      """{"oracle":{"sf":"sf9","nq":1},"plans":{},"sf":"sf0.1","n":3}"""
+        .getBytes("UTF-8"))
+    assert(Bench.readPrevSf(shadowed.toString).contains("sf0.1"))
   }
 
   test("scrubPlan normalizes the session-global lambda-variable counter") {

@@ -37,15 +37,21 @@ class RouterSpec extends SparkSpec {
   }
 
   test("compute regime never routes pq_rerank or ivf_pq_r (alpha > 1, R >= 50)") {
-    // cost_pq = 1.63*N + R > N = cost_brute, and cost_ivfpqr >
-    // cost_ivf_flat whenever both are feasible — provable, and the
-    // routed_topk oracle's gated two-branch UNION depends on it
+    // cost_pq = alpha*N + R > N = cost_brute, and cost_ivfpqr >
+    // cost_ivf_flat whenever both are feasible — provable for EVERY
+    // alpha > 1, and the routed_topk oracle's gated two-branch UNION
+    // depends on it. The grid runs at BOTH measured ends of the band
+    // (r13's 1.63 anchor and r16's 1.86 recalibration — verdict r16 #5):
+    // the pinned AdcAlpha is a documentation anchor, never a decision
+    // input, and this pins that the round-to-round drift is
+    // decision-invariant.
     val grid = for {
+      alpha <- Seq(Router.AdcAlpha, Router.AdcAlphaR16)
       n <- Seq(100L, 1000L, 200000L, 10000000L)
       occ <- Seq(10L, 300L, 3125L)
       spl <- Seq(1, 3, 7)
       if occ < n
-    } yield Router.route(n, occ, spl, 0.9, ComputeBound)
+    } yield Router.route(n, occ, spl, 0.9, ComputeBound, alpha = alpha)
     assert(grid.nonEmpty)
     grid.foreach { d =>
       assert(d.family === "brute" || d.family === "ivf_flat",
@@ -53,6 +59,13 @@ class RouterSpec extends SparkSpec {
       if (d.costPq > 0) assert(d.costPq > d.costBrute)
       if (d.costIvfPqR > 0 && d.costIvf > 0) assert(d.costIvfPqR > d.costIvf)
     }
+    // the io regime prices bytes — alpha does not appear in any io cost,
+    // so the two measured ends produce the IDENTICAL decision frame
+    val ioGrid = for {
+      n <- Seq(1000L, 200000L, 10000000L); occ <- Seq(10L, 3125L); if occ < n
+    } yield (Router.route(n, occ, 7, 0.9, IoBound, alpha = Router.AdcAlpha),
+      Router.route(n, occ, 7, 0.9, IoBound, alpha = Router.AdcAlphaR16))
+    ioGrid.foreach { case (a, b) => assert(a === b, s"io regime read alpha: $a vs $b") }
   }
 
   test("io regime routes by bytes: pq wins where ivf is splinter-infeasible") {
@@ -295,7 +308,9 @@ class RouterSpec extends SparkSpec {
     * nlists, so the versioned-centroid rule (vec_id < nlists) yields the
     * SAME centroids from either dir — the condition under which route
     * equality is exact. */
-  private def splitCorpus(n: Int, appended: Int): (String, String, String) = {
+  private def splitCorpus(n: Int, appended: Int, batches: Int = 1,
+                          centers: Int = 16,
+                          sigma: Float = 0.35f): (String, String, String) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val rnd = new java.util.Random(20260816L)
@@ -304,11 +319,11 @@ class RouterSpec extends SparkSpec {
       val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
       v.map(_ / nrm)
     }
-    val centers = Array.fill(16)(unit(64))
+    val cents = Array.fill(centers)(unit(64))
     val rows = (0 until n).map { i =>
-      val c = centers(i % 16)
-      Row(i.toLong, c.map(x => x + 0.35f * rnd.nextGaussian().toFloat / 8f).toSeq,
-        i % 16 % 10)
+      val c = cents(i % centers)
+      Row(i.toLong, c.map(x => x + sigma * rnd.nextGaussian().toFloat / 8f).toSeq,
+        i % centers % 10)
     }
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
@@ -324,11 +339,19 @@ class RouterSpec extends SparkSpec {
     val batchDir = write(rows.take(n - appended), "batch")
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft_rs_stream").toString + "/ivf"
-    val appendRows = graft.rag.Search.corpus(spark, fullDir)
-      .filter(org.apache.spark.sql.functions.col("vec_id") >= (n - appended).toLong)
-      .select("vec_id", "label", "v")
-    graft.streaming.Streams.appendIvfBatch(appendRows, indexDir,
-      graft.rag.Search.corpus(spark, batchDir), "b0")
+    // `batches` splits the appended tail into that many ingest dirs so a
+    // composed test can exercise the compaction fold, not just the union
+    val per = math.max(1, appended / batches)
+    (0 until batches).foreach { b =>
+      val lo = (n - appended) + b * per
+      val hi = if (b == batches - 1) n else lo + per
+      val appendRows = graft.rag.Search.corpus(spark, fullDir)
+        .filter(org.apache.spark.sql.functions.col("vec_id") >= lo.toLong &&
+          org.apache.spark.sql.functions.col("vec_id") < hi.toLong)
+        .select("vec_id", "label", "v")
+      graft.streaming.Streams.appendIvfBatch(appendRows, indexDir,
+        graft.rag.Search.corpus(spark, batchDir), s"b$b")
+    }
     (fullDir, batchDir, indexDir)
   }
 
@@ -371,5 +394,112 @@ class RouterSpec extends SparkSpec {
       Router.a21RouteStreamed(spark, batchDir, indexDir).collect()
     }
     assert(e.getMessage.contains("mixed embedding dims"), e.getMessage)
+  }
+
+  test("rebuild-law guards refuse by name: id collision, sub-nlists append " +
+       "(ADVICE r16)") {
+    // collision: append a row whose vec_id already exists in the batch —
+    // a plain unionByName would double-count n and could emit duplicate
+    // hit rows; the route must refuse, not mis-price
+    val (_, batchDir, indexDir) = splitCorpus(n = 1200, appended = 100)
+    val dup = graft.rag.Search.corpus(spark, batchDir)
+      .filter(col("vec_id") === 500L).select("vec_id", "label", "v")
+    graft.streaming.Streams.appendIvfBatch(dup, indexDir,
+      graft.rag.Search.corpus(spark, batchDir), "dup")
+    val e1 = intercept[IllegalArgumentException] {
+      Router.a21RouteStreamed(spark, batchDir, indexDir).collect()
+    }
+    assert(e1.getMessage.contains("duplicate vec_ids"), e1.getMessage)
+    // sub-nlists append: an id below the combined sqrt-law nlists would BE
+    // a centroid in an equivalent batch rebuild but is absent from the
+    // versioned batch centroid set — the decision would silently diverge.
+    // Fixture: the batch lacks id 20, which then arrives as an append
+    // (no collision, equal dims — only the centroid guard can fire).
+    val (_, batchDir2, _) = splitCorpus(n = 1000, appended = 1)
+    val holeDir = java.nio.file.Files
+      .createTempDirectory("graft_rs_hole").toString
+    spark.read.parquet(s"$batchDir2/embeddings.parquet")
+      .filter(col("vec_id") =!= 20L)
+      .write.mode("overwrite").parquet(s"$holeDir/embeddings.parquet")
+    val indexDir2 = java.nio.file.Files
+      .createTempDirectory("graft_rs_stream_low").toString + "/ivf"
+    val low = graft.rag.Search.corpus(spark, batchDir2)
+      .filter(col("vec_id") === 20L).select("vec_id", "label", "v")
+    graft.streaming.Streams.appendIvfBatch(low, indexDir2,
+      graft.rag.Search.corpus(spark, holeDir), "low")
+    val e2 = intercept[IllegalArgumentException] {
+      Router.a21RouteStreamed(spark, holeDir, indexDir2).collect()
+    }
+    assert(e2.getMessage.contains("< nlists"), e2.getMessage)
+  }
+
+  test("PQ streamed serves row-match a batch rebuild at the same dials " +
+       "(D28, verdict r16 #6)") {
+    val (fullDir, batchDir, indexDir) = splitCorpus(n = 1200, appended = 100)
+    val streamed = graft.streaming.Streams.readIvfIndex(spark, indexDir)
+      .select("vec_id", "label", "v", "nrm")
+    // composed IVFPQ+rerank: appends re-encoded against the VERSIONED
+    // batch codebook/centroids == the rebuild's own codes (appended ids
+    // 1100+ clear both draw floors: nlists=35, K=16)
+    val sPqR = graft.ann.Pq.ivfPqRerankStreamed(spark, batchDir, streamed,
+      nlists = 8, nprobe = 3, rerankDepth = 50).collect().map(_.toSeq)
+    val rPqR = graft.ann.Pq.a22IvfPqRerank(spark, fullDir,
+      nlists = 8, nprobe = 3, rerankDepth = 50).collect().map(_.toSeq)
+    assert(sPqR.length === rPqR.length && sPqR === rPqR,
+      "streamed ivf_pq_r serve diverged from the batch rebuild")
+    // flat-ADC+rerank sibling
+    val sPq = graft.ann.Pq.pqRerankStreamed(spark, batchDir, streamed,
+      rerankDepth = 50).collect().map(_.toSeq)
+    val rPq = graft.ann.Pq.a7PqRerank(spark, fullDir, rerankDepth = 50)
+      .collect().map(_.toSeq)
+    assert(sPq.length === rPq.length && sPq === rPq,
+      "streamed pq_rerank serve diverged from the batch rebuild")
+    // appended ids actually participate (non-vacuous)
+    assert(sPqR.exists(r => r.exists {
+      case l: Long => l >= 1100L
+      case _ => false
+    }), "no appended id in the served ivf_pq_r results")
+    // the codebook-draw floor refuses by name: a synthetic append with an
+    // id below K could not equal any rebuild (its vector would be IN the
+    // rebuild's codebook)
+    val lowId = streamed.withColumn("vec_id", lit(5L))
+    val e = intercept[IllegalArgumentException](
+      graft.ann.Pq.pqRerankStreamed(spark, batchDir, lowId))
+    assert(e.getMessage.contains("K=16"), e.getMessage)
+  }
+
+  test("maintained dispatch compacts, re-encodes, and serves a PQ-family " +
+       "route == batch rebuild (D28)") {
+    // tight 4-crowd corpus: occupancy ~n/4 with splinter-wide probes makes
+    // the io/RowStore regime price a code-scanning family under brute —
+    // the route aRouteTopkStreamed refuses and this entry must serve.
+    // Three ingest dirs so the composed maintenance actually folds.
+    val (fullDir, batchDir, indexDir) =
+      splitCorpus(n = 2000, appended = 200, batches = 3, centers = 4,
+        sigma = 0.1f)
+    val io = Router.a21RouteStreamed(spark, batchDir, indexDir)
+      .filter(col("regime") === "io").head()
+    val want = Router.route(io.getAs[Long]("n"), io.getAs[Long]("occupancy"),
+      io.getAs[Int]("splinter"), 0.9, IoBound)
+    assert(want.family === "ivf_pq_r" || want.family === "pq_rerank",
+      s"fixture must route a PQ family or the test is vacuous: $want")
+    val served = Router.aRouteTopkMaintained(spark, batchDir, indexDir)
+      .collect().map(_.toSeq)
+    val direct = (want.family match {
+      case "ivf_pq_r" => graft.ann.Pq.a22IvfPqRerank(spark, fullDir,
+        nlists = want.nlists, nprobe = want.nprobe,
+        rerankDepth = want.rerankDepth)
+      case _ => graft.ann.Pq.a7PqRerank(spark, fullDir,
+        rerankDepth = want.rerankDepth)
+    }).collect().map(_.toSeq)
+    assert(served.length === direct.length && served === direct,
+      s"maintained ${want.family} serve diverged from the batch rebuild")
+    // the maintenance fold really ran: the three ingest dirs are one now
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest="))
+    assert(live.length === 1 && live.head.getPath.getName.contains("compact_"),
+      live.map(_.getPath.getName).mkString(","))
   }
 }
