@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Solo runner for the d6-FULL bounded-disk verification (r17, verdict
+  * r16 #8): computes the complete (un-sampled) d2 verified-pair set in
+  * residue passes, clusters it, dumps the d6 report parquet, and writes
+  * the matching STAGED DuckDB oracle (d6_full_oracle.json) for
+  * tools/d6_full_check.py. This is the flow that converts the
+  * spark_disk_bound d6 exclusion at the 5M-doc decade into a graded
+  * verdict: one pass's verify-join spill is 1/passes of the corpus-sized
+  * job that exceeded the box.
+  *
+  * Usage: runMain graft.DedupFull <sfDir> <outDir> [passes=13]
+  * Env:   SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS (as Verify).
+  */
+object DedupFull {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val passes = if (args.length > 2) args(2).toInt else 13
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(_.toIntOption).map(_.max(1).toString).getOrElse(cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim finished passes' shuffle files promptly — the bounded-disk
+      // contract depends on pass N's spill being gone before pass N+2
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val t0 = System.nanoTime()
+    val staging = s"$outDir/d2_pairs_staged"
+    val d6 = graft.dedup.Dedup.d6DupClustersFull(spark, sfDir, passes, staging)
+    d6.write.mode("overwrite").parquet(s"$outDir/d6_dup_clusters")
+    val pairs = spark.read
+      .parquet((0 until passes).map(r => s"$staging/pass_$r"): _*).count()
+    val rows = spark.read.parquet(s"$outDir/d6_dup_clusters").count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/d6_full_oracle.json"),
+      graft.dedup.Dedup.d6FullOracleJson(passes))
+    println(s"""{"metric":"d6_full","sf":"${sfDir.split('/').last}","passes":$passes,""" +
+      f""""pairs":$pairs,"rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    spark.stop()
+  }
+}

@@ -171,15 +171,27 @@ object Dedup {
   val D2sMod = 13
 
   private def d2VerifiedPairs(spark: SparkSession, dir: String,
-                              candSampleMod: Option[Int]): DataFrame = {
+                              candSampleMod: Option[Int]): DataFrame =
+    d2VerifiedPairsSlice(spark, dir, candSampleMod.map((_, 0)))
+      .orderBy("doc_a", "doc_b")
+
+  /** The d2 verification core over ONE candidate residue class
+    * (doc_a % mod == residue) — d2s is the (mod, 0) slice; the residue
+    * classes for r = 0 until mod partition the candidate set exactly, so
+    * the UNION of all slices is the full verified-pair set. Unsorted: the
+    * registered queries add their global ORDER BY on top, the multipass
+    * staging writer deliberately does not (a per-pass sort buys nothing
+    * the downstream clustering or the staged parquet union would keep). */
+  private def d2VerifiedPairsSlice(spark: SparkSession, dir: String,
+                                   candSlice: Option[(Int, Int)]): DataFrame = {
     // The shingle index feeds signature build, per-doc counts, and both
     // sides of the verification join — read from the once-written bucketed
     // warehouse table (shingleIndex3) rather than re-parsing the corpus
     // per branch.
     val ex = shingleIndex3(spark, dir)
     val sig = minhashSig(spark, dir)
-    val cand = candSampleMod.foldLeft(lshCandidates(sig)) { (c, m) =>
-      c.filter(col("doc_a") % m === 0)
+    val cand = candSlice.foldLeft(lshCandidates(sig)) { case (c, (m, r)) =>
+      c.filter(col("doc_a") % m === r)
     }
     val nsh = sig.select(col("doc_id"), col("n"))
     val inter = cand
@@ -192,7 +204,59 @@ object Dedup {
       .withColumn("jaccard", Exact.ratio6(col("i"), col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** C2-FULL at bounded disk (r17, verdict r16 #8): the complete d2
+    * verified-pair set computed in `passes` sequential residue passes,
+    * each staged to its own parquet directory. The full verify join's
+    * one-job shuffle spill is what exceeded the box at the 5M-doc decade
+    * (>65 GB vs ~67 GB free — CORRECTNESS_SF100D's spark_disk_bound
+    * class); a residue pass moves 1/passes of the candidate × shingle
+    * pair stream, so peak spill is bounded by the pass, not the corpus.
+    * On a real cluster the SAME shape is how a 100 TB dedup verify runs
+    * under a fixed scratch-disk quota: partition the candidate keyspace,
+    * verify per partition, land each partition's verdict in the lake,
+    * union downstream. Resume-safe: a pass whose `_SUCCESS` marker exists
+    * is not recomputed (the caller owns `staging` and must hand a fresh
+    * dir for a regenerated corpus — same contract as the warehouse
+    * tables' once-per-session materialization). */
+  private[graft] def d2MultipassPairs(spark: SparkSession, dir: String,
+                                      passes: Int, staging: String): DataFrame = {
+    require(passes >= 1, s"d2 multipass needs passes >= 1, got $passes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until passes).foreach { r =>
+      val out = new org.apache.hadoop.fs.Path(s"$staging/pass_$r")
+      val fs = out.getFileSystem(conf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        d2VerifiedPairsSlice(spark, dir, Some((passes, r)))
+          .write.mode("overwrite").parquet(out.toString)
+        // nudge the ContextCleaner between passes: the previous pass's
+        // shuffle files are unreachable once its write action returns, and
+        // reclaiming them NOW is the bounded-disk contract this method
+        // exists for (periodicGC alone can lag a whole pass behind)
+        System.gc()
+        System.err.println(f"[graft] d2 pass $r/$passes: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, free disk " +
+          f"${new java.io.File("/").getUsableSpace / 1e9}%.1f GB")
+      }
+    }
+    spark.read.parquet((0 until passes).map(r => s"$staging/pass_$r"): _*)
+  }
+
+  /** C6-FULL: d6's cluster report over the MULTIPASS full pair set —
+    * byte-equal output to [[d6DupClusters]] (spec-pinned at sf0.01 via
+    * pair-set equality; the clustering and report tail are shared), at
+    * bounded per-pass disk instead of one corpus-sized verify job. */
+  private[graft] def d6DupClustersFull(spark: SparkSession, dir: String,
+                                       passes: Int, staging: String): DataFrame = {
+    val pairs = d2MultipassPairs(spark, dir, passes, staging)
+      .select("doc_a", "doc_b").persist()
+    val cc = connectedComponents(pairs).select(col("doc_id"), col("lbl").as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    val out = cc.withColumn("cluster_size", count(lit(1)).over(w)).orderBy("doc_id")
+    pairs.unpersist()
+    out
   }
 
   /** C3: SimHash near-dup. 60-bit signature (md5-derived word hashes,
@@ -1099,11 +1163,18 @@ object Dedup {
     * box's disk. MATERIALIZED pins one evaluation; results are identical
     * (validated over all 12 affected oracles at sf0.01 and d7 at three
     * scales) and the r11 sf10 run converts d7 from disk-death to a verdict. */
-  private val ShxCte: String = Sh3Cte +
-    """, shl AS MATERIALIZED (
-      |  SELECT doc_id, list_distinct(list_transform(sh,
+  /** The shl body (hashed shingle LISTS from sh) as a standalone fragment —
+    * shared by [[ShxCte]] and the d6-full staged oracle's t_shl CTAS so the
+    * hash construction cannot drift between the one-query and the staged
+    * forms. */
+  private lazy val ShlBodySql: String =
+    """SELECT doc_id, list_distinct(list_transform(sh,
       |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hh
-      |  FROM sh
+      |  FROM sh""".stripMargin
+
+  private val ShxCte: String = Sh3Cte +
+    s""", shl AS MATERIALIZED (
+      |  $ShlBodySql
       |), shx AS MATERIALIZED (
       |  SELECT doc_id, unnest(hh) AS h FROM shl
       |)""".stripMargin
@@ -1112,14 +1183,22 @@ object Dedup {
     * signatures -> LSH band collisions -> distinct candidate pairs
     * (mirrors shingleHashRows + minhashSig + lshCandidates; used by the
     * d2 and d7 oracles). */
-  private lazy val MinhashCandCte: String = {
-    val sigCols = MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
+  /** The 16 minhash signature aggregates / the 4 band-hash CASE arms as
+    * standalone SQL fragments — shared by [[MinhashCandCte]] (the one-query
+    * oracles) and the d6-full staged oracle's t_cand CTAS. */
+  private lazy val MinhashSigColsSql: String =
+    MinhashCoef.zipWithIndex.map { case ((a, b), p) =>
       s"min(($a * h31 + $b) % $MersenneM) AS sig$p"
     }.mkString(",\n        ")
-    val bandCases = (0 until 4).map { b =>
+  private lazy val MinhashBandCasesSql: String =
+    (0 until 4).map { b =>
       val cat = (0 until 4).map(o => s"CAST(sig${4 * b + o} AS VARCHAR)").mkString(" || ',' || ")
       s"WHEN $b THEN md5($cat)"
     }.mkString(" ")
+
+  private lazy val MinhashCandCte: String = {
+    val sigCols = MinhashSigColsSql
+    val bandCases = MinhashBandCasesSql
     ShxCte +
       s""", h31s AS (
          |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
@@ -1511,12 +1590,21 @@ object Dedup {
   private[graft] lazy val D6sClusterCte: String =
     d6ClusterCte(s"doc_a % $D2sMod = 0 AND ")
 
+  /** The exact-Jaccard >= 0.5 verification predicate over shl aliases
+    * x/y, in the oracle's fixed-point e6 form — ONE fragment shared by
+    * [[d6ClusterCte]] and the d6-full staged oracle's per-residue pass so
+    * the verify formula cannot drift (the d2 oracle spells the same
+    * expression with its jaccard projection inline; MultipassDedupSpec
+    * pins the containment textually). */
+  private[graft] lazy val JaccVerifyPredSql: String =
+    "((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000"
+
   private def d6ClusterCte(sampleAnd: String): String =
     MinhashCandCte.replace("WITH sh", "WITH RECURSIVE sh") +
       s""", verified AS (
         |  SELECT doc_a, doc_b
         |  FROM cand JOIN shl x ON x.doc_id = doc_a JOIN shl y ON y.doc_id = doc_b
-        |  WHERE $sampleAnd((2000000*(len(list_intersect(x.hh, y.hh))) + (len(list_distinct(x.hh || y.hh)))) // (2*(len(list_distinct(x.hh || y.hh))))) >= 500000
+        |  WHERE $sampleAnd$JaccVerifyPredSql
         |), nodes AS (
         |  SELECT DISTINCT doc_id FROM (
         |    SELECT doc_a AS doc_id FROM verified UNION ALL SELECT doc_b FROM verified)
@@ -1530,4 +1618,90 @@ object Dedup {
         |), cluster AS (
         |  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
         |)""".stripMargin
+
+  /** The d6-FULL STAGED oracle (r17, verdict r16 #8) as one JSON document:
+    * the same shingle-list -> candidate -> verify -> cluster chain as the
+    * registered d6 oracle, but emitted as ordered CREATE/INSERT statements
+    * so a 5M-doc DuckDB run can materialize the index tables once, verify
+    * the candidate stream in `passes` bounded residue passes (resume-safe
+    * via t_done), and cluster by python-driven min-label iteration instead
+    * of the one-shot recursive CTE, whose reach x edges join is quadratic
+    * in cluster size per iteration. Built from the SAME fragments as the
+    * registered oracles ([[ShlBodySql]], [[MinhashSigColsSql]],
+    * [[MinhashBandCasesSql]], [[JaccVerifyPredSql]]) so the formulas
+    * cannot drift; consumed by tools/d6_full_check.py. */
+  private[graft] def d6FullOracleJson(passes: Int): String = {
+    val setup = Seq(
+      "CREATE TABLE IF NOT EXISTS t_shl AS " + Sh3Cte +
+        s""", shl AS (
+           |  $ShlBodySql
+           |)
+           |SELECT doc_id, hh FROM shl""".stripMargin,
+      s"""CREATE TABLE IF NOT EXISTS t_cand AS
+         |WITH shx AS (
+         |  SELECT doc_id, unnest(hh) AS h FROM t_shl
+         |), h31s AS (
+         |  SELECT doc_id, h % $MersenneM AS h31 FROM shx
+         |), sig AS (
+         |  SELECT doc_id,
+         |        $MinhashSigColsSql
+         |  FROM h31s GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, b, CASE b $MinhashBandCasesSql END AS bh
+         |  FROM sig, range(0, 4) t(b)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+      "CREATE TABLE IF NOT EXISTS t_pairs (doc_a BIGINT, doc_b BIGINT)",
+      "CREATE TABLE IF NOT EXISTS t_done (r INTEGER)")
+    val passSql =
+      s"""INSERT INTO t_pairs
+         |SELECT doc_a, doc_b
+         |FROM t_cand JOIN t_shl x ON x.doc_id = doc_a JOIN t_shl y ON y.doc_id = doc_b
+         |WHERE doc_a % $passes = {R} AND $JaccVerifyPredSql""".stripMargin
+    val clusterInit =
+      """CREATE TABLE t_lbl AS
+        |SELECT doc_id, min(m) AS lbl FROM (
+        |  SELECT doc_a AS doc_id, doc_b AS m FROM t_pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM t_pairs
+        |  UNION ALL SELECT doc_a, doc_a FROM t_pairs
+        |  UNION ALL SELECT doc_b, doc_b FROM t_pairs
+        |) GROUP BY doc_id""".stripMargin
+    // min over (own label, every neighbor's label, label-of-label): the
+    // hash-to-min + pointer-jump step — per iteration ONE pass over the
+    // edge list joined to the label table, never reach x edges
+    val clusterStep =
+      """CREATE TABLE t_lbl_next AS
+        |SELECT doc_id, min(lbl) AS lbl FROM (
+        |  SELECT e.a AS doc_id, l.lbl FROM (
+        |    SELECT doc_a AS a, doc_b AS b FROM t_pairs
+        |    UNION ALL SELECT doc_b, doc_a FROM t_pairs
+        |  ) e JOIN t_lbl l ON l.doc_id = e.b
+        |  UNION ALL SELECT doc_id, lbl FROM t_lbl
+        |  UNION ALL SELECT l.doc_id, l2.lbl FROM t_lbl l JOIN t_lbl l2 ON l2.doc_id = l.lbl
+        |) GROUP BY doc_id""".stripMargin
+    val clusterChanged =
+      "SELECT count(*) FROM t_lbl_next n JOIN t_lbl o USING (doc_id) WHERE n.lbl <> o.lbl"
+    val finalSelect =
+      """SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM (SELECT doc_id, lbl AS cluster_id FROM t_lbl)
+        |ORDER BY doc_id""".stripMargin
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    s"""{"passes": $passes,
+       | "setup": [${setup.map(q).mkString(", ")}],
+       | "pass_sql": ${q(passSql)},
+       | "cluster_init": ${q(clusterInit)},
+       | "cluster_step": ${q(clusterStep)},
+       | "cluster_changed": ${q(clusterChanged)},
+       | "final_select": ${q(finalSelect)}}""".stripMargin
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** The d6-FULL bounded-disk path (r17, verdict r16 #8): residue passes
+  * partition d2's candidate set exactly, so the staged multipass pair set
+  * — and the cluster report over it — is byte-equal to the registered
+  * single-job queries. What the multipass buys (per-pass spill bounded by
+  * 1/passes of the verify stream) is the measured sf100d artifact; what
+  * this spec pins is that it buys it WITHOUT changing a single output row,
+  * plus the resume contract and the staged-oracle formula sharing. */
+class MultipassDedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def freshStaging(): String =
+    java.nio.file.Files.createTempDirectory("graft_d2mp").toString
+
+  test("residue passes partition the candidates: multipass pairs == d2 exactly") {
+    val staging = freshStaging()
+    val mp = Dedup.d2MultipassPairs(spark, dir, passes = 4, staging)
+    assert(mp.orderBy("doc_a", "doc_b").collect().toSeq ===
+      Dedup.d2MinhashLsh(spark, dir).collect().toSeq)
+    // disjoint: no candidate lands in two residue classes
+    assert(mp.count() === mp.select("doc_a", "doc_b").distinct().count())
+    // smod=1 degenerate: ONE pass is the full set too
+    val one = Dedup.d2MultipassPairs(spark, dir, passes = 1, freshStaging())
+    assert(one.orderBy("doc_a", "doc_b").collect().toSeq ===
+      Dedup.d2MinhashLsh(spark, dir).collect().toSeq)
+  }
+
+  test("d6 over the multipass pair set == the registered d6 report") {
+    assert(Dedup.d6DupClustersFull(spark, dir, passes = 3, freshStaging())
+      .collect().toSeq ===
+      Dedup.d6DupClusters(spark, dir).collect().toSeq)
+  }
+
+  test("a completed pass is not recomputed on re-entry") {
+    val staging = freshStaging()
+    Dedup.d2MultipassPairs(spark, dir, passes = 2, staging).count()
+    val marker = java.nio.file.Paths.get(s"$staging/pass_0/_SUCCESS")
+    val t1 = java.nio.file.Files.getLastModifiedTime(marker)
+    Dedup.d2MultipassPairs(spark, dir, passes = 2, staging).count()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t1,
+      "pass_0 was rewritten although its _SUCCESS marker existed")
+  }
+
+  test("the staged oracle shares its formulas with the registered oracles") {
+    // the verify predicate is ONE fragment: registered d6/d6s carry it...
+    assert(SparkEntry.oracleSql("d6_dup_clusters").contains(Dedup.JaccVerifyPredSql))
+    assert(SparkEntry.oracleSql("d6s_dup_clusters_sampled").contains(Dedup.JaccVerifyPredSql))
+    // ...and the d2 oracle spells the same expression (its WHERE clause)
+    assert(SparkEntry.oracleSql("d2_minhash_lsh").contains(Dedup.JaccVerifyPredSql))
+    // the staged plan carries the fragment in its per-residue pass, plus
+    // the shl/sig/band constructions, and parses as the JSON contract
+    // d6_full_check.py consumes
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(Dedup.d6FullOracleJson(5))
+    assert(root.path("passes").asInt() === 5)
+    assert(root.path("pass_sql").asText().contains(Dedup.JaccVerifyPredSql))
+    assert(root.path("pass_sql").asText().contains("doc_a % 5 = {R}"))
+    val setup = root.path("setup")
+    assert(setup.size() === 4)
+    assert(setup.get(0).asText().startsWith("CREATE TABLE IF NOT EXISTS t_shl"))
+    // the signature/band fragments in t_cand are the registered d2
+    // oracle's own text, not a re-spelling
+    val candSql = setup.get(1).asText()
+    val d2Sql = SparkEntry.oracleSql("d2_minhash_lsh")
+    Seq("AS sig0", "AS sig15").foreach { frag =>
+      val line = candSql.linesIterator.find(_.contains(frag)).get.trim
+      assert(d2Sql.contains(line), s"sig fragment drifted: $line")
+    }
+    val bandLine = candSql.linesIterator.find(_.contains("CASE b")).get.trim
+    assert(d2Sql.contains(bandLine), s"band fragment drifted: $bandLine")
+  }
+}

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Staged DuckDB oracle for the d6-FULL verification (r17, verdict r16 #8).
+
+Executes the statement plan graft.DedupFull wrote to
+<out_dir>/d6_full_oracle.json against a PERSISTENT DuckDB database file, so
+the run is resume-safe at every stage boundary:
+
+  1. setup      — shingle-list + candidate tables (CREATE IF NOT EXISTS)
+  2. passes     — verified-pair INSERTs, one candidate residue class each
+                  (t_done records completed residues; re-runs skip them)
+  3. cluster    — python-driven min-label iteration to a fixpoint (the
+                  registered d6 oracle's recursive reach CTE is reach x
+                  edges per iteration — quadratic in cluster size; this is
+                  one edge-list pass per iteration)
+  4. compare    — in-DuckDB row counts + symmetric EXCEPT ALL against the
+                  Spark dump (the CHECK_SQL_COMPARE_ROWS path of check.py)
+
+Usage: d6_full_check.py <sf_dir> <out_dir> <db_path>
+Env:   DUCKDB_MEM, DUCKDB_THREADS, DUCKDB_TEMPDIR (cap before launching —
+       see the verify skill's serialize-disk-heavy-jobs rule).
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+
+def main(sf_dir, out_dir, db_path):
+    spec = json.load(open(f"{out_dir}/d6_full_oracle.json"))
+    con = duckdb.connect(db_path)
+    if os.environ.get("DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_TEMPDIR"):
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMPDIR']}'")
+    con.execute(f"CREATE OR REPLACE VIEW documents AS "
+                f"SELECT * FROM '{sf_dir}/documents.parquet'")
+
+    for s in spec["setup"]:
+        t0 = time.time()
+        con.execute(s)
+        print(f"[setup] {s.splitlines()[0][:60]}...: {time.time()-t0:.1f}s",
+              flush=True)
+
+    done = {r for (r,) in con.execute("SELECT r FROM t_done").fetchall()}
+    for r in range(spec["passes"]):
+        if r in done:
+            continue
+        t0 = time.time()
+        con.execute("BEGIN")
+        con.execute(spec["pass_sql"].replace("{R}", str(r)))
+        con.execute(f"INSERT INTO t_done VALUES ({r})")
+        con.execute("COMMIT")
+        print(f"[pass {r}/{spec['passes']}] {time.time()-t0:.1f}s", flush=True)
+
+    # clustering is cheap relative to the passes: recompute from scratch
+    # each run (idempotent) rather than carrying fixpoint state
+    con.execute("DROP TABLE IF EXISTS t_lbl")
+    con.execute("DROP TABLE IF EXISTS t_lbl_next")
+    t0 = time.time()
+    con.execute(spec["cluster_init"])
+    for it in range(50):
+        con.execute(spec["cluster_step"])
+        changed = con.execute(spec["cluster_changed"]).fetchone()[0]
+        con.execute("DROP TABLE t_lbl")
+        con.execute("ALTER TABLE t_lbl_next RENAME TO t_lbl")
+        print(f"[cluster iter {it}] changed={changed} "
+              f"({time.time()-t0:.1f}s total)", flush=True)
+        if changed == 0:
+            break
+    else:
+        raise SystemExit("cluster min-label iteration did not converge in 50")
+
+    dump = f"SELECT * FROM '{out_dir}/d6_dup_clusters/*.parquet'"
+    cols = ", ".join(
+        f'"{c}"' for c in sorted(
+            con.sql(f"SELECT * FROM ({dump}) LIMIT 0").columns))
+    cmp_sql = (
+        f"WITH o AS ({spec['final_select']}), s AS ({dump}) SELECT "
+        f"(SELECT count(*) FROM o) AS n_oracle, "
+        f"(SELECT count(*) FROM s) AS n_spark, "
+        f"(SELECT count(*) FROM (SELECT {cols} FROM o EXCEPT ALL "
+        f"SELECT {cols} FROM s)) AS o_minus_s, "
+        f"(SELECT count(*) FROM (SELECT {cols} FROM s EXCEPT ALL "
+        f"SELECT {cols} FROM o)) AS s_minus_o")
+    t0 = time.time()
+    n_oracle, n_spark, oms, smo = con.execute(cmp_sql).fetchone()
+    verdict = {
+        "query": "d6_dup_clusters_FULL",
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "passes": spec["passes"],
+        "n_oracle": n_oracle,
+        "n_spark": n_spark,
+        "o_minus_s": oms,
+        "s_minus_o": smo,
+        "match": bool(n_oracle == n_spark and oms == 0 and smo == 0),
+        "compare_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(verdict), flush=True)
+    return 0 if verdict["match"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
