@@ -38,14 +38,35 @@ object DedupFull {
     val staging = s"$outDir/d2_pairs_staged"
     val d6 = graft.dedup.Dedup.d6DupClustersFull(spark, sfDir, passes, staging)
     d6.write.mode("overwrite").parquet(s"$outDir/d6_dup_clusters")
+    // the FULL-chain deliverables share the materialized multipass cluster
+    // table, so each is one more composed query over already-built layers
+    val chainQueries = Map[String, () => org.apache.spark.sql.DataFrame](
+      "d8_canonical_corpus_full" -> (() =>
+        graft.dedup.Dedup.d8CanonicalCorpusFull(spark, sfDir, passes, staging)),
+      "p1_training_mix_full" -> (() =>
+        graft.pipeline.Pipeline.p1TrainingMixFull(spark, sfDir, passes, staging)),
+      "p5_split_leakage_full" -> (() =>
+        graft.pipeline.Pipeline.p5SplitLeakageFull(spark, sfDir, passes, staging)),
+      "p8f_curation_audit_full" -> (() =>
+        graft.pipeline.Pipeline.p8fCurationAuditFull(spark, sfDir, passes, staging)))
+    val chainRows = chainQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val tq = System.nanoTime()
+      fn().write.mode("overwrite").parquet(s"$outDir/$name")
+      val n = spark.read.parquet(s"$outDir/$name").count()
+      System.err.println(f"[graft] $name: $n rows, ${(System.nanoTime() - tq) / 1e9}%.1f s")
+      s""""$name":$n"""
+    }
     val pairs = spark.read
       .parquet((0 until passes).map(r => s"$staging/pass_$r"): _*).count()
     val rows = spark.read.parquet(s"$outDir/d6_dup_clusters").count()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/d6_full_oracle.json"),
-      graft.dedup.Dedup.d6FullOracleJson(passes))
+      graft.dedup.Dedup.d6FullOracleJson(passes,
+        graft.dedup.Dedup.stagedChainOracles ++
+          graft.pipeline.Pipeline.stagedChainOracles))
     println(s"""{"metric":"d6_full","sf":"${sfDir.split('/').last}","passes":$passes,""" +
-      f""""pairs":$pairs,"rows":$rows,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      f""""pairs":$pairs,"rows":$rows,${chainRows.mkString(",")},""" +
+      f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()
   }
 }

@@ -244,20 +244,45 @@ object Dedup {
     spark.read.parquet((0 until passes).map(r => s"$staging/pass_$r"): _*)
   }
 
+  /** The FULL cluster assignment from the multipass pair set, materialized
+    * once per (session, sf-dir) as a bucketed table — [[clusterTable]]'s
+    * bounded-disk twin, and the shared drop-set source for every FULL-chain
+    * deliverable (d6/d8/p1/p5/p8f). Same staging-freshness contract as
+    * [[d2MultipassPairs]]. */
+  private[graft] def clusterTableMultipass(spark: SparkSession, dir: String,
+                                           passes: Int, staging: String): DataFrame = {
+    val t = s"graft_ccf_${Warehouse.tableSuffix(dir)}"
+    synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val pairs = d2MultipassPairs(spark, dir, passes, staging)
+          .select("doc_a", "doc_b").persist()
+        Warehouse.writeBucketed(
+          connectedComponents(pairs).select(col("doc_id"), col("lbl").as("cluster_id")),
+          t, "doc_id")
+        pairs.unpersist()
+      }
+    }
+    spark.table(t)
+  }
+
   /** C6-FULL: d6's cluster report over the MULTIPASS full pair set —
     * byte-equal output to [[d6DupClusters]] (spec-pinned at sf0.01 via
     * pair-set equality; the clustering and report tail are shared), at
     * bounded per-pass disk instead of one corpus-sized verify job. */
   private[graft] def d6DupClustersFull(spark: SparkSession, dir: String,
                                        passes: Int, staging: String): DataFrame = {
-    val pairs = d2MultipassPairs(spark, dir, passes, staging)
-      .select("doc_a", "doc_b").persist()
-    val cc = connectedComponents(pairs).select(col("doc_id"), col("lbl").as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    val out = cc.withColumn("cluster_size", count(lit(1)).over(w)).orderBy("doc_id")
-    pairs.unpersist()
-    out
+    clusterTableMultipass(spark, dir, passes, staging)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
   }
+
+  /** C8-FULL: d8's canonical corpus with the near-dup drop set from the
+    * FULL multipass clustering — the registered d8 exactly, at bounded
+    * per-pass disk (spec-pinned equal at sf0.01). */
+  private[graft] def d8CanonicalCorpusFull(spark: SparkSession, dir: String,
+                                           passes: Int, staging: String): DataFrame =
+    canonicalCorpus(spark, dir, clusterTableMultipass(spark, dir, passes, staging))
 
   /** C3: SimHash near-dup. 60-bit signature (md5-derived word hashes,
     * count-weighted sign sums per bit); blocking by the pigeonhole principle —
@@ -1630,7 +1655,26 @@ object Dedup {
     * registered oracles ([[ShlBodySql]], [[MinhashSigColsSql]],
     * [[MinhashBandCasesSql]], [[JaccVerifyPredSql]]) so the formulas
     * cannot drift; consumed by tools/d6_full_check.py. */
-  private[graft] def d6FullOracleJson(passes: Int): String = {
+  /** WITH-prefix that gives the registered oracle TAILS their expected
+    * CTE names (`cluster`, `shx`) from the STAGED tables (t_lbl, t_shl) —
+    * the full-chain deliverables' staged oracles are then literally
+    * `StagedClusterCte + <the registered tail>`, so the tail formulas
+    * cannot drift between the one-query and staged forms. An unreferenced
+    * CTE is pruned by DuckDB, so chains that don't read shx pay nothing. */
+  private[graft] lazy val StagedClusterCte: String =
+    """WITH shx AS (
+      |  SELECT doc_id, unnest(hh) AS h FROM t_shl
+      |), cluster AS (
+      |  SELECT doc_id, lbl AS cluster_id FROM t_lbl
+      |)""".stripMargin
+
+  /** The Dedup-owned full-chain staged oracles (Pipeline contributes its
+    * own via Pipeline.stagedChainOracles; DedupFull merges both). */
+  private[graft] lazy val stagedChainOracles: Map[String, String] = Map(
+    "d8_canonical_corpus_full" -> (StagedClusterCte + D8CanonicalSqlTail))
+
+  private[graft] def d6FullOracleJson(passes: Int,
+                                      chain: Map[String, String] = Map.empty): String = {
     val setup = Seq(
       "CREATE TABLE IF NOT EXISTS t_shl AS " + Sh3Cte +
         s""", shl AS (
@@ -1696,12 +1740,15 @@ object Dedup {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val chainJson = chain.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     s"""{"passes": $passes,
        | "setup": [${setup.map(q).mkString(", ")}],
        | "pass_sql": ${q(passSql)},
        | "cluster_init": ${q(clusterInit)},
        | "cluster_step": ${q(clusterStep)},
        | "cluster_changed": ${q(clusterChanged)},
-       | "final_select": ${q(finalSelect)}}""".stripMargin
+       | "final_select": ${q(finalSelect)},
+       | "chain": $chainJson}""".stripMargin
   }
 }

@@ -38,6 +38,41 @@ object Pipeline {
   def p1sTrainingMixSampled(spark: SparkSession, dir: String): DataFrame =
     trainingMix(spark, dir, Dedup.clusterTableSampled(spark, dir))
 
+  /** P-FULL (r17, verdict r16 #8): the composed deliverables over the
+    * FULL multipass clustering ([[Dedup.clusterTableMultipass]]) — the
+    * registered p1/p5 exactly (spec-pinned equal at sf0.01), with the
+    * drop layer's verify join paid in bounded residue passes instead of
+    * the one job that was sf100d's spark_disk_bound wall. p8f keeps
+    * p8s's RAW token column (d13's scrub stays the documented DuckDB
+    * wall) but takes its near-dup drops from the FULL clustering —
+    * dropping the one conservative narrowing the sampled twin had to
+    * make, so every flag in the audit is the full chain's. */
+  def p1TrainingMixFull(spark: SparkSession, dir: String,
+                        passes: Int, staging: String): DataFrame =
+    trainingMix(spark, dir, Dedup.clusterTableMultipass(spark, dir, passes, staging))
+
+  def p5SplitLeakageFull(spark: SparkSession, dir: String,
+                         passes: Int, staging: String): DataFrame =
+    splitLeakage(spark, dir, Dedup.clusterTableMultipass(spark, dir, passes, staging))
+
+  def p8fCurationAuditFull(spark: SparkSession, dir: String,
+                           passes: Int, staging: String): DataFrame =
+    curationAudit(spark, dir,
+      Dedup.clusterTableMultipass(spark, dir, passes, staging), cleanToks = None)
+
+  /** The Pipeline-owned full-chain staged oracles: the SAME registered
+    * tails over [[Dedup.StagedClusterCte]]'s cluster/shx names (merged
+    * with Dedup's by graft.DedupFull; compared by tools/d6_full_check.py). */
+  private[graft] lazy val stagedChainOracles: Map[String, String] = Map(
+    "p1_training_mix_full" -> (Dedup.StagedClusterCte + P1MixSqlTail),
+    "p5_split_leakage_full" -> (Dedup.StagedClusterCte + P5LeakSqlTail),
+    "p8f_curation_audit_full" -> (Dedup.StagedClusterCte + Dedup.D10SharedCteBody +
+      ", " + TextOps.KeepSigCteBody.stripPrefix("WITH ") +
+      ", " + TextOps.PiiCteBody +
+      p8AuditSqlTail(
+        tokenSel = "CAST(k.n_words AS BIGINT) AS n_tokens",
+        tokenJoin = "")))
+
   private def trainingMix(spark: SparkSession, dir: String,
                           clusters: DataFrame): DataFrame = {
     val drops = clusters

@@ -45,6 +45,28 @@ class MultipassDedupSpec extends SparkSpec {
       "pass_0 was rewritten although its _SUCCESS marker existed")
   }
 
+  test("the FULL-chain deliverables over the multipass clustering == registered") {
+    val staging = freshStaging()
+    assert(Dedup.d8CanonicalCorpusFull(spark, dir, 3, staging).collect().toSeq ===
+      Dedup.d8CanonicalCorpus(spark, dir).collect().toSeq)
+    assert(graft.pipeline.Pipeline.p1TrainingMixFull(spark, dir, 3, staging)
+      .collect().toSeq ===
+      graft.pipeline.Pipeline.p1TrainingMix(spark, dir).collect().toSeq)
+    assert(graft.pipeline.Pipeline.p5SplitLeakageFull(spark, dir, 3, staging)
+      .collect().toSeq ===
+      graft.pipeline.Pipeline.p5SplitLeakage(spark, dir).collect().toSeq)
+    // p8f carries the raw token column instead of d13's scrub count (the
+    // p8s narrowing it KEEPS); every other column — including the
+    // full-clustering neardup_drop the sampled twin could only bound — is
+    // the registered p8's, byte-equal once both token columns drop
+    val p8f = graft.pipeline.Pipeline.p8fCurationAuditFull(spark, dir, 3, staging)
+    val p8 = graft.pipeline.Pipeline.p8CurationAudit(spark, dir)
+    assert(p8f.columns.toSeq.filterNot(_ == "n_tokens") ===
+      p8.columns.toSeq.filterNot(_ == "n_tokens_clean"))
+    assert(p8f.drop("n_tokens").collect().toSeq ===
+      p8.drop("n_tokens_clean").collect().toSeq)
+  }
+
   test("the staged oracle shares its formulas with the registered oracles") {
     // the verify predicate is ONE fragment: registered d6/d6s carry it...
     assert(SparkEntry.oracleSql("d6_dup_clusters").contains(Dedup.JaccVerifyPredSql))

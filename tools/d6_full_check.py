@@ -74,33 +74,47 @@ def main(sf_dir, out_dir, db_path):
     else:
         raise SystemExit("cluster min-label iteration did not converge in 50")
 
-    dump = f"SELECT * FROM '{out_dir}/d6_dup_clusters/*.parquet'"
-    cols = ", ".join(
-        f'"{c}"' for c in sorted(
-            con.sql(f"SELECT * FROM ({dump}) LIMIT 0").columns))
-    cmp_sql = (
-        f"WITH o AS ({spec['final_select']}), s AS ({dump}) SELECT "
-        f"(SELECT count(*) FROM o) AS n_oracle, "
-        f"(SELECT count(*) FROM s) AS n_spark, "
-        f"(SELECT count(*) FROM (SELECT {cols} FROM o EXCEPT ALL "
-        f"SELECT {cols} FROM s)) AS o_minus_s, "
-        f"(SELECT count(*) FROM (SELECT {cols} FROM s EXCEPT ALL "
-        f"SELECT {cols} FROM o)) AS s_minus_o")
-    t0 = time.time()
-    n_oracle, n_spark, oms, smo = con.execute(cmp_sql).fetchone()
-    verdict = {
-        "query": "d6_dup_clusters_FULL",
-        "sf": sf_dir.rstrip("/").split("/")[-1],
-        "passes": spec["passes"],
-        "n_oracle": n_oracle,
-        "n_spark": n_spark,
-        "o_minus_s": oms,
-        "s_minus_o": smo,
-        "match": bool(n_oracle == n_spark and oms == 0 and smo == 0),
-        "compare_sec": round(time.time() - t0, 1),
-    }
-    print(json.dumps(verdict), flush=True)
-    return 0 if verdict["match"] else 1
+    def compare(name, oracle_sql, dump_dir):
+        dump = f"SELECT * FROM '{dump_dir}/*.parquet'"
+        cols = ", ".join(
+            f'"{c}"' for c in sorted(
+                con.sql(f"SELECT * FROM ({dump}) LIMIT 0").columns))
+        cmp_sql = (
+            f"WITH o AS ({oracle_sql}), s AS ({dump}) SELECT "
+            f"(SELECT count(*) FROM o) AS n_oracle, "
+            f"(SELECT count(*) FROM s) AS n_spark, "
+            f"(SELECT count(*) FROM (SELECT {cols} FROM o EXCEPT ALL "
+            f"SELECT {cols} FROM s)) AS o_minus_s, "
+            f"(SELECT count(*) FROM (SELECT {cols} FROM s EXCEPT ALL "
+            f"SELECT {cols} FROM o)) AS s_minus_o")
+        t0 = time.time()
+        n_oracle, n_spark, oms, smo = con.execute(cmp_sql).fetchone()
+        verdict = {
+            "query": name,
+            "sf": sf_dir.rstrip("/").split("/")[-1],
+            "passes": spec["passes"],
+            "n_oracle": n_oracle,
+            "n_spark": n_spark,
+            "o_minus_s": oms,
+            "s_minus_o": smo,
+            "match": bool(n_oracle == n_spark and oms == 0 and smo == 0),
+            "compare_sec": round(time.time() - t0, 1),
+        }
+        print(json.dumps(verdict), flush=True)
+        return verdict["match"]
+
+    ok = compare("d6_dup_clusters_FULL", spec["final_select"],
+                 f"{out_dir}/d6_dup_clusters")
+    # chain oracles (WITH cluster AS t_lbl, shx AS t_shl + registered tails)
+    # need the registered WITH removed when nested under the compare's own
+    # WITH? No — DuckDB allows a nested WITH inside a CTE body, so the
+    # chain SQL embeds as-is.
+    for name, sql in sorted(spec.get("chain", {}).items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"[chain {name}] no spark dump — skipped", flush=True)
+            continue
+        ok = compare(name, sql, f"{out_dir}/{name}") and ok
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
