@@ -56,6 +56,29 @@ object DedupFull {
       System.err.println(f"[graft] $name: $n rows, ${(System.nanoTime() - tq) / 1e9}%.1f s")
       s""""$name":$n"""
     }
+    // r6-FULL: the last spark_disk_bound shape, verified at full Q in its
+    // own query-residue passes (Spark side always runs — that side IS the
+    // conversion; the oracle side's brute truth is priced by the runner)
+    val tr6 = System.nanoTime()
+    graft.rag.RagOps.r6ContextAssemblyFull(spark, sfDir, passes,
+        s"$outDir/r6_staged")
+      .write.mode("overwrite").parquet(s"$outDir/r6_context_assembly_full")
+    val r6Rows = spark.read.parquet(s"$outDir/r6_context_assembly_full").count()
+    System.err.println(
+      f"[graft] r6_context_assembly_full: $r6Rows rows, ${(System.nanoTime() - tr6) / 1e9}%.1f s")
+    val r6Extra = graft.dedup.Dedup.StagedExtra(
+      name = "r6_context_assembly_full",
+      passes = passes,
+      setup = Seq(
+        "CREATE TABLE IF NOT EXISTS t_r6 (query_id BIGINT, context VARCHAR, " +
+          "context_length BIGINT, docs_used BIGINT)",
+        "CREATE TABLE IF NOT EXISTS t_r6_done (r INTEGER)"),
+      passSql = "INSERT INTO t_r6 SELECT * FROM (" +
+        graft.rag.RagOps.r6OracleSqlWhere(
+          s"vec_id % ${100 * passes} = 100 * {R}") + ")",
+      doneTable = "t_r6_done",
+      finalSelect = "SELECT query_id, context, context_length, docs_used " +
+        "FROM t_r6 ORDER BY query_id")
     val pairs = spark.read
       .parquet((0 until passes).map(r => s"$staging/pass_$r"): _*).count()
     val rows = spark.read.parquet(s"$outDir/d6_dup_clusters").count()
@@ -63,9 +86,11 @@ object DedupFull {
       java.nio.file.Paths.get(s"$outDir/d6_full_oracle.json"),
       graft.dedup.Dedup.d6FullOracleJson(passes,
         graft.dedup.Dedup.stagedChainOracles ++
-          graft.pipeline.Pipeline.stagedChainOracles))
+          graft.pipeline.Pipeline.stagedChainOracles,
+        Seq(r6Extra)))
     println(s"""{"metric":"d6_full","sf":"${sfDir.split('/').last}","passes":$passes,""" +
       f""""pairs":$pairs,"rows":$rows,${chainRows.mkString(",")},""" +
+      f""""r6_context_assembly_full":$r6Rows,""" +
       f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()
   }

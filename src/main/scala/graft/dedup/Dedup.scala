@@ -1673,8 +1673,17 @@ object Dedup {
   private[graft] lazy val stagedChainOracles: Map[String, String] = Map(
     "d8_canonical_corpus_full" -> (StagedClusterCte + D8CanonicalSqlTail))
 
+  /** A staged multi-pass verification OUTSIDE the cluster chain (r17: the
+    * r6 full-Q assembly) — same resume contract as the pair passes:
+    * `passSql` carries a literal `{R}` the runner substitutes per residue,
+    * `doneTable` records completed residues. */
+  private[graft] case class StagedExtra(name: String, passes: Int,
+                                        setup: Seq[String], passSql: String,
+                                        doneTable: String, finalSelect: String)
+
   private[graft] def d6FullOracleJson(passes: Int,
-                                      chain: Map[String, String] = Map.empty): String = {
+                                      chain: Map[String, String] = Map.empty,
+                                      extras: Seq[StagedExtra] = Nil): String = {
     val setup = Seq(
       "CREATE TABLE IF NOT EXISTS t_shl AS " + Sh3Cte +
         s""", shl AS (
@@ -1742,6 +1751,12 @@ object Dedup {
     } + "\""
     val chainJson = chain.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val extrasJson = extras.map { e =>
+      s"""{"name": ${q(e.name)}, "passes": ${e.passes}, """ +
+        s""""setup": [${e.setup.map(q).mkString(", ")}], """ +
+        s""""pass_sql": ${q(e.passSql)}, "done_table": ${q(e.doneTable)}, """ +
+        s""""final_select": ${q(e.finalSelect)}}"""
+    }.mkString("[", ", ", "]")
     s"""{"passes": $passes,
        | "setup": [${setup.map(q).mkString(", ")}],
        | "pass_sql": ${q(passSql)},
@@ -1749,6 +1764,7 @@ object Dedup {
        | "cluster_step": ${q(clusterStep)},
        | "cluster_changed": ${q(clusterChanged)},
        | "final_select": ${q(finalSelect)},
-       | "chain": $chainJson}""".stripMargin
+       | "chain": $chainJson,
+       | "extras": $extrasJson}""".stripMargin
   }
 }

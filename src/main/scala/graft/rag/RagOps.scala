@@ -1,6 +1,6 @@
 package graft.rag
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,9 +80,43 @@ object RagOps {
     * Production at 100× pins Q fixed — the registered `r6s` twin
     * (qmod=100·101) is the scale entry point, graded through sf100d. */
   def r6ContextAssembly(spark: SparkSession, dir: String,
-                        qmod: Int = 100): DataFrame = {
+                        qmod: Int = 100): DataFrame =
+    r6Assemble(spark, dir, col("vec_id") % qmod === 0).orderBy("query_id")
+
+  /** B6-FULL (r17): the DEFAULT (qmod=100, Q∝N) query set assembled in
+    * `passes` bounded residue passes — the d2MultipassPairs rule applied
+    * to the one remaining spark_disk_bound shape: the embedded brute
+    * search's (query x corpus) score stream spills per PASS (1/passes of
+    * the full stream), never per corpus. Query residue classes
+    * vec_id % (100*passes) == 100*r for r < passes partition the qmod=100
+    * set exactly (r6s is the (101, 0) slice of the same family).
+    * Spec-pinned byte-equal to [[r6ContextAssembly]]; same staging
+    * contract as the d2 multipass. */
+  def r6ContextAssemblyFull(spark: SparkSession, dir: String,
+                            passes: Int, staging: String): DataFrame = {
+    require(passes >= 1, s"r6 multipass needs passes >= 1, got $passes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until passes).foreach { r =>
+      val out = new org.apache.hadoop.fs.Path(s"$staging/pass_$r")
+      val fs = out.getFileSystem(conf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        r6Assemble(spark, dir, col("vec_id") % (100 * passes) === 100L * r)
+          .write.mode("overwrite").parquet(out.toString)
+        System.gc()
+        System.err.println(f"[graft] r6 pass $r/$passes: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, free disk " +
+          f"${new java.io.File("/").getUsableSpace / 1e9}%.1f GB")
+      }
+    }
+    spark.read.parquet((0 until passes).map(r => s"$staging/pass_$r"): _*)
+      .orderBy("query_id")
+  }
+
+  private def r6Assemble(spark: SparkSession, dir: String,
+                         queryPred: Column): DataFrame = {
     val MaxLen = 600
-    val hits = Search.knn(spark, dir, col("vec_id") % qmod === 0, k = 5,
+    val hits = Search.knn(spark, dir, queryPred, k = 5,
       threshold = 0.2, clampZero = true, sameLabel = false)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
@@ -108,7 +142,6 @@ object RagOps {
         size(col("ps")).as("docs_used"))
       .withColumn("context_length", length(col("context")))
       .select("query_id", "context", "context_length", "docs_used")
-      .orderBy("query_id")
   }
 
   /** B10: get_document_summary (reference rag/retrieval.py:get_document_summary)
@@ -259,10 +292,17 @@ object RagOps {
   /** r6's assembly oracle parameterized by the query sample — shared by
     * the full (qmod 100) and sampled (qmod [[R6sQmod]]) entries so the
     * fold formula cannot drift between them. */
-  private def r6OracleSql(qmod: Int): String = {
+  private def r6OracleSql(qmod: Int): String =
+    r6OracleSqlWhere(s"vec_id % $qmod = 0")
+
+  /** The r6 oracle over an arbitrary query-set predicate — the registered
+    * entries use `vec_id % qmod = 0`; the staged full-Q verification
+    * (graft.DedupFull's r6 extra) uses one residue class per pass. One
+    * builder, so the assembly formula cannot drift between forms. */
+  private[graft] def r6OracleSqlWhere(queryWhere: String): String = {
       val hitsSql = Search.CorpusCte +
         s""", q AS (
-          |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id % $qmod = 0
+          |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE $queryWhere
           |), scored0 AS (
           |  SELECT q.query_id, en.vec_id,
           |    round(greatest(CASE WHEN q.qnrm*en.nrm = 0 THEN 0.0

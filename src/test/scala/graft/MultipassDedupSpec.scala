@@ -67,6 +67,15 @@ class MultipassDedupSpec extends SparkSpec {
       p8.drop("n_tokens_clean").collect().toSeq)
   }
 
+  test("r6 full-Q assembly over query-residue passes == the registered r6") {
+    val staging = freshStaging()
+    val full = graft.rag.RagOps.r6ContextAssemblyFull(spark, dir, 3, staging)
+    assert(full.collect().toSeq ===
+      graft.rag.RagOps.r6ContextAssembly(spark, dir).collect().toSeq)
+    // residue classes partition the query set: no query assembled twice
+    assert(full.count() === full.select("query_id").distinct().count())
+  }
+
   test("the staged oracle shares its formulas with the registered oracles") {
     // the verify predicate is ONE fragment: registered d6/d6s carry it...
     assert(SparkEntry.oracleSql("d6_dup_clusters").contains(Dedup.JaccVerifyPredSql))

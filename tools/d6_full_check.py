@@ -38,6 +38,8 @@ def main(sf_dir, out_dir, db_path):
         con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMPDIR']}'")
     con.execute(f"CREATE OR REPLACE VIEW documents AS "
                 f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    con.execute(f"CREATE OR REPLACE VIEW embeddings AS "
+                f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
 
     for s in spec["setup"]:
         t0 = time.time()
@@ -114,6 +116,42 @@ def main(sf_dir, out_dir, db_path):
             print(f"[chain {name}] no spark dump — skipped", flush=True)
             continue
         ok = compare(name, sql, f"{out_dir}/{name}") and ok
+
+    # staged extras (r17: the r6 full-Q assembly) — resume-safe residue
+    # passes with their own done-table; EXTRA_MAX_SEC bounds how much pass
+    # work THIS invocation takes on (re-run to continue), so an extra whose
+    # total oracle cost exceeds a round's budget still accumulates, and an
+    # incomplete extra is reported (with the measured per-pass cost), never
+    # compared against a partial table.
+    budget = float(os.environ.get("EXTRA_MAX_SEC", "inf"))
+    for ex in spec.get("extras", []):
+        for s in ex["setup"]:
+            con.execute(s)
+        done = {r for (r,) in con.execute(
+            f"SELECT r FROM {ex['done_table']}").fetchall()}
+        t_start, pass_secs = time.time(), []
+        for r in range(ex["passes"]):
+            if r in done:
+                continue
+            if time.time() - t_start > budget:
+                break
+            t0 = time.time()
+            con.execute("BEGIN")
+            con.execute(ex["pass_sql"].replace("{R}", str(r)))
+            con.execute(f"INSERT INTO {ex['done_table']} VALUES ({r})")
+            con.execute("COMMIT")
+            pass_secs.append(round(time.time() - t0, 1))
+            done.add(r)
+            print(f"[{ex['name']} pass {r}/{ex['passes']}] {pass_secs[-1]}s",
+                  flush=True)
+        if len(done) < ex["passes"]:
+            print(json.dumps({
+                "query": ex["name"], "partial": True,
+                "passes_done": len(done), "passes": ex["passes"],
+                "pass_secs": pass_secs}), flush=True)
+        elif os.path.isdir(f"{out_dir}/{ex['name']}"):
+            ok = compare(ex["name"], ex["final_select"],
+                         f"{out_dir}/{ex['name']}") and ok
     return 0 if ok else 1
 
 
