@@ -56,6 +56,27 @@ object DedupFull {
       System.err.println(f"[graft] $name: $n rows, ${(System.nanoTime() - tq) / 1e9}%.1f s")
       s""""$name":$n"""
     }
+    // r17 feasibility flips: d3's Spark side goes multipass (its one-job
+    // candidate DISTINCT is itself the disk-bound shape at 5M docs);
+    // d11/d13's Spark sides are the registered queries verbatim (both
+    // complete on this box — it was their DuckDB sides that exhausted the
+    // box, now staged via Dedup.flipExtras)
+    val td3 = System.nanoTime()
+    graft.dedup.Dedup.d3SimhashFull(spark, sfDir, passes, s"$outDir/d3_staged")
+      .write.mode("overwrite").parquet(s"$outDir/d3_simhash_full")
+    val d3Rows = spark.read.parquet(s"$outDir/d3_simhash_full").count()
+    System.err.println(
+      f"[graft] d3_simhash_full: $d3Rows rows, ${(System.nanoTime() - td3) / 1e9}%.1f s")
+    val flipRows = Seq(
+      "d11_dup_text_fraction" -> "d11_dup_text_fraction_full",
+      "d13_scrubbed_corpus" -> "d13_scrubbed_corpus_full").map { case (query, out) =>
+      val tq = System.nanoTime()
+      SparkEntry.queries(query)(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/$out")
+      val n = spark.read.parquet(s"$outDir/$out").count()
+      System.err.println(f"[graft] $out: $n rows, ${(System.nanoTime() - tq) / 1e9}%.1f s")
+      s""""$out":$n"""
+    }
     // r6-FULL: the last spark_disk_bound shape, verified at full Q in its
     // own query-residue passes (Spark side always runs — that side IS the
     // conversion; the oracle side's brute truth is priced by the runner)
@@ -87,9 +108,10 @@ object DedupFull {
       graft.dedup.Dedup.d6FullOracleJson(passes,
         graft.dedup.Dedup.stagedChainOracles ++
           graft.pipeline.Pipeline.stagedChainOracles,
-        Seq(r6Extra)))
+        graft.dedup.Dedup.flipExtras(passes) :+ r6Extra))
     println(s"""{"metric":"d6_full","sf":"${sfDir.split('/').last}","passes":$passes,""" +
       f""""pairs":$pairs,"rows":$rows,${chainRows.mkString(",")},""" +
+      f""""d3_simhash_full":$d3Rows,${flipRows.mkString(",")},""" +
       f""""r6_context_assembly_full":$r6Rows,""" +
       f""""sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()

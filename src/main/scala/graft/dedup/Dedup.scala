@@ -394,7 +394,20 @@ object Dedup {
   }
 
   private[graft] def d3SimhashChunked(spark: SparkSession, dir: String,
-                                      chunkCount: Int): DataFrame = {
+                                      chunkCount: Int): DataFrame =
+    d3VerifiedPairs(spark, dir, chunkCount, lit(true)).orderBy("doc_a", "doc_b")
+
+  /** d3's blocked-candidate + hamming-verify core over an arbitrary chunk
+    * predicate — `cvPred` restricts the chunk rows BEFORE the equality
+    * self-join. Because the join requires x.cv == y.cv, a residue class on
+    * cv partitions the join's matches exactly, so
+    * union over cvPred = (cv % P == r) for r < P  ==  cvPred = true —
+    * the d2MultipassPairs rule applied to SimHash blocking (r17). A pair
+    * matching at chunks in DIFFERENT residue classes appears in each; the
+    * (doc_a, doc_b) -> hamming function is deterministic, so a final
+    * distinct restores the registered row set. */
+  private def d3VerifiedPairs(spark: SparkSession, dir: String,
+                              chunkCount: Int, cvPred: Column): DataFrame = {
     require(60 % chunkCount == 0 && chunkCount > D3Hamming,
       s"chunkCount must divide 60 and exceed the hamming bound $D3Hamming " +
         s"(pigeonhole completeness); got $chunkCount")
@@ -404,6 +417,7 @@ object Dedup {
     val chunks = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(chunkCount - 1))).as("c"))
       .withColumn("cv", expr(s"(sig >> ($width * c)) & $mask"))
+      .filter(cvPred)
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -413,7 +427,33 @@ object Dedup {
     cand.withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= D3Hamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** C3-FULL (r17): d3 in `passes` bounded cv-residue passes — the shape
+    * that converts the 5M-doc one-job candidate DISTINCT (~1.5e9 pair rows
+    * through one exchange) into 1/passes-sized staged jobs. Byte-equal to
+    * [[d3Simhash]] (spec-pinned); same staging/resume contract as
+    * [[d2MultipassPairs]]. The final cross-pass distinct moves only the
+    * VERIFIED pairs (hamming-filtered, ~15x fewer than candidates). */
+  private[graft] def d3SimhashFull(spark: SparkSession, dir: String,
+                                   passes: Int, staging: String): DataFrame = {
+    require(passes >= 1, s"d3 multipass needs passes >= 1, got $passes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until passes).foreach { r =>
+      val out = new org.apache.hadoop.fs.Path(s"$staging/pass_$r")
+      val fs = out.getFileSystem(conf)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        d3VerifiedPairs(spark, dir, chunkCount = 4, col("cv") % passes === r)
+          .write.mode("overwrite").parquet(out.toString)
+        System.gc()
+        System.err.println(f"[graft] d3 pass $r/$passes: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, free disk " +
+          f"${new java.io.File("/").getUsableSpace / 1e9}%.1f GB")
+      }
+    }
+    spark.read.parquet((0 until passes).map(r => s"$staging/pass_$r"): _*)
+      .distinct().orderBy("doc_a", "doc_b")
   }
 
   /** C4: word 4-gram Jaccard within (lang, length-bucket) blocks — the
@@ -1259,14 +1299,24 @@ object Dedup {
     * as a CTE body appendable after [[ShxCte]] — shared by the d13 oracle
     * and the composed curation audit (P8). */
   private[graft] lazy val D13ScrubCteBody: String =
+    d13ScrubCteBody("documents", "SELECT h, count(*) AS df FROM shx GROUP BY h")
+
+  /** [[D13ScrubCteBody]]'s builder: `docsRel` is the documents relation the
+    * scan CTEs read (the staged doc-residue passes substitute a filtered
+    * `docsr`), `dfhBody` the document-frequency source (the staged form
+    * reads the precomputed df>=2 table with a literal df, so the body's
+    * `WHERE df >= 2` text — and thus the whole chain — stays identical).
+    * ONE builder serves the registered oracle, P8's audit, and the staged
+    * d13 passes, so the scrub formula cannot drift (r17). */
+  private[graft] def d13ScrubCteBody(docsRel: String, dfhBody: String): String =
     s"""
        |, shpos AS (
        |  SELECT doc_id, i - 1 AS pos,
        |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT) AS h
        |  FROM (SELECT doc_id, unnest(range(1, len(ws)-1)) AS i, ws
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $docsRel))
        |), dfh AS (
-       |  SELECT h, count(*) AS df FROM shx GROUP BY h
+       |  $dfhBody
        |), dup AS (
        |  SELECT doc_id, pos FROM shpos JOIN dfh USING (h) WHERE df >= 2
        |), isl AS (
@@ -1286,7 +1336,7 @@ object Dedup {
        |), toks AS (
        |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
        |  FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS i, ws
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $docsRel))
        |), kept AS (
        |  SELECT t.doc_id, t.pos, t.w FROM toks t
        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
@@ -1296,6 +1346,54 @@ object Dedup {
        |    string_agg(w, ' ' ORDER BY pos) AS scrubbed
        |  FROM kept GROUP BY doc_id
        |)""".stripMargin
+
+  /** The d3 oracle's signature chain (wc -> wh -> bits -> sig) over a
+    * parameterized documents relation — ONE builder for the registered
+    * one-query oracle and the staged sig passes (doc-residue classes), so
+    * the simhash construction cannot drift between forms (r17). */
+  private[graft] def d3SigCtes(docsFrom: String): String =
+    s"""WITH wc AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $docsFrom) GROUP BY 1,2
+       |), wh AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h, cnt FROM wc
+       |), bits AS (
+       |  SELECT doc_id, b, sum(cnt * (2 * ((h >> b) & 1) - 1)) AS s
+       |  FROM wh, range(0, 60) t(b) GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM bits GROUP BY 1
+       |)""".stripMargin
+
+  /** The d3 oracle's chunk/candidate/hamming tail over a `sig` CTE —
+    * `chunkWhere` restricts chunk rows (the staged cand passes filter to a
+    * cv-residue class, which partitions the equality join's matches
+    * exactly); `ordered` distinguishes the registered one-query form from
+    * a staged INSERT body. Shared so the blocking scheme cannot drift. */
+  private[graft] def d3ChunkTail(chunkWhere: String, ordered: Boolean): String =
+    s"""
+       |, chunks AS (
+       |  SELECT doc_id, sig, c, (sig >> (15 * c)) & 32767 AS cv FROM sig, range(0, 4) t(c)$chunkWhere
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= $D3Hamming${if (ordered) " ORDER BY doc_a, doc_b" else ""}""".stripMargin
+
+  /** d11's duplicated-shingle test over the dfh join — ONE fragment shared
+    * by the registered oracle and the staged per-residue passes (r17). */
+  private[graft] val D11DupCaseSql = "CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END"
+
+  /** d13's per-document output tail over the scrub chain's `agg` CTE —
+    * shared by the registered oracle and the staged doc-residue passes. */
+  private[graft] def d13SelectTail(docsRel: String, ordered: Boolean): String =
+    s"""
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_kept,
+       |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_removed,
+       |  coalesce(a.scrubbed, '') AS clean_text
+       |FROM $docsRel d LEFT JOIN agg a USING (doc_id)${if (ordered) "\nORDER BY d.doc_id" else ""}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dup" ->
@@ -1380,26 +1478,7 @@ object Dedup {
            |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
            |    ELSE ${Exact.ratio6Sql("(SELECT count(*) FROM caught)", "(SELECT count(*) FROM truth)")} END AS recall""".stripMargin),
 
-    "d3_simhash" ->
-      """WITH wc AS (
-        |  SELECT doc_id, w, count(*) AS cnt FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1,2
-        |), wh AS (
-        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h, cnt FROM wc
-        |), bits AS (
-        |  SELECT doc_id, b, sum(cnt * (2 * ((h >> b) & 1) - 1)) AS s
-        |  FROM wh, range(0, 60) t(b) GROUP BY 1, 2
-        |), sig AS (
-        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bits GROUP BY 1
-        |), chunks AS (
-        |  SELECT doc_id, sig, c, (sig >> (15 * c)) & 32767 AS cv FROM sig, range(0, 4) t(c)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-        |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
-        |)
-        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand
-        |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_simhash" -> (d3SigCtes("documents") + d3ChunkTail("", ordered = true)),
 
     // d3w (r14): the 120-bit wide form — second half seeded '1:' || w
     // (DetHash.h60Seeded's exact concat), 4 x 30-bit chunks, hamming
@@ -1534,9 +1613,9 @@ object Dedup {
          |  SELECT h, count(*) AS df FROM shx GROUP BY h
          |)
          |SELECT s.doc_id, count(*) AS n_shingles,
-         |  CAST(sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+         |  CAST(sum($D11DupCaseSql) AS BIGINT) AS n_dup_shingles,
          |  ${graft.functions.Exact.ratio6Sql(
-             "sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END)", "count(*)")} AS dup_frac
+             s"sum($D11DupCaseSql)", "count(*)")} AS dup_frac
          |FROM shx s JOIN dfh ON dfh.h = s.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
 
@@ -1572,13 +1651,7 @@ object Dedup {
     // d13: d12's remove-verdict spans excised from the token stream; one
     // row per input document (scrubbed-to-empty docs stay, text = '').
     "d13_scrubbed_corpus" -> (ShxCte + D13ScrubCteBody +
-      s"""
-         |SELECT d.doc_id,
-         |  CAST(coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_kept,
-         |  CAST(len(string_split(d.text, ' ')) - coalesce(a.kept_n, 0) AS BIGINT) AS n_tokens_removed,
-         |  coalesce(a.scrubbed, '') AS clean_text
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin),
+      d13SelectTail("documents", ordered = true)),
 
     "d10_decontamination" -> (ShxCte + D10SharedCteBody +
         s""", nt AS (
@@ -1674,22 +1747,123 @@ object Dedup {
     "d8_canonical_corpus_full" -> (StagedClusterCte + D8CanonicalSqlTail))
 
   /** A staged multi-pass verification OUTSIDE the cluster chain (r17: the
-    * r6 full-Q assembly) — same resume contract as the pair passes:
-    * `passSql` carries a literal `{R}` the runner substitutes per residue,
-    * `doneTable` records completed residues. */
+    * r6 full-Q assembly and the d3/d11/d13 feasibility-flip conversions) —
+    * same resume contract as the pair passes: `passSql` carries a literal
+    * `{R}` the runner substitutes per residue, `doneTable` records
+    * completed residues. `requires` names extras whose passes must ALL be
+    * complete first (staged-table dependencies — the runner skips, never
+    * poisons, a dependent whose prerequisite is still partial). */
   private[graft] case class StagedExtra(name: String, passes: Int,
                                         setup: Seq[String], passSql: String,
-                                        doneTable: String, finalSelect: String)
+                                        doneTable: String, finalSelect: String,
+                                        requires: Seq[String] = Nil)
+
+  /** The staged oracle's t_shl CTAS — the registered shl construction
+    * ([[ShlBodySql]]) materialized once per database; shared by the d6-full
+    * setup and the d11/d13 flip extras so every staged consumer reads the
+    * SAME persisted shingle lists. */
+  private[graft] lazy val TShlSetupSql: String =
+    "CREATE TABLE IF NOT EXISTS t_shl AS " + Sh3Cte +
+      s""", shl AS (
+         |  $ShlBodySql
+         |)
+         |SELECT doc_id, hh FROM shl""".stripMargin
+
+  /** The r17 feasibility-flip extras: d3/d11/d13's DuckDB sides exhausted
+    * >90 GB memory + ~60 GB spill as ONE statement at 5M docs while Spark
+    * completed each in minutes. The same residue decomposition that
+    * converted the spark_disk_bound chain converts the ORACLE side:
+    *  - d3: sig passes partition documents (doc-residue), cand passes
+    *    partition the chunk equality join (cv-residue; union of residues
+    *    == the registered join since matches share cv); the final distinct
+    *    folds cross-residue re-detections of the same pair.
+    *  - d11: h-residue classes partition shx exactly; per-pass df and
+    *    per-doc partial counts accumulate, the final select re-aggregates
+    *    (count/sum distribute over the partition).
+    *  - d13: the global df>=2 set is ONE bounded CTAS off t_shl (its
+    *    distinct-h state is corpus-vocabulary-sized, not occurrence-
+    *    sized); doc-residue passes then scrub their documents against it.
+    * Every fragment is the registered oracle's own builder ([[d3SigCtes]],
+    * [[d3ChunkTail]], [[D11DupCaseSql]], [[d13ScrubCteBody]],
+    * [[d13SelectTail]]) so no formula forks. */
+  private[graft] def flipExtras(passes: Int): Seq[StagedExtra] = Seq(
+    StagedExtra(
+      name = "d3_sig_stage",
+      passes = passes,
+      setup = Seq(
+        "CREATE TABLE IF NOT EXISTS t_d3sig (doc_id BIGINT, sig BIGINT)",
+        "CREATE TABLE IF NOT EXISTS t_d3sig_done (r INTEGER)"),
+      passSql = "INSERT INTO t_d3sig SELECT * FROM (" +
+        d3SigCtes(s"documents WHERE doc_id % $passes = {R}") +
+        "\nSELECT doc_id, sig FROM sig)",
+      doneTable = "t_d3sig_done",
+      finalSelect = "SELECT 1"),
+    StagedExtra(
+      name = "d3_simhash_full",
+      passes = passes,
+      setup = Seq(
+        "CREATE TABLE IF NOT EXISTS t_d3 (doc_a BIGINT, doc_b BIGINT, hamming INTEGER)",
+        "CREATE TABLE IF NOT EXISTS t_d3_done (r INTEGER)"),
+      passSql = "INSERT INTO t_d3 SELECT * FROM (" +
+        "WITH sig AS (SELECT doc_id, sig FROM t_d3sig)" +
+        d3ChunkTail(
+          s" WHERE ((sig >> (15 * c)) & 32767) % $passes = {R}",
+          ordered = false) + ")",
+      doneTable = "t_d3_done",
+      finalSelect =
+        "SELECT DISTINCT doc_a, doc_b, hamming FROM t_d3 ORDER BY doc_a, doc_b",
+      requires = Seq("d3_sig_stage")),
+    StagedExtra(
+      name = "d11_dup_text_fraction_full",
+      passes = passes,
+      setup = Seq(
+        TShlSetupSql,
+        "CREATE TABLE IF NOT EXISTS t_d11p (doc_id BIGINT, n_sh BIGINT, n_dup BIGINT)",
+        "CREATE TABLE IF NOT EXISTS t_d11_done (r INTEGER)"),
+      passSql = "INSERT INTO t_d11p SELECT * FROM (" +
+        s"""WITH shx AS (
+           |  SELECT doc_id, unnest(hh) AS h FROM t_shl
+           |), shxr AS (
+           |  SELECT doc_id, h FROM shx WHERE h % $passes = {R}
+           |), dfh AS (
+           |  SELECT h, count(*) AS df FROM shxr GROUP BY h
+           |)
+           |SELECT s.doc_id, count(*) AS n_sh,
+           |  CAST(sum($D11DupCaseSql) AS BIGINT) AS n_dup
+           |FROM shxr s JOIN dfh ON dfh.h = s.h
+           |GROUP BY s.doc_id)""".stripMargin,
+      doneTable = "t_d11_done",
+      finalSelect =
+        s"""SELECT doc_id, CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           |  CAST(sum(n_dup) AS BIGINT) AS n_dup_shingles,
+           |  ${graft.functions.Exact.ratio6Sql("sum(n_dup)", "sum(n_sh)")} AS dup_frac
+           |FROM t_d11p GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    StagedExtra(
+      name = "d13_scrubbed_corpus_full",
+      passes = passes,
+      setup = Seq(
+        TShlSetupSql,
+        "CREATE TABLE IF NOT EXISTS t_dfh2 AS " +
+          "SELECT h, count(*) AS df FROM (SELECT doc_id, unnest(hh) AS h FROM t_shl) " +
+          "GROUP BY h HAVING count(*) >= 2",
+        "CREATE TABLE IF NOT EXISTS t_d13 (doc_id BIGINT, n_tokens_kept BIGINT, " +
+          "n_tokens_removed BIGINT, clean_text VARCHAR)",
+        "CREATE TABLE IF NOT EXISTS t_d13_done (r INTEGER)"),
+      passSql = "INSERT INTO t_d13 SELECT * FROM (" +
+        s"""WITH docsr AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % $passes = {R}
+           |)""".stripMargin +
+        d13ScrubCteBody("docsr", "SELECT h, df FROM t_dfh2") +
+        d13SelectTail("docsr", ordered = false) + ")",
+      doneTable = "t_d13_done",
+      finalSelect = "SELECT doc_id, n_tokens_kept, n_tokens_removed, " +
+        "clean_text FROM t_d13 ORDER BY doc_id"))
 
   private[graft] def d6FullOracleJson(passes: Int,
                                       chain: Map[String, String] = Map.empty,
                                       extras: Seq[StagedExtra] = Nil): String = {
     val setup = Seq(
-      "CREATE TABLE IF NOT EXISTS t_shl AS " + Sh3Cte +
-        s""", shl AS (
-           |  $ShlBodySql
-           |)
-           |SELECT doc_id, hh FROM shl""".stripMargin,
+      TShlSetupSql,
       s"""CREATE TABLE IF NOT EXISTS t_cand AS
          |WITH shx AS (
          |  SELECT doc_id, unnest(hh) AS h FROM t_shl
@@ -1755,6 +1929,7 @@ object Dedup {
       s"""{"name": ${q(e.name)}, "passes": ${e.passes}, """ +
         s""""setup": [${e.setup.map(q).mkString(", ")}], """ +
         s""""pass_sql": ${q(e.passSql)}, "done_table": ${q(e.doneTable)}, """ +
+        s""""requires": [${e.requires.map(q).mkString(", ")}], """ +
         s""""final_select": ${q(e.finalSelect)}}"""
     }.mkString("[", ", ", "]")
     s"""{"passes": $passes,

@@ -76,6 +76,33 @@ class MultipassDedupSpec extends SparkSpec {
     assert(full.count() === full.select("query_id").distinct().count())
   }
 
+  test("d3 full over cv-residue passes == the registered d3") {
+    val full = Dedup.d3SimhashFull(spark, dir, 3, freshStaging())
+    assert(full.collect().toSeq ===
+      Dedup.d3Simhash(spark, dir).collect().toSeq)
+    // the final distinct folded every cross-residue re-detection
+    assert(full.count() === full.select("doc_a", "doc_b").distinct().count())
+  }
+
+  test("the flip extras are built from the registered oracles' fragments") {
+    val ex = Dedup.flipExtras(13).map(e => e.name -> e).toMap
+    // d3: the registered oracle IS sig-builder + chunk-tail; the staged
+    // passes carry the same builders with only the residue predicates
+    assert(Dedup.oracle("d3_simhash") ===
+      Dedup.d3SigCtes("documents") + Dedup.d3ChunkTail("", ordered = true))
+    assert(ex("d3_sig_stage").passSql.contains(
+      Dedup.d3SigCtes("documents WHERE doc_id % 13 = {R}")))
+    assert(ex("d3_simhash_full").requires === Seq("d3_sig_stage"))
+    // d11: the dup test is ONE fragment in both forms
+    assert(Dedup.oracle("d11_dup_text_fraction").contains(Dedup.D11DupCaseSql))
+    assert(ex("d11_dup_text_fraction_full").passSql.contains(Dedup.D11DupCaseSql))
+    // d13: registered body == builder at its defaults; the staged pass
+    // carries the same body over docsr + the precomputed df table
+    assert(Dedup.oracle("d13_scrubbed_corpus").contains(Dedup.D13ScrubCteBody))
+    assert(ex("d13_scrubbed_corpus_full").passSql.contains(
+      Dedup.d13ScrubCteBody("docsr", "SELECT h, df FROM t_dfh2")))
+  }
+
   test("the staged oracle shares its formulas with the registered oracles") {
     // the verify predicate is ONE fragment: registered d6/d6s carry it...
     assert(SparkEntry.oracleSql("d6_dup_clusters").contains(Dedup.JaccVerifyPredSql))

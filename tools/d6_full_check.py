@@ -82,7 +82,8 @@ def main(sf_dir, out_dir, db_path):
             f'"{c}"' for c in sorted(
                 con.sql(f"SELECT * FROM ({dump}) LIMIT 0").columns))
         cmp_sql = (
-            f"WITH o AS ({oracle_sql}), s AS ({dump}) SELECT "
+            f"WITH o AS MATERIALIZED ({oracle_sql}), "
+            f"s AS MATERIALIZED ({dump}) SELECT "
             f"(SELECT count(*) FROM o) AS n_oracle, "
             f"(SELECT count(*) FROM s) AS n_spark, "
             f"(SELECT count(*) FROM (SELECT {cols} FROM o EXCEPT ALL "
@@ -124,9 +125,21 @@ def main(sf_dir, out_dir, db_path):
     # incomplete extra is reported (with the measured per-pass cost), never
     # compared against a partial table.
     budget = float(os.environ.get("EXTRA_MAX_SEC", "inf"))
+    done_counts = {}
+    passes_by_name = {e["name"]: e["passes"] for e in spec.get("extras", [])}
     for ex in spec.get("extras", []):
+        unmet = [r for r in ex.get("requires", [])
+                 if done_counts.get(r, 0) < passes_by_name.get(r, 1)]
+        if unmet:
+            print(f"[{ex['name']}] prerequisite(s) {unmet} incomplete — "
+                  f"skipped (re-run to continue)", flush=True)
+            continue
         for s in ex["setup"]:
+            t0 = time.time()
             con.execute(s)
+            if time.time() - t0 > 5:
+                print(f"[{ex['name']} setup] {s.splitlines()[0][:60]}...: "
+                      f"{time.time()-t0:.1f}s", flush=True)
         done = {r for (r,) in con.execute(
             f"SELECT r FROM {ex['done_table']}").fetchall()}
         t_start, pass_secs = time.time(), []
@@ -144,6 +157,7 @@ def main(sf_dir, out_dir, db_path):
             done.add(r)
             print(f"[{ex['name']} pass {r}/{ex['passes']}] {pass_secs[-1]}s",
                   flush=True)
+        done_counts[ex["name"]] = len(done)
         if len(done) < ex["passes"]:
             print(json.dumps({
                 "query": ex["name"], "partial": True,
