@@ -172,8 +172,8 @@ object Ann {
     }.sorted.toSeq
   }
 
-  private def ivfListTable(spark: SparkSession, dir: String,
-                           nlists: Int): DataFrame = {
+  private[ann] def ivfListTable(spark: SparkSession, dir: String,
+                                nlists: Int): DataFrame = {
     val e = Search.corpus(spark, dir)
     val sig = java.security.MessageDigest.getInstance("MD5")
       .digest(Pq.srcSignature(dir).getBytes("UTF-8"))
@@ -188,9 +188,22 @@ object Ann {
   }
 
   /** The probe set: each query's top-NPROBE centroids by rounded cosine.
-    * Only the tiny probe set takes the explode + window path, because it
-    * needs the top-nprobe centroids, not just the argmax.
-    * Returns (query_id, list_id, qlabel, qv, qnrm). */
+    * Returns (query_id, list_id, qlabel, qv, qnrm).
+    *
+    * Top-nprobe is computed ROW-LOCALLY (r17 optimization round, guide
+    * §2.4): the centroid set rides one broadcast row (the
+    * [[listAssignment]] argmin pattern generalized to top-n via
+    * slice(sort_array)), and each query row ranks its own nlists-struct
+    * array — so the former Exchange(hashpartitioning(query)) + Sorts +
+    * row_number Window that every IVF serving plan paid PER PROBE SUBTREE
+    * (a16's plan inlined that subtree three times) is gone from all of
+    * them. Ordering is identical by construction: struct (ncs =
+    * −rounded-cosine, cent_id) ascending == (cosine desc, cent_id asc),
+    * exactly the window ordering this replaced, so the probed set — and
+    * every downstream oracle row — is unchanged (AnnSpec/oracle hashes
+    * pin it). At scale this removes an O(Q·nprobe) query-side shuffle per
+    * serve and costs an O(nlists) single-row aggregate the assignment
+    * path already pays. */
   private[ann] def listProbes(e: DataFrame, nprobe: Int = 3,
                               nlists: Int = 8, qmod: Int = 101,
                               centSource: Option[DataFrame] = None): DataFrame = {
@@ -198,15 +211,21 @@ object Ann {
     // a combined (batch ∪ streamed) query set against the VERSIONED batch
     // centroid artifact — the a20/H12 rule on the query side
     val cent = centroids(centSource.getOrElse(e), nlists)
-    val cs = round(
-      when(col("nrm") * col("cnrm") === 0.0, 0.0)
-        .otherwise(Vec.dotNative(col("v"), col("cv")) / (col("nrm") * col("cnrm"))), 6)
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    val centRow = cent.agg(sort_array(collect_list(
+      struct(col("cent_id"), col("cv"), col("cnrm")))).as("cents"))
+    val scored = transform(col("cents"), c => struct(
+      negate(round(
+        when(col("nrm") * c.getField("cnrm") === 0.0, 0.0)
+          .otherwise(Vec.dotNative(col("v"), c.getField("cv"))
+            / (col("nrm") * c.getField("cnrm"))), 6)).as("ncs"),
+      c.getField("cent_id").as("cent_id")))
     e.filter(col("vec_id") % qmod === 0)
-      .join(broadcast(cent), lit(true)).withColumn("cs", cs)
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cent_id").as("list_id"),
+      .crossJoin(broadcast(centRow))
+      .select(col("vec_id").as("query_id"),
+        explode(slice(sort_array(scored), 1, nprobe)).as("probe"),
         col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .select(col("query_id"), col("probe.cent_id").as("list_id"),
+        col("qlabel"), col("qv"), col("qnrm"))
   }
 
   /** a2's SERVING read shape (r13, measured in IOBYTES_r13.json): the
@@ -316,6 +335,20 @@ object Ann {
     math.max(8, math.min(65536L, math.ceil(math.sqrt(corpusCount.toDouble)).toLong)).toInt
   }
 
+  /** Index-statistic memo (r17 optimization round, guide §1.2 step 1 —
+    * remove repeated passes): occupancy and splinter are properties of the
+    * BUILD artifact (FAISS stores per-list sizes with the inverted lists;
+    * the centroid set is versioned with the index), yet every router/auto
+    * serve re-ran their aggregate jobs — a21_route alone fired 26 Spark
+    * jobs per warm run (graft.Profile), almost all of them these stat
+    * passes. Memoized per (corpus path, data signature, dial) exactly like
+    * the index tables themselves: the first use in a session pays the
+    * distributed pass (Bench reports it under `cold`), steady-state serves
+    * read index metadata. The srcSignature key means an in-place corpus
+    * regeneration recomputes (the RouterDimSpec staleness rule). */
+  private val indexStatCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Occupancy statistic for the rerank law: the MAX inverted-list size of
     * the built IVF index at `nlists` — one partial-agg pass over the
     * build-once list table (the partitioned parquet artifact is the
@@ -324,11 +357,14 @@ object Ann {
     * crowd, and deterministic (vec_id < nlists) centroids shatter a true
     * cluster across ~nlists/clusters lists, so max-list-size UNDER-states
     * true cluster occupancy — [[annOperatingPoint]] folds in a 2x safety
-    * factor for exactly that bias. */
+    * factor for exactly that bias. Memoized with the artifact it
+    * describes ([[indexStatCache]]). */
   def occupancyEstimate(spark: SparkSession, dir: String, nlists: Int): Long =
-    ivfListTable(spark, dir, nlists)
-      .groupBy("list_id").agg(count(lit(1)).as("sz"))
-      .agg(max(col("sz"))).collect()(0).getLong(0)
+    indexStatCache.getOrElseUpdate(
+      s"occ:${graft.sources.Warehouse.tableSuffix(dir)}:${Pq.srcSignature(dir)}:$nlists",
+      ivfListTable(spark, dir, nlists)
+        .groupBy("list_id").agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz"))).collect()(0).getLong(0))
 
   /** Splinter statistic for the nprobe law (r12, the third-decade lesson):
     * deterministic centroids (vec_id < nlists) are corpus ROWS, so once
@@ -352,7 +388,11 @@ object Ann {
     * leaving nprobe at the measured small constant. */
   def splinterEstimate(spark: SparkSession, dir: String, nlists: Int,
                        tau: Double = 0.5): Int =
-    splinterOf(Search.corpus(spark, dir), nlists, tau)
+    // memoized per (corpus, signature, dial) — centroid-set metadata, same
+    // staleness key as the index tables ([[indexStatCache]] scaladoc)
+    indexStatCache.getOrElseUpdate(
+      s"spl:${graft.sources.Warehouse.tableSuffix(dir)}:${Pq.srcSignature(dir)}:$nlists:$tau",
+      splinterOf(Search.corpus(spark, dir), nlists, tau).toLong).toInt
 
   /** [[splinterEstimate]] over an explicit centroid-source frame — the
     * streamed-append composition derives centroids from the VERSIONED
@@ -493,9 +533,9 @@ object Ann {
     * the accuracy/speed trade of the index is a first-class, graded number
     * rather than a claim. */
   def a3IvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = Search.knn(spark, dir, col("vec_id") % 101 === 0, k = 10,
-      threshold = -1.0, clampZero = false, sameLabel = false)
-      .select(col("query_id"), col("vec_id"))
+    // truth from the stored shortlist artifact (r17, Search.bruteTruth10
+    // scaladoc) — identical rows to the previous inline knn(k=10)
+    val bf = Search.bruteTruth10(spark, dir, 101)
     val ivf = a2KnnIvf(spark, dir).select(col("query_id"), col("vec_id"))
     val common = bf.join(ivf, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_common"))

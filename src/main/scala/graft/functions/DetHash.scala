@@ -25,6 +25,21 @@ object DetHash {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** [[h60]] with a NON-NULLABLE schema: coalesce(h60, 0) (r17
+    * optimization round, guide §4). The 0 branch is unreachable for
+    * non-null input — md5, substring and conv(hex,16,10) of a 15-hex-char
+    * prefix never return null, and the cast to bigint always parses a
+    * 60-bit decimal string — so VALUES are identical to h60. What changes
+    * is the static type: non-nullable, which lets the optimizer fold away
+    * the IsNotNull constraint that an equi-join on the hash key infers
+    * and pushes below the projection. That pushed filter re-evaluates the
+    * ENTIRE md5 chain once more per row (Filter and Project are separate
+    * codegen operators — no cross-operator subexpression elimination), so
+    * on join-key hashes it doubles the hash pass. Use on join keys hashed
+    * from provably non-null input (concat_ws never returns null); keep
+    * h60 where null propagation is part of the contract. */
+  def h60nn(c: Column): Column = coalesce(h60(c), lit(0L))
+
   /** Seeded variant: h60 of "<seed>:<value>" — distinct hash families per
     * seed (MinHash permutations, hyperplane coordinates). */
   def h60Seeded(seed: Column, c: Column): Column =

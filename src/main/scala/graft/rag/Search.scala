@@ -248,6 +248,30 @@ object Search {
     spark.table(t)
   }
 
+  /** Brute-force ground truth@10 for a `vec_id % qmod` query set, read
+    * from the [[knnShortlist101]] artifact instead of re-scanning the
+    * corpus (r17 optimization round, guide §2.4): a recall eval's truth is
+    * a STORED asset versioned with the corpus (the d7 truthPairs rule —
+    * build once, probe every eval), and before this every a-family recall
+    * query re-derived it inline TWICE per run (recallVsBruteForce reads
+    * its bf side in both the intersection join and the n_true groupBy).
+    * Top-10 is the stored top-50 filtered to rnk <= 10 — same rounded
+    * cosine, same (similarity desc, vec_id) tie-break, so the rows are
+    * identical by construction and the oracle hashes pin it. qmod must be
+    * a multiple of 101 (the sampled twins' 1313 = 13·101): those query
+    * sets are subsets of the artifact's %101 set. The bucketed-by-query_id
+    * layout feeds the recall groupBys without an exchange. */
+  private[graft] def bruteTruth10(spark: SparkSession, dir: String,
+                                  qmod: Int): DataFrame = {
+    require(qmod % 101 == 0,
+      s"bruteTruth10: qmod $qmod is not a multiple of 101 — the stored " +
+        "shortlist artifact covers %101 query sets; widen the artifact or " +
+        "use Search.knn directly for a foreign query set")
+    val base = knnShortlist101(spark, dir).filter(col("rnk") <= 10)
+    (if (qmod == 101) base else base.filter(col("query_id") % qmod === 0))
+      .select(col("query_id"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r3_search_topk"         -> ((s, d) => r3SearchTopK(s, d)),
     "r4_search_filtered"     -> ((s, d) => r4SearchFiltered(s, d)),

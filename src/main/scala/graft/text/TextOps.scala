@@ -28,8 +28,13 @@ object TextOps {
   /** E1: n-gram/stopword-profile language ID + correctness vs the label.
     * Deterministic argmax with fixed priority tie-break (en>de>es>fr). */
   def t1LangId(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    // split ONCE (r17 optimization round, guide §4): inlining words(text)
+    // into the 4 hits() calls + stop_ratio evaluated the regex split 5x
+    // per document; projecting it pins one evaluation (CollapseProject
+    // keeps the barrier for a non-cheap multi-referenced alias)
+    val ws = col("ws")
     Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
       .withColumn("en_hits", hits(ws, StopEn))
       .withColumn("de_hits", hits(ws, StopDe))
       .withColumn("es_hits", hits(ws, StopEs))
@@ -67,14 +72,18 @@ object TextOps {
     * documents plus n_words and the dr/sr/ls/score_e6 columns.
     * score = 0.4*dr + 0.3*ls + 0.3*(1-sr); e6-scaled, round-half-up /10. */
   private[graft] def e6Scored(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    // split ONCE — see t1LangId (ws was inlined 3x here); dropped before
+    // return so consumer schemas are unchanged
+    val ws = col("ws")
     Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
       .withColumn("n_words", size(ws).cast("long"))
       .withColumn("dr_e6", Exact.ratio6e(size(array_distinct(ws)), col("n_words")))
       .withColumn("sr_e6", Exact.ratio6e(hits(ws, Seq("the", "a")), col("n_words")))
       .withColumn("ls_e6", least(Exact.ratio6e(col("n_words"), lit(100)), lit(1000000L)))
       .withColumn("score_e6",
         expr("(2 * (4*dr_e6 + 3*ls_e6 + 3*(1000000 - sr_e6)) + 10) div 20"))
+      .drop("ws")
   }
 
   /** E9: exact global quality rank + NTILE(10) decile per document — the
@@ -135,9 +144,11 @@ object TextOps {
     * columns (lang, source, n_words) the pipeline composition query (P1)
     * aggregates over. */
   private[graft] def keepSignals(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    // split ONCE — see t1LangId (ws was inlined 3x here); dropped below
+    val ws = col("ws")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
     Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
       .withColumn("content_hash", md5(col("text")))
       .withColumn("n_words", size(ws).cast("long"))
       .withColumn("dr_e6", Exact.ratio6e(size(array_distinct(ws)), col("n_words")))
@@ -151,6 +162,7 @@ object TextOps {
       .withColumn("lang_ok", col("lang").isin("en", "de", "fr"))
       .withColumn("keep",
         col("is_canonical") && col("quality_ok") && col("tokens_ok") && col("lang_ok"))
+      .drop("ws")
   }
 
   /** E4: rolling polynomial hash fingerprint — in-order fold
@@ -193,11 +205,18 @@ object TextOps {
     * (SURVEY §5.3b) and the verdict is an integer compare — bit-stable in
     * any engine at any shuffle order. */
   def t7Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    // split ONCE below the generator (r17 optimization round, guide §4):
+    // building the zip directly over words(col("text")) inlined the split
+    // four times into the Generate (2 slices × (slice + size) — the
+    // regex-split of every document evaluated 4x per row). Projecting the
+    // token array first pins a single evaluation: CollapseProject keeps
+    // the barrier because `ws` is non-cheap and referenced four times.
+    val ws = col("ws")
     val pairs = arrays_zip(
       slice(ws, lit(1), size(ws) - 1).as("w1"),
       slice(ws, lit(2), size(ws) - 1).as("w2"))
     val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"),
         DetHash.h60(concat_ws(" ", col("p.w1"), col("p.w2"))).as("g"))
@@ -218,14 +237,19 @@ object TextOps {
   /** Per-doc bigram occurrence rows (doc_id, g, w1g) — g = h60("w1 w2"),
     * w1g = h60(w1); one row per POSITION (not distinct). */
   private def bigramRows(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    // split ONCE below the generator — see t7Repetition (same 4x-inline
+    // fix; this is t8's scoring-side parse, the LM build's too)
+    val ws = col("ws")
     val pairs = arrays_zip(
       slice(ws, lit(1), size(ws) - 1).as("w1"),
       slice(ws, lit(2), size(ws) - 1).as("w2"))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(pairs).as("p"))
+      // h60nn: g is t8's equi-join key — the non-nullable type folds away
+      // the inferred IsNotNull filter that re-ran the md5 chain per row
       .select(col("doc_id"),
-        DetHash.h60(concat_ws(" ", col("p.w1"), col("p.w2"))).as("g"),
+        DetHash.h60nn(concat_ws(" ", col("p.w1"), col("p.w2"))).as("g"),
         DetHash.h60(col("p.w1")).as("w1g"))
   }
 

@@ -170,19 +170,32 @@ class RouterSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
-  test("a2KnnIvfPruned: same rows, fewer selected index bytes (measured)") {
+  test("a2KnnIvfPruned: same rows, pruned selected index bytes (measured)") {
     // single query (qmod = corpus) so the probed set is 3 of 8 lists;
-    // at the default 5-query batch the probed union can cover every list
+    // at the default 5-query batch the probed union can cover every list.
+    // r17: the row-local listProbes rewrite made even the UN-hinted a2
+    // plan partition-prune (the old Window probe output blocked dynamic
+    // partition pruning; the projected explode passes it through — the
+    // plan carries a SubqueryAdaptiveBroadcast dynamicpruning filter), so
+    // the old strict pruned < full inequality is obsolete in the best
+    // way: BOTH plans now read only the probed partitions. Pin that both
+    // read fewer bytes than the whole index artifact.
     val full = Ann.a2KnnIvf(spark, Sf, 8, 3, qmod = 500)
     val pruned = Ann.a2KnnIvfPruned(spark, Sf, 8, 3, qmod = 500)
     assert(pruned.collect().sameElements(full.collect()))
-    def ivfBytes(df: org.apache.spark.sql.DataFrame): Long =
+    // file COUNTS, not filesSize (whose partitioned-scan semantics proved
+    // metric-dependent): the artifact writes one file per inverted list
+    // (SourcesSpec pins it), so selected files == selected lists.
+    def ivfFiles(df: org.apache.spark.sql.DataFrame): Long =
       ScanBytes.selectedScanReads(df)._2
-        .filter(r => r.root.contains("graft_ivf")).map(_.bytes).sum
-    val (fb, pb) = (ivfBytes(full), ivfBytes(pruned))
-    assert(pb > 0, "pruned plan must still read the probed partitions")
-    assert(pb < fb,
-      s"static IN pruning must select fewer index bytes: pruned=$pb full=$fb")
+        .filter(r => r.root.contains("graft_ivf")).map(_.files).max
+    val (ff, pf) = (ivfFiles(full), ivfFiles(pruned))
+    assert(pf > 0, "pruned plan must still read the probed partitions")
+    assert(pf === 3L,
+      s"static IN pruning must select exactly the 3 probed lists of 8: $pf")
+    assert(ff <= pf,
+      s"the un-hinted plan must partition-prune too (r17 probe shape " +
+        s"passes dynamic partition pruning through): full=$ff pruned=$pf")
   }
 
   test("byte model is live: io costs scale with the corpus dimension") {
