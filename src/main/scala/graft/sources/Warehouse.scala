@@ -18,11 +18,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Warehouse {
 
-  /** Write bucketed+sorted by `keyCol` into the session warehouse. */
+  /** Write bucketed+sorted by `keyCol` into the session warehouse.
+    *
+    * Clustered by the bucket key before the write (r17 optimization
+    * round, guide §6 small files — the r13 one-file-per-partition rule
+    * extended to bucketed writes): a producer whose partitioning is NOT
+    * aligned with `keyCol` (e.g. a full-row DISTINCT upstream) otherwise
+    * makes every write task emit a file into every bucket — the sf1
+    * 3-gram/4-gram indexes measured 1,192 files for 32 buckets, and the
+    * d4 self-join re-paid the per-file open cost on all three of its
+    * scans per run. `repartition(buckets, keyCol)` — NOT the rebalance
+    * hint the partitioned write uses — because bucket assignment is the
+    * SAME pmod(murmur3) as HashPartitioning at the same count: task i
+    * holds exactly bucket i's rows, one file per bucket. (AQE rebalance
+    * may pick a different partition count, de-aligning tasks from
+    * buckets and re-fanning the files.) The r14 skew argument for
+    * REBALANCE doesn't apply here: bucket keys are high-cardinality
+    * hashes/ids, not few partition values, so no task serializes a hot
+    * value. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
                     buckets: Int = 32): Unit = {
     dropStale(df.sparkSession, table)
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(keyCol))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
