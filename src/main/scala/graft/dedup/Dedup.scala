@@ -1148,17 +1148,27 @@ object Dedup {
   def d12DupSpans(spark: SparkSession, dir: String,
                   minSpanTokens: Int = D12MinSpanTokens): DataFrame = {
     // positional 3-gram shingles (doc_id, pos, hs) — shingleHashRows keeps
-    // only the distinct hash set; spans need every position, no distinct
+    // only the distinct hash set; spans need every position, no distinct.
+    // Built ROW-LOCALLY via posexplode(arrays_zip of 3 shifted slices) —
+    // the shingleHashRows r17 rewrite with the position kept: the old
+    // posexplode+lead shape paid an Exchange(doc_id)+Sort over the full
+    // TOKEN STRING stream and two lead-window passes before hashing. The
+    // zip emits the same trigram at the same pos (slice o covers
+    // positions o..o+size-3; posexplode is 0-based exactly like the old
+    // token pos), so rows are identical; the island window below now
+    // carries the parse's ONLY exchange, and it exchanges 8-byte hashes
+    // instead of words.
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val zipped3 = arrays_zip((0 until 3).map(o =>
+      slice(col("ws"), lit(o + 1), greatest(size(col("ws")) - 2, lit(0))).as(s"w$o")): _*)
     val shp = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead(col("w"), 1).over(win))
-      .withColumn("w2", lead(col("w"), 2).over(win))
-      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(zipped3).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         // h60nn: hs equi-joins against dupShingleTable — see h60nn scaladoc
-        DetHash.h60nn(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("hs"))
+        DetHash.h60nn(concat_ws(" ",
+          col("sh.w0"), col("sh.w1"), col("sh.w2"))).as("hs"))
     // df >= 2 read from the stored key set (r17, dupShingleTable) — the
     // inner join against the distinct dup-shingle keys keeps exactly the
     // rows the old per-run df aggregation + filter kept
