@@ -141,6 +141,23 @@ object Ann {
     * also counts the probe rows — the collect stays ≤ nlists rows and a
     * caller violating fixed-Q gets the family's documented throw, never
     * an unbounded driver collect. */
+  /** [[probedListIds]] memoized per (corpus path, data signature, dials) —
+    * r18, the indexStatCache / a13z probedListsCache rule: the probed-list
+    * set is deterministic per (corpus, nlists, nprobe, qmod), lands in the
+    * plan as literal `IN` values, and was the last per-serve driver-side
+    * JOB the a22/a2-pruned chains still paid (a rollup + collect over the
+    * probe subtree, every run). The srcSignature key keeps the staleness
+    * contract: an in-place corpus regeneration recomputes. Fingerprint-
+    * neutral by construction — the memo feeds the SAME sorted literals
+    * into the SAME plan. */
+  private val probedIdsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+  private[ann] def probedListIdsCached(spark: SparkSession, dir: String,
+      nprobe: Int, nlists: Int, qmod: Int): Seq[Long] =
+    probedIdsCache.getOrElseUpdate(
+      s"${graft.sources.Warehouse.tableSuffix(dir)}@${Pq.srcSignature(dir)}:$nlists:$nprobe:$qmod",
+      probedListIds(Search.corpus(spark, dir), nprobe, nlists, qmod))
+
   private[ann] def probedListIds(e: DataFrame, nprobe: Int, nlists: Int,
                                  qmod: Int): Seq[Long] = {
     // guard on the QUERY count, the same unit every other entry point
@@ -252,7 +269,8 @@ object Ann {
     val asg0 = ivfListTable(spark, dir, nlists)
     val asg =
       if (staticPruned)
-        asg0.filter(col("list_id").isin(probedListIds(e, nprobe, nlists, qmod): _*))
+        asg0.filter(col("list_id").isin(
+          probedListIdsCached(spark, dir, nprobe, nlists, qmod): _*))
       else asg0
     val probes = listProbes(e, nprobe, nlists, qmod)
     val sim = round(

@@ -131,7 +131,11 @@ object IvfPqR {
       .withColumn("qd", qd)
       .groupBy(col("query_id"))
       .agg(lutAggs.head, lutAggs.tail: _*)
-    val probeLut = probes.join(lut, "query_id")
+    // broadcast(lut): both sides are O(queries) (fixed-Q contract); the
+    // stats-less aggregate output otherwise plans a SortMergeJoin with 2
+    // Exchanges + 2 Sorts inside every residual probe subtree (r18, guide
+    // §3.1 — the Pq.a13IvfPqTopK fix applied to the a16/a18 shared path).
+    val probeLut = probes.join(broadcast(lut), "query_id")
       .select(Seq(col("query_id"), col("list_id").as("p_list"), col("qnrm"), col("qc")) ++
         (0 until M).map(m => col(s"l$m")): _*)
     val approx = col("qc") +

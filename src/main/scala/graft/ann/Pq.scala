@@ -285,10 +285,11 @@ object Pq {
     // both pruned scans — the code table inside a13 and the refine's
     // vector retrieval — share it, instead of each re-running the
     // query-scan + window job that computes it
-    val probed = if (prunedRerank) {
-      val e = Search.corpus(spark, dir)
-      Some(Ann.probedListIds(e, nprobe, nlists, qmod))
-    } else None // pre-r13 shape: refine re-scans the flat corpus file
+    // memoized per (corpus, signature, dials) as of r18 — the collect was
+    // the last per-serve driver job in this chain (Ann.probedListIdsCached)
+    val probed = if (prunedRerank)
+      Some(Ann.probedListIdsCached(spark, dir, nprobe, nlists, qmod))
+    else None // pre-r13 shape: refine re-scans the flat corpus file
     val vecSource = probed.map(ids =>
       Ann.listTable(spark, dir, nlists).filter(col("list_id").isin(ids: _*)))
     exactRerank(spark, dir,
@@ -593,7 +594,10 @@ object Pq {
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
 
   private[graft] def pcaRotation(spark: SparkSession, dir: String): Seq[Seq[Double]] =
-    pcaCache.getOrElseUpdate(graft.sources.Warehouse.tableSuffix(dir), {
+    // keyed by DATA SIGNATURE too (r18, the staleness-key sweep): an
+    // in-place corpus regeneration must re-train the rotation
+    pcaCache.getOrElseUpdate(
+      s"${graft.sources.Warehouse.tableSuffix(dir)}_${sigSuffix(dir)}", {
       val e = Search.corpus(spark, dir)
       val (pc, varExp) = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
         e.select(col("v")).rdd.map { r =>
@@ -725,9 +729,14 @@ object Pq {
       case Some(ids) => codes0.filter(col("list_id").isin(ids: _*))
       case None => codes0
     }
+    // broadcast(queryLut): both sides are O(queries) (fixed-Q contract),
+    // but the stats-less aggregate outputs made the planner pick a
+    // SortMergeJoin — 2 Exchanges + 2 Sorts inside EVERY IVFPQ probe
+    // subtree (r18, guide §3.1; measured in plans/r18/a13_*_before.txt).
+    // The hint collapses it to a BroadcastHashJoin of two tiny frames.
     val probe = Ann.listProbes(e, nprobe = nprobe, nlists = nlists, qmod = qmod)
       .select(col("query_id"), col("list_id"))
-      .join(queryLut(e, cb, qmod, d), "query_id")
+      .join(broadcast(queryLut(e, cb, qmod, d)), "query_id")
     val wq = Window.partitionBy(col("query_id")).orderBy(col("similarity").desc, col("vec_id"))
     // fixed-Q contract (Ann scaladoc): probe is O(queries × nprobe).
     codes.join(broadcast(probe),
@@ -816,8 +825,9 @@ object Pq {
     val d = subDimOf(spark, dir) // == D at the pinned dim-64 corpora
     val cb = codebook(e, d)
     val codes = spark.read.parquet(zCodesDir(spark, dir))
+    // broadcast(queryLut): SMJ -> BHJ on two O(queries) frames, as a13
     val probe = Ann.listProbes(e, qmod = qmod).select(col("query_id"), col("list_id"))
-      .join(queryLut(e, cb, qmod, d), "query_id")
+      .join(broadcast(queryLut(e, cb, qmod, d)), "query_id")
     // The probed-list id set is deterministic per corpus, so the driver-
     // side selection job (a probe-side scan) runs once per (session, dir)
     // and is memoized — the per-query cost is the pruned scan + join

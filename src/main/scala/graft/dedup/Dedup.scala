@@ -21,6 +21,15 @@ import graft.sources.Warehouse
   */
 object Dedup {
 
+  /** documents.parquet data-signature suffix for every dedup artifact
+    * table (r18, verdict r17 #1): a corpus regenerated IN PLACE within a
+    * live session re-keys and REBUILDS the shingle/signature/cluster/
+    * truth artifacts instead of serving stale dedup keys or stale eval
+    * truth — the Pq.srcSignature staleness contract, applied to the
+    * documents-derived side (DedupSigSpec pins it end-to-end). */
+  private def docSig(dir: String): String =
+    Warehouse.srcSigSuffix(dir, "documents.parquet")
+
   /** Exploded DISTINCT 60-bit-HASHED word n-gram shingles: one row per
     * (doc_id, hs), plus carried metadata columns.
     *
@@ -73,7 +82,7 @@ object Dedup {
     * codegen fusion, see §6 notes); a written bucketed table is the shape a
     * real cluster uses, and the write amortizes across every consumer. */
   private def shingleIndex3(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_sh3_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_sh3_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         Warehouse.writeBucketed(
@@ -130,7 +139,7 @@ object Dedup {
     * output of the signature-build pass, bucketed by doc_id so the
     * count-attach joins stay exchange-free. */
   private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_mhsig_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_mhsig_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         Warehouse.writeBucketed(minhashSigFrom(shingleIndex3(spark, dir)), t, "doc_id")
@@ -261,7 +270,7 @@ object Dedup {
     * [[d2MultipassPairs]]. */
   private[graft] def clusterTableMultipass(spark: SparkSession, dir: String,
                                            passes: Int, staging: String): DataFrame = {
-    val t = s"graft_ccf_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_ccf_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val pairs = d2MultipassPairs(spark, dir, passes, staging)
@@ -320,7 +329,7 @@ object Dedup {
     * and, crucially, no 60x bit-explode shuffle (that shape moves 60x
     * the token count through the exchange at 100 TB). */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_shsig_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_shsig_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val tok = Tables.documents(spark, dir)
@@ -348,7 +357,7 @@ object Dedup {
     * groupBy shape as [[simhashSig]] — the wide build costs one more
     * column pass, never a second shuffle. */
   private def simhashSigWide(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_shsigw_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_shsigw_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val tok = Tables.documents(spark, dir)
@@ -475,7 +484,7 @@ object Dedup {
     // the 4-gram index feeds both self-join sides and the per-doc counts —
     // materialized once per (session, sf-dir) like the 3-gram index (the
     // explode+window chain otherwise executes 4x per query, per run)
-    val t4 = s"graft_sh4_${Warehouse.tableSuffix(dir)}"
+    val t4 = s"graft_sh4_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t4))
         Warehouse.writeBucketed(
@@ -670,7 +679,7 @@ object Dedup {
     * per-query recompute. Same within-session immutable-input assumption
     * as [[shingleIndex3]]. */
   private[graft] def clusterTable(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_cc_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_cc_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val pairs = d2MinhashLsh(spark, dir).select("doc_a", "doc_b").persist()
@@ -698,7 +707,7 @@ object Dedup {
     * full pair stream's verify-join spill (>65 GB) was the wall, and the
     * sampled stream divides it by the sample rate. */
   private[graft] def clusterTableSampled(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_ccs_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_ccs_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val pairs = d2sMinhashLshSampled(spark, dir).select("doc_a", "doc_b").persist()
@@ -806,7 +815,7 @@ object Dedup {
     * those joins exchange-free. One groupBy (df) + one semi join at build
     * time, amortized across consumers. */
   private def rareShingleIndex(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_rare3_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_rare3_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val ex = shingleIndex3(spark, dir)
@@ -828,7 +837,7 @@ object Dedup {
     * exchange, df-capped) is the dominant build cost; the stored result
     * is just id pairs. */
   private def truthPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_truth3_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_truth3_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val sig = minhashSig(spark, dir)
@@ -859,7 +868,7 @@ object Dedup {
     * candidates inline — candidate GENERATION is the operator d2 grades;
     * candidate RECALL is what d7 grades, and it probes the stored set. */
   private def candPairsTable(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_cand3_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_cand3_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         Warehouse.writeBucketed(
@@ -908,7 +917,7 @@ object Dedup {
     * documented disk wall. Content == truthPairs WHERE doc_a % 101 = 0
     * (doc_a is the smaller id, exactly the sampled x side). */
   private def truthPairsSampled(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_truth3s_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_truth3s_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val sig = minhashSig(spark, dir)
@@ -1080,7 +1089,7 @@ object Dedup {
     * is strictly smaller than the index; the bucketed-by-hs layout feeds
     * their hash joins without exchanging the artifact side. */
   private def dupShingleTable(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_dup3_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_dup3_${Warehouse.tableSuffix(dir)}_${docSig(dir)}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         Warehouse.writeBucketed(
@@ -1229,7 +1238,7 @@ object Dedup {
 
   def d13ScrubbedCorpus(spark: SparkSession, dir: String,
                         maxDocTokens: Long = D13MaxDocTokens): DataFrame = {
-    val worst = d13MaxCache.getOrElseUpdate(Warehouse.tableSuffix(dir),
+    val worst = d13MaxCache.getOrElseUpdate(s"${Warehouse.tableSuffix(dir)}_${docSig(dir)}",
       Tables.documents(spark, dir)
         .agg(max(size(split(col("text"), " ")))).collect()(0).getInt(0).toLong)
     if (worst > maxDocTokens) throw new IllegalArgumentException(

@@ -47,7 +47,7 @@ object MemoryOps {
     * reads this layout; only the first call (Bench's cold run) pays the
     * events-WAL upsert aggregation. */
   def memoryTable(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_mem_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val t = s"graft_mem_${graft.sources.Warehouse.tableSuffix(dir)}_${graft.sources.Warehouse.srcSigSuffix(dir, "events.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writeBucketed(buildMemoryTable(spark, dir), t, "memory_key")

@@ -79,7 +79,7 @@ object Chunking {
     * broadcast join on bucket -> partial+final HashAggregate, one shuffle
     * of the tiny aggregated candidate rows only. */
   private def chunkFeatureIndex(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_chunkfeat_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val t = s"graft_chunkfeat_${graft.sources.Warehouse.tableSuffix(dir)}_${graft.sources.Warehouse.srcSigSuffix(dir, "documents.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         // the (doc_id, chunk_id) pair rides through Embed.features' single

@@ -42,7 +42,7 @@ object Lexical {
     * one row per (term-hash, doc) carrying tf, doc length, and the term's
     * document frequency, bucketed by term hash (the postings join key). */
   private def lexIndex(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_lex_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_lex_${Warehouse.tableSuffix(dir)}_${Warehouse.srcSigSuffix(dir, "documents.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val docs = Tables.documents(spark, dir)
@@ -60,7 +60,7 @@ object Lexical {
 
   /** Corpus size + average doc length (the BM25 normalizer), one row. */
   private def lexStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_lexstats_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_lexstats_${Warehouse.tableSuffix(dir)}_${Warehouse.srcSigSuffix(dir, "documents.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         Warehouse.writeTable(
@@ -128,7 +128,7 @@ object Lexical {
     * layout means every downstream per-query window sorts locally with no
     * exchange. */
   private def bm25Candidates(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_bm25c_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_bm25c_${Warehouse.tableSuffix(dir)}_${Warehouse.srcSigSuffix(dir, "documents.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val idx = lexIndex(spark, dir)
@@ -196,7 +196,7 @@ object Lexical {
     * each of them re-ran BOTH rankers from raw corpus scans (the r6 bench's
     * single most expensive recompute). */
   def r15HybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_rrf_${Warehouse.tableSuffix(dir)}"
+    val t = s"graft_rrf_${Warehouse.tableSuffix(dir)}_${Warehouse.srcSigSuffix(dir, "documents.parquet", "embeddings.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t)) Warehouse.writeTable(fuseRrf(spark, dir), t)
     }

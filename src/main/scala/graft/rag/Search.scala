@@ -237,7 +237,7 @@ object Search {
     * the first call pays the brute-force pass, and the bucketed layout
     * feeds the per-query windows/joins downstream without an exchange. */
   private[graft] def knnShortlist101(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_knn101_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val t = s"graft_knn101_${graft.sources.Warehouse.tableSuffix(dir)}_${graft.sources.Warehouse.srcSigSuffix(dir, "embeddings.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t))
         graft.sources.Warehouse.writeBucketed(

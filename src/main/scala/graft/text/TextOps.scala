@@ -259,7 +259,7 @@ object TextOps {
     * 8-byte gram hash. The LM is a corpus-version artifact exactly like
     * the shingle and postings indexes. */
   private def lmTable(spark: SparkSession, dir: String): DataFrame = {
-    val t = s"graft_lm2_${graft.sources.Warehouse.tableSuffix(dir)}"
+    val t = s"graft_lm2_${graft.sources.Warehouse.tableSuffix(dir)}_${graft.sources.Warehouse.srcSigSuffix(dir, "documents.parquet")}"
     synchronized {
       if (!spark.catalog.tableExists(t)) {
         val rows = bigramRows(spark, dir)
